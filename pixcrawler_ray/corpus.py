@@ -1,0 +1,186 @@
+"""Deterministic Common-Crawl-style ``pages`` corpus, derived from ``documents``.
+
+``BASELINE.json`` input_hint mandates the corpus shape
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+No external data is allowed, so the corpus is a *pure deterministic function*
+of the driver-provided ``documents`` table (``doc_id, text, lang, source,
+n_chars``): every derived column below is simple integer/string arithmetic
+that DuckDB can replay exactly, which is what lets the driver's SQL oracle
+verify the crawl stages end-to-end (byte-identical ``text`` per ``url``).
+
+Derivation spec (mirrored in SQL by ``__ray_entry__.oracle_sql``):
+
+- ``host_id(d)``  = 0 if ``d % 3 == 0`` else ``1 + (d * 2654435761) % 499``
+  → host ``h0`` receives ~1/3 of all pages (deliberate Zipf-style hot-host
+  skew so skew splitting is exercised; SURVEY §4 "Skew / stragglers").
+- ``host(d)``     = ``'h{host_id}.example.com'``
+- ``path(d)``     = ``'/private/doc/{d}'`` if ``d % 50 == 7`` else ``'/doc/{d}'``
+  (the ``/private/`` prefix is what synthetic robots rules disallow).
+- ``url(d)``      = ``'http://' + host + path``
+- ``warc_ts(d)``  = ``2024-01-01T00:00:00Z + d seconds`` (epoch micros
+  ``1704067200000000 + d * 1_000_000``).
+- ``malformed(d)``= ``d % 97 == 13`` → html truncated to 40 bytes; the
+  ground-truth extracted ``text`` for malformed pages is ``''`` (analog of the
+  reference's corrupt-image fixtures, ``validator/tests/test_integrity.py:75-80``).
+- ``html(d)``     = the template rendered by :func:`render_html` around the
+  (escaped) document text plus ``d % 4`` synthetic ``<img>`` links
+  ``'http://img.example.com/i/{(d*31 + j*17) % 1000}.jpg'``.
+- robots rule: host ``h{k}`` disallows prefix ``/private/`` iff ``k % 20 == 1``
+  (plus the hot host h0 allows everything).
+
+The reference has no corpus — it crawls the live web via icrawler/DDGS
+(``builder/_search_engines.py:115-223``); this table stands in for the web so
+the fetch stage becomes a deterministic join (SURVEY §2.4 J5).
+"""
+
+from __future__ import annotations
+
+import html as _html_mod
+import numpy as np
+import pyarrow as pa
+
+HOT_HOST_MOD = 3          # d % 3 == 0  -> hot host h0
+HOST_MULT = 2654435761    # Knuth multiplicative-hash constant (public domain)
+HOST_BUCKETS = 499
+PRIVATE_MOD = 50          # d % 50 == 7 -> /private/ path
+PRIVATE_REM = 7
+MALFORMED_MOD = 97        # d % 97 == 13 -> truncated html
+MALFORMED_REM = 13
+MALFORMED_PREFIX_LEN = 40
+BASE_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+IMG_LINK_BUCKETS = 1000
+ROBOTS_DISALLOW_MOD = 20  # host h{k} disallows /private/ iff k % 20 == 1
+ROBOTS_DISALLOW_REM = 1
+TRANSIENT_MOD = 89        # d % 89 == 3 -> first fetch attempt returns 503
+TRANSIENT_REM = 3
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("doc_id", pa.int64()),   # lineage back to the source document
+        ("host", pa.string()),
+    ]
+)
+
+
+def host_ids(doc_ids: np.ndarray) -> np.ndarray:
+    """Vectorized host assignment with hot-host skew. int64 in/out."""
+    d = doc_ids.astype(np.int64)
+    spread = 1 + (d * np.int64(HOST_MULT)) % np.int64(HOST_BUCKETS)
+    return np.where(d % HOT_HOST_MOD == 0, np.int64(0), spread)
+
+
+def hosts_for(doc_ids: np.ndarray) -> np.ndarray:
+    hid = host_ids(doc_ids)
+    return np.char.add(
+        np.char.add("h", hid.astype("U6")), ".example.com"
+    )
+
+
+def paths_for(doc_ids: np.ndarray) -> np.ndarray:
+    d = doc_ids.astype(np.int64)
+    base = np.char.add("/doc/", d.astype("U12"))
+    priv = np.char.add("/private/doc/", d.astype("U12"))
+    return np.where(d % PRIVATE_MOD == PRIVATE_REM, priv, base)
+
+
+def urls_for(doc_ids: np.ndarray) -> np.ndarray:
+    return np.char.add(
+        np.char.add("http://", hosts_for(doc_ids)), paths_for(doc_ids)
+    )
+
+
+def image_links_for(doc_id: int) -> list[str]:
+    """``d % 4`` synthetic image links; deterministic in ``d`` alone."""
+    n = doc_id % 4
+    return [
+        f"http://img.example.com/i/{(doc_id * 31 + j * 17) % IMG_LINK_BUCKETS}.jpg"
+        for j in range(n)
+    ]
+
+
+def render_html(doc_id: int, text: str) -> bytes:
+    """Render the page html. ``extract.extract_one`` must invert this exactly.
+
+    Text is entity-escaped on the way in and unescaped on the way out so the
+    byte-identical invariant holds even for texts containing ``<`` / ``&``.
+    """
+    esc = _html_mod.escape(text, quote=False)
+    imgs = "".join(f'<img src="{u}"/>' for u in image_links_for(doc_id))
+    page = (
+        f"<html><head><title>doc {doc_id}</title></head><body>"
+        f"<p>{esc}</p>{imgs}</body></html>"
+    )
+    body = page.encode("utf-8")
+    if doc_id % MALFORMED_MOD == MALFORMED_REM:
+        return body[:MALFORMED_PREFIX_LEN]
+    return body
+
+
+def pages_batch(batch: pa.Table) -> pa.Table:
+    """``documents`` Arrow batch -> ``pages`` Arrow batch (stateless map).
+
+    Vectorized except html rendering (inherently per-row byte assembly, like
+    any real WARC writer). Ground-truth ``text`` is '' for malformed pages.
+    """
+    d = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang")
+    url = urls_for(d)
+    ts = pa.array(BASE_EPOCH_US + d.astype(np.int64) * 1_000_000).cast(
+        pa.timestamp("us")
+    )
+    html_col = pa.array(
+        [render_html(int(di), t) for di, t in zip(d, texts)], type=pa.binary()
+    )
+    malformed = (d % MALFORMED_MOD) == MALFORMED_REM
+    gt_text = pa.array(
+        ["" if m else t for m, t in zip(malformed, texts)], type=pa.string()
+    )
+    return pa.table(
+        {
+            "url": pa.array(url, type=pa.string()),
+            "warc_ts": ts,
+            "html": html_col,
+            "text": gt_text,
+            "lang": langs,
+            "doc_id": pa.array(d, type=pa.int64()),
+            "host": pa.array(hosts_for(d), type=pa.string()),
+        }
+    )
+
+
+def pages_dataset(sf_dir: str):
+    """Lazy ``pages`` Dataset derived from ``{sf_dir}/documents.parquet``.
+
+    Column-pruned at the read; stays streaming (no materialize).
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(pages_batch, batch_format="pyarrow")
+
+
+def robots_disallowed_host(host_id: np.ndarray) -> np.ndarray:
+    """Boolean mask: does host h{k} disallow the /private/ prefix."""
+    k = host_id.astype(np.int64)
+    return (k % ROBOTS_DISALLOW_MOD == ROBOTS_DISALLOW_REM) & (k != 0)
+
+
+def robots_table(num_hosts: int = HOST_BUCKETS + 1) -> pa.Table:
+    """Synthetic per-host robots rules (FIXTURES.md §1 companion table)."""
+    hid = np.arange(num_hosts, dtype=np.int64)
+    dis = robots_disallowed_host(hid)
+    hosts = np.char.add(np.char.add("h", hid.astype("U6")), ".example.com")
+    prefixes = pa.array(
+        [["/private/"] if d else [] for d in dis], type=pa.list_(pa.string())
+    )
+    return pa.table(
+        {"host": pa.array(hosts, type=pa.string()), "disallow_prefixes": prefixes}
+    )

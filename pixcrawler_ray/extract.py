@@ -1,0 +1,114 @@
+"""M12 — the deterministic extraction transform (the per-row invariant).
+
+The reference "extracts" by letting icrawler's engine parsers pull image URLs
+out of result pages and saving the bytes (``builder/_engine.py:542-578`` wraps
+the parser; DDGS hands the url directly, ``builder/_search_engines.py:237``).
+Here extraction is re-specified as a pure Arrow-batch transform
+``html:binary -> (text:string, image_links:list<string>, valid:bool)`` that
+must reproduce the corpus ground-truth ``text`` byte-for-byte per url
+(BASELINE.json per-row invariant).
+
+Also folds in the reference's validity/metadata projections:
+- M10 validity filter (PIL verify analog, ``validator/integrity.py:454-542``):
+  a malformed/truncated page -> ``valid=False``, ``text=''``.
+- M15 safe-parser semantics (``builder/_engine.py:542-578``): any parse error
+  -> empty links + empty text, never an exception.
+- M11 metadata (``builder/_generator.py:864-894``): byte size.
+- A3/A4 hash columns: ``content_md5`` of the text bytes
+  (``validator/integrity.py:130-148``) and a 64-bit ``phash`` analog of the
+  reference's 8x8 average-hash (``validator/integrity.py:108-128``) computed
+  over the html byte histogram — exact-match grouping only, like the
+  reference (it groups identical aHash hex strings, never hamming distance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _html_mod
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from pixcrawler_ray.functions.minhash import simhash64
+
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.S)
+_IMG_RE = re.compile(rb'<img src="([^"]*)"/>')
+
+
+def extract_one(html: bytes) -> tuple[str, list[str], bool]:
+    """Invert ``corpus.render_html``: html bytes -> (text, image_links, valid).
+
+    Deterministic, total: malformed input yields ('', [], False) — the
+    safe-parser contract (``builder/_engine.py:542-578``).
+    """
+    try:
+        m = _P_RE.search(html)
+        if m is None or b"</body></html>" not in html:
+            return "", [], False
+        text = _html_mod.unescape(m.group(1).decode("utf-8"))
+        links = [u.decode("utf-8") for u in _IMG_RE.findall(html)]
+        return text, links, True
+    except Exception:
+        return "", [], False
+
+
+def ahash64(html: bytes) -> int:
+    """64-bit average-hash analog over the byte histogram (A4).
+
+    The reference aHashes an 8x8 grayscale thumbnail
+    (``validator/integrity.py:108-128``); for opaque binary payloads we hash
+    the 64-bucket byte histogram against its mean — same shape (64 bits,
+    average-threshold bitmap), deterministic, exact-match groupable.
+    """
+    if not html:
+        return 0
+    counts = np.bincount(
+        np.frombuffer(html, dtype=np.uint8) >> 2, minlength=64
+    ).astype(np.float64)
+    bits = counts > counts.mean()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages batch -> extracted batch. Stateless ``map_batches`` stage.
+
+    Keeps lineage columns present in the input (url, doc_id, plus frontier
+    attribution columns when run post-fetch) and DROPS the html column on the
+    way out — wide binary payloads must not travel further than extraction
+    (SURVEY §7.5 item 5).
+    """
+    htmls = batch.column("html").to_pylist()
+    texts: list[str] = []
+    links: list[list[str]] = []
+    valids: list[bool] = []
+    md5s: list[bytes] = []
+    phashes: list[int] = []
+    sizes: list[int] = []
+    for h in htmls:
+        h = h or b""
+        t, ln, v = extract_one(h)
+        texts.append(t)
+        links.append(ln)
+        valids.append(v)
+        md5s.append(hashlib.md5(t.encode("utf-8")).digest())
+        phashes.append(simhash64(t))
+        sizes.append(len(h))
+    drop = ["html"] + (["text"] if "text" in batch.column_names else [])
+    out = batch.drop_columns(drop)
+    out = out.append_column("text", pa.array(texts, type=pa.string()))
+    out = out.append_column(
+        "image_links", pa.array(links, type=pa.list_(pa.string()))
+    )
+    out = out.append_column("valid", pa.array(valids, type=pa.bool_()))
+    out = out.append_column(
+        "content_md5", pa.array(md5s, type=pa.binary(16))
+    )
+    out = out.append_column("phash", pa.array(phashes, type=pa.uint64()))
+    out = out.append_column("html_bytes", pa.array(sizes, type=pa.int64()))
+    return out
+
+
+def extracted_dataset(pages_ds):
+    """pages Dataset -> extracted Dataset (drops html early)."""
+    return pages_ds.map_batches(extract_batch, batch_format="pyarrow")

@@ -1,0 +1,164 @@
+"""The flagship pipeline: config -> frontier -> fetch -> extract -> dedup.
+
+Ray-Data re-expression of the reference's two execution paths — the
+sequential ``Builder.generate()`` loop (``builder/_generator.py:1101-1280``)
+and the Celery fan-out (``backend/simple_flow.py:129-197``) — as ONE lazy
+Dataset chain per generation:
+
+    frontier_dataset            (M1-M5, S2/S3: expansion, distributed flat-map)
+      -> dedup_frontier         (ST3 within-gen URL-seen: hash-partitioned keep-first)
+      -> SeenAntiJoin           (J3 resume anti-join vs prior epochs; optional)
+      -> apply_robots           (north-rule robots gate)
+      -> assign_rounds          (O4 + politeness: host-hash shuffle, virtual time)
+      -> fetch_dataset          (J5/S4: broadcast-index actor pool join)
+      -> keep_first_n(keyword)  (ST2/O3 budget cap)
+      -> extracted_dataset      (M12/M10/M11: the invariant transform)
+      -> keep_first_by(md5)     (A3 exact dedup)
+      -> keep_first_by(phash)   (A4 near dedup)
+
+Retry semantics (``builder/_generator.py:282-341``): transient (503) rows are
+re-queued as generation k+1 at ``depth+1`` — an iterative dataflow driven from
+the driver (SURVEY §7.5.7), each generation a pure Dataset pipeline.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pixcrawler_ray import corpus
+from pixcrawler_ray.extract import extracted_dataset
+from pixcrawler_ray.stages.expand import (
+    CrawlConfig,
+    PAGE_SIZE,
+    frontier_dataset,
+)
+from pixcrawler_ray.stages.fetch import (
+    STATUS_OK,
+    STATUS_TRANSIENT,
+    Fetcher,
+    build_pages_index,
+    fetch_dataset,
+)
+from pixcrawler_ray.stages.politeness import assign_rounds
+from pixcrawler_ray.stages.robots import apply_robots
+from pixcrawler_ray.stages.seen import SeenAntiJoin, dedup_frontier
+from pixcrawler_ray.stages.shuffle import keep_first_by, keep_first_n
+
+
+def n_documents(sf_dir: str) -> int:
+    """Row count from parquet metadata only — no data read."""
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def pages_index_ref(sf_dir: str):
+    """Materialize the corpus index for the broadcast fetch path.
+
+    Fine while the corpus fits a node (tests/bench); the 100 TB path swaps
+    this for ``stages.shuffle.bucketed_join(frontier, pages, on="url")`` —
+    same downstream schema.
+    """
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pages = corpus.pages_batch(docs)
+    return build_pages_index(pages)
+
+
+def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
+                   page_size: int = PAGE_SIZE, seen_shards=None,
+                   budget_per_round: int = 8, seen_concurrency: int = 4):
+    """Expansion -> url-dedup -> (resume anti-join) -> robots -> politeness."""
+    nd = n_documents(sf_dir)
+    fr = frontier_dataset(config, nd, depth=depth, page_size=page_size)
+    fr = dedup_frontier(fr)
+    if seen_shards:
+        fr = fr.map_batches(
+            SeenAntiJoin,
+            fn_constructor_kwargs={"shard_handles": seen_shards},
+            batch_format="pyarrow",
+            concurrency=(1, max(1, seen_concurrency)),
+            num_cpus=0.5,
+        )
+    fr = apply_robots(fr)
+    return assign_rounds(fr, budget_per_round=budget_per_round)
+
+
+def crawl_generation(config: CrawlConfig, sf_dir: str, index_ref,
+                     depth: int = 0, page_size: int = PAGE_SIZE,
+                     budget_per_round: int = 8, seen_shards=None,
+                     fetch_concurrency: int = 8,
+                     transient_frontier=None):
+    """One generation. Returns (extracted_ds, transient_frontier_ds).
+
+    ``transient_frontier``: when given (generation > 0), it IS the frontier
+    (re-queued 503 rows at depth+1) and no expansion happens.
+    """
+    if transient_frontier is not None:
+        fr = transient_frontier
+    else:
+        fr = build_frontier(config, sf_dir, depth=depth, page_size=page_size,
+                            seen_shards=seen_shards,
+                            budget_per_round=budget_per_round)
+    fetched = fetch_dataset(fr, index_ref, concurrency=fetch_concurrency)
+    ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+        batch_format="pyarrow")
+    transient = fetched.map_batches(
+        lambda t: _requeue(t), batch_format="pyarrow")
+    budgeted = keep_first_n(ok, ["keyword"], "seq", config.max_images)
+    extracted = extracted_dataset(budgeted)
+    extracted = extracted.map_batches(
+        lambda t: t.filter(t.column("valid")), batch_format="pyarrow")
+    extracted = keep_first_by(extracted, ["content_md5"], "seq")
+    extracted = keep_first_by(extracted, ["phash"], "seq")
+    return extracted, transient
+
+
+def _requeue(t: pa.Table) -> pa.Table:
+    """503 rows -> next-generation frontier rows (depth+1, priority-1)."""
+    t = t.filter(pc.equal(t.column("status"), STATUS_TRANSIENT))
+    t = t.drop_columns([c for c in ("status", "warc_ts", "html")
+                        if c in t.column_names])
+    depth = pc.add(t.column("depth"), pa.scalar(1, pa.int32())).cast(pa.int32())
+    prio = pc.subtract(t.column("priority"), pa.scalar(1, pa.int64()))
+    t = t.set_column(t.schema.get_field_index("depth"), "depth", depth)
+    return t.set_column(t.schema.get_field_index("priority"), "priority", prio)
+
+
+def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
+              budget_per_round: int = 8, max_generations: int | None = None,
+              fetch_concurrency: int = 8, seen_shards=None):
+    """Full multi-generation crawl; returns the union of extracted datasets.
+
+    Generations after the first re-fetch only the transient rows — the
+    iterative retry dataflow (Retry.retry_download,
+    ``builder/_generator.py:282-341``) with generation index == retry count.
+    """
+    gens = (config.max_retries if max_generations is None else max_generations)
+    index_ref = pages_index_ref(sf_dir)
+    extracted, transient = crawl_generation(
+        config, sf_dir, index_ref, depth=0, page_size=page_size,
+        budget_per_round=budget_per_round, seen_shards=seen_shards,
+        fetch_concurrency=fetch_concurrency)
+    outputs = [extracted]
+    current = transient
+    for _ in range(gens):
+        # materialize the (small) retry frontier to decide termination
+        current = current.materialize()
+        if current.count() == 0:
+            break
+        ex, current = crawl_generation(
+            config, sf_dir, index_ref, budget_per_round=budget_per_round,
+            fetch_concurrency=fetch_concurrency,
+            transient_frontier=current)
+        outputs.append(ex)
+    out = outputs[0]
+    if len(outputs) > 1:
+        for ds in outputs[1:]:
+            out = out.union(ds)
+        # cross-generation dedup: a retried row may duplicate a gen-0 row's
+        # content even though urls are disjoint (url-dedup is global via seq).
+        out = keep_first_by(out, ["content_md5"], "seq")
+        out = keep_first_by(out, ["phash"], "seq")
+    return out

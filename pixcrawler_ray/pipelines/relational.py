@@ -1,0 +1,264 @@
+"""Relational engine queries over the TPC-H-ish test tables.
+
+These exercise the generic operator inventory (SURVEY §2.2/2.4/2.5/2.6) on
+the driver-provided tables so the DuckDB oracle can hash-compare results:
+groupby aggregates (A1/A2/A6), broadcast dimension joins (J1/J2), top-k
+(O3/O7), distinct (D1), windowed/sessionized aggregates and as-of joins
+(§2.8 streaming analogs).
+
+Float discipline: every aggregated money/quantity value is converted to an
+exact integer representation (cents / e4 fixed-point) BEFORE summing, so sums
+are order-independent bit-exact in both engines (integer-valued doubles sum
+exactly below 2^53) and the driver's value-hash cannot be tripped by fp
+associativity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from pixcrawler_ray.stages.shuffle import per_bucket
+
+
+def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """round(x*100) as int64 — exact, matches DuckDB CAST(ROUND(x*100) AS BIGINT)."""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog (A1/A2 aggregate family).
+
+    sum_qty / sum_base_cents / sum_disc_cents / count per
+    (l_returnflag, l_linestatus) for l_shipdate < 1995-09-01.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1995-09-01", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"), cutoff))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_pct = _cents(t.column("l_discount"))  # 0..100
+        disc_price_e4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "base_cents": price_c,
+            "disc_e4": disc_price_e4,
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty", alias_name="sum_qty"),
+                        Sum("base_cents", alias_name="sum_base_cents"),
+                        Sum("disc_e4", alias_name="sum_disc_e4"),
+                        Count(alias_name="count_order")))
+    return out
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast dimension join chain: lineitem ⨝ orders ⨝ customer ⨝ nation.
+
+    The three dimension tables are small → ``ray.put`` once, merged per batch
+    (SURVEY §2.4 J1/J2 broadcast pattern). Only the fact table streams.
+    """
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+                 .merge(nation, left_on="c_nationkey",
+                        right_on="n_nationkey"))[["o_orderkey", "n_name"]]
+    dim_ref = ray.put(dim)
+
+    class JoinRevenue:
+        def __init__(self):
+            self.dim = ray.get(dim_ref).set_index("o_orderkey")["n_name"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            price_c = _cents(t.column("l_extendedprice"))
+            disc_pct = _cents(t.column("l_discount"))
+            rev_e4 = pc.multiply(
+                price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+            keys = t.column("l_orderkey").to_numpy()
+            names = self.dim.reindex(keys).to_numpy(dtype=object)
+            return pa.table({
+                "n_name": pa.array(names, type=pa.string()),
+                "rev_e4": rev_e4,
+            })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return (ds.map_batches(JoinRevenue, batch_format="pyarrow",
+                           concurrency=4, num_cpus=1)
+              .groupby("n_name")
+              .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
+                         Count(alias_name="n_items")))
+
+
+def q_top_parts_by_qty(sf_dir: str, k: int = 10):
+    """Top-k (O3): parts by total quantity; ties broken by p_partkey."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    part_ref = ray.put(part.set_index("p_partkey")["p_name"])
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity"])
+    agg = (ds.map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Sum("qty", alias_name="sum_qty")))
+    top = agg.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(k)
+    names = ray.get(part_ref)
+
+    def attach(t: pa.Table) -> pa.Table:
+        nm = names.reindex(t.column("l_partkey").to_numpy()).to_numpy(object)
+        return t.append_column("p_name", pa.array(nm, type=pa.string()))
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def q_order_priority_count(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority"])
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def q_distinct_mktsegment(sf_dir: str):
+    """D1 distinct: unique customer market segments."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+def q_lineitem_topk_revenue(sf_dir: str, k: int = 20):
+    """Global top-k rows by computed revenue (sort + limit)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_pct = _cents(t.column("l_discount"))
+        rev_e4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_linenumber": t.column("l_linenumber"),
+                         "revenue_e4": rev_e4})
+
+    return (ds.map_batches(rev, batch_format="pyarrow")
+              .sort(["revenue_e4", "l_orderkey", "l_linenumber"],
+                    descending=[True, False, False])
+              .limit(k))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (§2.8): per (event_type, hour) count + sum.
+
+    Window = event-time hour truncation; value summed in exact cents.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": hour,
+                         "value_cents": _cents(t.column("value"))})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("value_cents", alias_name="sum_value_cents")))
+
+
+def q_events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization per user (§2.8 streaming analog).
+
+    session boundary when ts - prev_ts > gap; output = sessions per user +
+    total events. Hash-partitioned on user_id, vectorized per bucket.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift()
+        new_sess = (g["ts"] - prev > gap) | prev.isna()
+        g["_sess"] = new_sess.astype("int64")
+        out = g.groupby("user_id", sort=False).agg(
+            n_sessions=("_sess", "sum"), n_events=("ts", "size"))
+        return out.reset_index()
+
+    return per_bucket(ds, ["user_id"], kernel, num_buckets=32)
+
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join (custom operator): last order date <= event ts per user.
+
+    events.user_id joins customer keyspace; implemented as merge_asof per
+    user-hash bucket (ray_guide "As-of / range join"). Events with no prior
+    order are dropped (inner as-of).
+    """
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate"])
+    orders_ref = ray.put(orders)
+
+    class AsOf:
+        def __init__(self):
+            self.orders = ray.get(orders_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("ts", kind="mergesort")
+            merged = pd.merge_asof(
+                df, self.orders.sort_values("o_orderdate"),
+                left_on="ts", right_on="o_orderdate",
+                left_by="user_id", right_by="o_custkey")
+            merged = merged.dropna(subset=["o_orderdate"])
+            return merged[["event_id", "user_id", "o_orderdate"]].rename(
+                columns={"o_orderdate": "last_order_date"})
+
+    return events.map_batches(AsOf, batch_format="pandas",
+                              concurrency=4, num_cpus=1)
+
+
+def q_sequential_rename(sf_dir: str):
+    """M13 sequential rename as a window projection: per (lang, source)
+    partition, docs ordered by doc_id get zero-padded names '0001'... —
+    mirror of rename_images_sequentially (builder/_helpers.py:128-312)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        rank = g.groupby(["lang", "source"], sort=False).cumcount() + 1
+        g["seq_name"] = rank.map("{:04d}".format)
+        return g
+
+    return per_bucket(ds, ["lang", "source"], kernel, num_buckets=16)

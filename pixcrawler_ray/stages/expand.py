@@ -1,0 +1,231 @@
+"""Frontier expansion: crawl config -> work-unit grid -> candidate-URL frontier.
+
+Reference semantics being reproduced (SURVEY §3.1 "canonical ordering"):
+categories in config order -> keywords in list order -> engines in
+``get_engines()`` order -> variations in (seeded) selection order -> results
+in engine-offset order. The reference walks this nesting with sequential
+loops (``builder/_generator.py:1205-1280``, ``builder/_engine.py:197-254``);
+here the ordering is *carried as data* — a dense ``seq`` rank — never as
+execution order.
+
+Two tiers:
+- the WORK-UNIT grid (category x keyword x engine x variation x offset) is
+  config-sized (thousands of rows) and is built driver-side into one Arrow
+  table, exactly like the reference builds it in-process;
+- the CANDIDATE frontier (one row per candidate URL; the 10^10-scale part) is
+  produced by a distributed ``map_batches`` flat-map over the grid. Candidate
+  doc-ids are pure integer arithmetic in the unit indices (SQL-replayable —
+  see ``candidate_doc_ids``), standing in for the engine result pages the
+  reference parses (``builder/_search_engines.py:282-298``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from pixcrawler_ray import corpus
+from pixcrawler_ray.functions.variations import (
+    sanitize_keyword,
+    select_variations,
+    validate_keyword,
+)
+
+# Engine grid — same shape as the reference's ENGINE_CONFIGS
+# (builder/_config.py:97-120): (name, offset_start, offset_stop, offset_step).
+ENGINES: list[tuple[str, int, int, int]] = [
+    ("google", 0, 20, 20),   # offsets [0]
+    ("bing", 0, 30, 10),     # offsets [0, 10, 20]
+    ("baidu", 10, 50, 15),   # offsets [10, 25, 40]
+    ("ddgs", 0, 10, 10),     # offsets [0] — the fallback engine (_search_engines.py:282-298)
+]
+
+PAGE_SIZE = 10          # candidate urls per (unit, offset) "result page"
+CAND_STRIDE = 2654435761  # candidate doc spacing (Knuth constant, SQL-safe)
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("category", pa.string()),
+        ("keyword", pa.string()),
+        ("variation", pa.string()),
+        ("engine", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int64()),
+        ("seq", pa.int64()),
+        ("doc_id", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    """S1 — validated crawl config (builder/_config.py:31-94 CONFIG_SCHEMA)."""
+
+    dataset_name: str
+    categories: dict[str, list[str]]
+    max_images: int = 1000
+    max_retries: int = 3
+    keyword_generation: str = "disabled"
+    generate_labels: bool = True
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "CrawlConfig":
+        if "dataset_name" not in cfg or "categories" not in cfg:
+            raise ValueError("config requires dataset_name and categories")
+        opts = cfg.get("options", {})
+        mi = int(opts.get("max_images", 1000))
+        if not 1 <= mi <= 50000:
+            raise ValueError("max_images out of range 1..50000")
+        return cls(
+            dataset_name=cfg["dataset_name"],
+            categories={k: list(v) for k, v in cfg["categories"].items()},
+            max_images=mi,
+            max_retries=int(opts.get("max_retries", 3)),
+            keyword_generation=opts.get("keyword_generation", "disabled"),
+            generate_labels=bool(opts.get("generate_labels", True)),
+            options=opts,
+        )
+
+    def prepared_keywords(self) -> list[tuple[str, str]]:
+        """(category, keyword) pairs in canonical order.
+
+        Empty keyword list -> [category] (builder/_keywords.py:66-71);
+        invalid keywords filtered (M4); order preserved (D2).
+        """
+        out: list[tuple[str, str]] = []
+        for cat, kws in self.categories.items():
+            kws = kws or [cat]
+            seen: set[str] = set()
+            for kw in kws:
+                kw = kw.strip()
+                if validate_keyword(kw) and kw not in seen:
+                    seen.add(kw)
+                    out.append((cat, sanitize_keyword(kw)))
+        return out
+
+
+def work_unit_grid(config: CrawlConfig, depth: int = 0) -> pa.Table:
+    """Driver-side grid: one row per (category, keyword, engine, variation,
+    offset), dense ``unit_seq`` in canonical nesting order.
+
+    ``priority`` mirrors the reference's queue priority 0-9 (default 5,
+    ``celery_core/config.py:281-294``): earlier engines get higher priority,
+    retries (depth>0) demoted one level per round.
+    """
+    rows: dict[str, list] = {
+        "category": [], "keyword": [], "engine": [], "variation": [],
+        "offset": [], "cat_i": [], "kw_i": [], "eng_i": [], "var_i": [],
+        "off_i": [], "priority": [], "unit_seq": [], "depth": [],
+    }
+    seq = 0
+    cat_index: dict[str, int] = {}
+    for kw_i, (cat, kw) in enumerate(config.prepared_keywords()):
+        cat_i = cat_index.setdefault(cat, len(cat_index))
+        variations = select_variations(config.dataset_name, cat, kw,
+                                       config.max_images)
+        for eng_i, (eng, start, stop, step) in enumerate(ENGINES):
+            for var_i, var in enumerate(variations):
+                for off_i, off in enumerate(range(start, stop, step)):
+                    rows["category"].append(cat)
+                    rows["keyword"].append(kw)
+                    rows["engine"].append(eng)
+                    rows["variation"].append(var)
+                    rows["offset"].append(off)
+                    rows["cat_i"].append(cat_i)
+                    rows["kw_i"].append(kw_i)
+                    rows["eng_i"].append(eng_i)
+                    rows["var_i"].append(var_i)
+                    rows["off_i"].append(off_i)
+                    rows["priority"].append(9 - eng_i - depth)
+                    rows["unit_seq"].append(seq)
+                    rows["depth"].append(depth)
+                    seq += 1
+    t = pa.table(rows)
+    return t.cast(pa.schema([
+        ("category", pa.string()), ("keyword", pa.string()),
+        ("engine", pa.string()), ("variation", pa.string()),
+        ("offset", pa.int64()), ("cat_i", pa.int64()), ("kw_i", pa.int64()),
+        ("eng_i", pa.int64()), ("var_i", pa.int64()), ("off_i", pa.int64()),
+        ("priority", pa.int64()), ("unit_seq", pa.int64()),
+        ("depth", pa.int32()),
+    ]))
+
+
+def candidate_doc_ids(cat_i, kw_i, eng_i, var_i, offset, slot, n_docs: int):
+    """Simulated search-result doc-id — pure int64 arithmetic, SQL-replayable.
+
+    ``(cat_i*131071 + kw_i*8191 + eng_i*524287 + var_i*127
+       + (offset + slot) * 2654435761) % n_docs``
+
+    Stands in for the engine's parsed result page at (variation, offset)
+    (``builder/_search_engines.py:294-298`` over-fetch + offset pagination).
+    All operands stay < 2^63 for any realistic grid.
+    """
+    return (
+        cat_i * 131071 + kw_i * 8191 + eng_i * 524287 + var_i * 127
+        + (offset + slot) * CAND_STRIDE
+    ) % n_docs
+
+
+def expand_units_batch(batch: pa.Table, n_docs: int,
+                       page_size: int = PAGE_SIZE) -> pa.Table:
+    """Work-unit batch -> candidate-frontier batch (distributed flat-map).
+
+    Emits ``page_size`` candidate urls per unit with
+    ``seq = unit_seq * page_size + slot`` (dense, order-preserving).
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({f.name: pa.array([], type=f.type)
+                         for f in FRONTIER_SCHEMA})
+    cols = {c: batch.column(c).to_numpy() for c in
+            ("cat_i", "kw_i", "eng_i", "var_i", "offset", "priority",
+             "unit_seq")}
+    depth = batch.column("depth").to_numpy()
+    slots = np.arange(page_size, dtype=np.int64)
+    rep = np.repeat(np.arange(n), page_size)          # unit row index per output
+    slot = np.tile(slots, n)
+    doc = candidate_doc_ids(
+        cols["cat_i"][rep], cols["kw_i"][rep], cols["eng_i"][rep],
+        cols["var_i"][rep], cols["offset"][rep], slot, n_docs,
+    )
+    url = corpus.urls_for(doc)
+    host = corpus.hosts_for(doc)
+    take = lambda name: batch.column(name).take(pa.array(rep))
+    return pa.table(
+        {
+            "url": pa.array(url, type=pa.string()),
+            "host": pa.array(host, type=pa.string()),
+            "category": take("category"),
+            "keyword": take("keyword"),
+            "variation": take("variation"),
+            "engine": take("engine"),
+            "depth": pa.array(depth[rep], type=pa.int32()),
+            "priority": pa.array(cols["priority"][rep], type=pa.int64()),
+            "seq": pa.array(cols["unit_seq"][rep] * page_size + slot,
+                            type=pa.int64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+        }
+    )
+
+
+def frontier_dataset(config: CrawlConfig, n_docs: int, depth: int = 0,
+                     page_size: int = PAGE_SIZE):
+    """Config -> lazy candidate-frontier Dataset (the distributed expansion)."""
+    import ray.data as rd
+
+    grid = work_unit_grid(config, depth=depth)
+    ds = rd.from_arrow(grid)
+    # The grid is small; spread it so the flat-map parallelizes.
+    nblocks = max(1, min(64, grid.num_rows // 64))
+    if nblocks > 1:
+        ds = ds.repartition(nblocks)
+    return ds.map_batches(
+        lambda b: expand_units_batch(b, n_docs=n_docs, page_size=page_size),
+        batch_format="pyarrow",
+    )

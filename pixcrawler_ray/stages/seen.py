@@ -1,0 +1,136 @@
+"""ST3/J3 — the URL-seen set: within-run dedup + cross-epoch resume anti-join.
+
+The reference's seen-set is the ProgressCache JSON dict flushed after every
+work unit (``builder/progress.py:37-154``) plus icrawler's in-process URL
+dedup. Rebuild semantics (SURVEY §7.5.3):
+
+- WITHIN one generation, "seen" means *the min-seq occurrence wins* —
+  reproduced exactly by a hash-partitioned keep-first shuffle
+  (:func:`dedup_frontier`). Deterministic under any parallelism.
+- ACROSS generations / resumed runs, "seen" is plain membership in the
+  checkpointed ``seen`` table — order-independent, so a single-pass
+  actor-sharded bloom+exact filter is exact (:class:`SeenShard` +
+  :class:`SeenAntiJoin`). The bloom filter only accelerates negative lookups;
+  positives always hit the exact set, so no URL is ever wrongly dropped.
+
+Sharding is by ``url_hash % num_shards``; at 10^10 URLs each of S shards holds
+10^10/S hashes exact on disk (the ``seen`` Parquet table partitioned by shard)
+plus an in-memory bloom of a few GB/S. Host-affine routing (hash of host) is
+used by the politeness stage; the seen filter shards on the full url hash for
+uniform load.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from pixcrawler_ray.functions.bloom import BloomFilter
+from pixcrawler_ray.functions.hashing import hash64_array
+from pixcrawler_ray.stages.shuffle import keep_first_by
+
+SEEN_SCHEMA = pa.schema(
+    [("url_hash", pa.uint64()), ("shard", pa.int32()), ("epoch", pa.int32())]
+)
+
+
+def dedup_frontier(frontier_ds, num_buckets: int = 64):
+    """Within-generation URL dedup: keep the min-``seq`` row per url."""
+    return keep_first_by(frontier_ds, ["url"], "seq", num_buckets=num_buckets)
+
+
+@ray.remote(num_cpus=0.5)
+class SeenShard:
+    """One shard of the URL-seen set: exact uint64 set + bloom accelerator."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000,
+                 fpr: float = 0.01):
+        self.shard_id = shard_id
+        self.exact: set[int] = set()
+        self.bloom = BloomFilter(capacity, fpr)
+
+    def add(self, hashes: np.ndarray) -> int:
+        h = np.asarray(hashes, dtype=np.uint64)
+        self.bloom.add_many(h)
+        self.exact.update(int(x) for x in h)
+        return len(self.exact)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Exact membership mask; bloom short-circuits definite negatives."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        maybe = self.bloom.contains_many(h)
+        out = np.zeros(len(h), dtype=bool)
+        idx = np.nonzero(maybe)[0]
+        if len(idx):
+            out[idx] = [int(h[i]) in self.exact for i in idx]
+        return out
+
+    def snapshot(self) -> np.ndarray:
+        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+
+
+def start_seen_shards(num_shards: int, capacity_per_shard: int = 1_000_000):
+    return [SeenShard.remote(i, capacity_per_shard) for i in range(num_shards)]
+
+
+def load_seen_shards(shards, seen_table: pa.Table) -> None:
+    """Replay a checkpointed ``seen`` table into the shard actors."""
+    if seen_table.num_rows == 0:
+        return
+    h = seen_table.column("url_hash").to_numpy().astype(np.uint64)
+    s = (h % np.uint64(len(shards))).astype(np.int64)
+    ray.get([shards[i].add.remote(h[s == i]) for i in range(len(shards))
+             if (s == i).any()])
+
+
+class SeenAntiJoin:
+    """Actor-pool ``map_batches`` stage: drop URLs already in the seen shards.
+
+    Used on resume (J3 anti-join, ``builder/_generator.py:1241-1244``):
+    membership against PRIOR epochs is order-independent, so one pass is
+    exact. Shard handles are resolved once per actor in ``__init__``.
+    """
+
+    def __init__(self, shard_handles: list):
+        self.shards = shard_handles
+        self.n = len(shard_handles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = hash64_array(batch.column("url"))
+        s = (h % np.uint64(self.n)).astype(np.int64)
+        seen_mask = np.zeros(len(h), dtype=bool)
+        futures, owners = [], []
+        for i in range(self.n):
+            idx = np.nonzero(s == i)[0]
+            if len(idx):
+                futures.append(self.shards[i].contains.remote(h[idx]))
+                owners.append(idx)
+        for idx, res in zip(owners, ray.get(futures)):
+            seen_mask[idx] = res
+        return batch.filter(pa.array(~seen_mask))
+
+
+class SeenRegister(SeenAntiJoin):
+    """Register a batch's URLs into the shards (post-admission), pass through."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = hash64_array(batch.column("url"))
+        s = (h % np.uint64(self.n)).astype(np.int64)
+        ray.get([self.shards[i].add.remote(h[s == i]) for i in range(self.n)
+                 if (s == i).any()])
+        return batch
+
+
+def seen_delta_table(urls, epoch: int, num_shards: int) -> pa.Table:
+    """Checkpoint rows for newly-admitted urls (FIXTURES.md ``seen`` schema)."""
+    h = hash64_array(urls)
+    return pa.table({
+        "url_hash": pa.array(h, type=pa.uint64()),
+        "shard": pa.array((h % np.uint64(num_shards)).astype(np.int32)),
+        "epoch": pa.array(np.full(len(h), epoch, dtype=np.int32)),
+    })

@@ -1,0 +1,208 @@
+"""Partitioned-shuffle building blocks: keep-first dedup, per-key head-N,
+bucketed hash join, window ranks.
+
+Why buckets instead of raw ``groupby(key)``: Ray Data's ``map_groups`` invokes
+the UDF once per *group*; with millions of distinct keys (urls, md5s) that is
+a per-row Python loop in disguise. Instead we shuffle on
+``bucket = hash(key) % B`` (a few hundred groups regardless of key
+cardinality) and run a *vectorized pandas kernel per bucket* — the classic
+partitioned hash dedup/join, with B and the salt documented per call site
+(SURVEY §7.4). Hot-key skew: callers pass a larger B or a salt column; the
+politeness stage additionally splits hot hosts (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pixcrawler_ray.functions.hashing import hash64_array
+
+BUCKET_COL = "__bucket"
+DEFAULT_BUCKETS = 64
+
+
+def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
+    keys = list(key_cols)
+
+    def add(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(BUCKET_COL,
+                                       pa.array([], type=pa.int64()))
+        if len(keys) == 1 and pa.types.is_integer(batch.schema.field(keys[0]).type):
+            h = batch.column(keys[0]).to_numpy().astype(np.uint64)
+        else:
+            parts = []
+            for k in keys:
+                col = batch.column(k)
+                t = batch.schema.field(k).type
+                if pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t) \
+                        or pa.types.is_large_binary(t):
+                    parts.append([b"" if v is None else v
+                                  for v in col.to_pylist()])
+                elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                    parts.append([b"" if v is None else v.encode("utf-8")
+                                  for v in col.to_pylist()])
+                else:
+                    parts.append([str(v).encode("utf-8")
+                                  for v in col.to_pylist()])
+            joined = [b"\x00".join(row) for row in zip(*parts)]
+            h = hash64_array(joined)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.DataFrame],
+               num_buckets: int = DEFAULT_BUCKETS):
+    """Shuffle on hash(key) % B, run a vectorized pandas kernel per bucket."""
+    ds = _add_bucket(ds, key_cols, num_buckets)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        out = kernel(g)
+        return out.drop(columns=[BUCKET_COL], errors="ignore")
+
+    return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
+
+
+def per_bucket_take(ds, key_cols: Sequence[str], helper_cols: Sequence[str],
+                    index_kernel, num_buckets: int = DEFAULT_BUCKETS):
+    """Arrow-native per-bucket filter: the kernel sees only a primitive-column
+    pandas projection and returns row POSITIONS to keep (optionally plus new
+    columns); rows are then ``take``-n from the Arrow group, so list/binary
+    payload columns never round-trip through pandas.
+    """
+    ds = _add_bucket(ds, key_cols, num_buckets)
+    helpers = list(helper_cols)
+
+    def run(g: pa.Table) -> pa.Table:
+        proj = g.select(helpers).to_pandas()
+        res = index_kernel(proj)
+        if isinstance(res, tuple):
+            keep, extra = res
+        else:
+            keep, extra = res, {}
+        out = g.take(pa.array(np.asarray(keep, dtype=np.int64)))
+        for name, values in extra.items():
+            out = out.append_column(name, pa.array(values))
+        return out.drop_columns([BUCKET_COL])
+
+    return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
+
+
+def keep_first_by(ds, key_cols: Sequence[str], order_col: str,
+                  num_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic keep-first dedup: per key keep the row with min order_col.
+
+    Mirrors the reference's keep-first-in-listdir-order duplicate grouping
+    (``validator/integrity.py:348-370``) with ``seq`` replacing listdir order.
+    """
+    keys = list(key_cols)
+
+    def kernel(df: pd.DataFrame) -> np.ndarray:
+        kept = (df.sort_values(order_col, kind="mergesort")
+                  .drop_duplicates(subset=keys, keep="first"))
+        return kept.index.to_numpy()
+
+    return per_bucket_take(ds, keys, keys + [order_col], kernel, num_buckets)
+
+
+def keep_first_n(ds, key_cols: Sequence[str], order_col: str, n: int,
+                 num_buckets: int = DEFAULT_BUCKETS):
+    """Per-key head-N by order_col — the budget cap (builder/_engine.py:580-644).
+
+    Replaces the reference's RLock-guarded shared download counter with a
+    deterministic rule: the first ``n`` rows by ``seq`` per key survive
+    (identical outcome, because reference order == seq order; SURVEY §7.5.2).
+    """
+    keys = list(key_cols)
+
+    def kernel(df: pd.DataFrame) -> np.ndarray:
+        kept = (df.sort_values(order_col, kind="mergesort")
+                  .groupby(keys, sort=False).head(n))
+        return kept.index.to_numpy()
+
+    return per_bucket_take(ds, keys, keys + [order_col], kernel, num_buckets)
+
+
+def window_rank(ds, key_cols: Sequence[str], order_by: Sequence[tuple[str, bool]],
+                rank_col: str = "rank", num_buckets: int = DEFAULT_BUCKETS):
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) - 1 as ``rank_col``."""
+    keys = list(key_cols)
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+
+    def kernel(df: pd.DataFrame):
+        s = df.sort_values(cols, ascending=asc, kind="mergesort")
+        ranks = s.groupby(keys, sort=False).cumcount().to_numpy()
+        return s.index.to_numpy(), {rank_col: ranks.astype(np.int64)}
+
+    helpers = list(dict.fromkeys(keys + cols))
+    return per_bucket_take(ds, keys, helpers, kernel, num_buckets)
+
+
+def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
+                  num_buckets: int = DEFAULT_BUCKETS,
+                  suffixes: tuple[str, str] = ("", "_r")):
+    """Partitioned hash join of two Datasets on ``on``.
+
+    Both sides get ``bucket = hash(key) % B``; a tagged union is shuffled once
+    on bucket; each bucket is joined with a vectorized ``pd.merge``. This is
+    the portable large-large join (ray_guide "Joins"); small right sides
+    should use ``broadcast_join`` in ``stages/fetch.py`` instead (no shuffle).
+
+    ``how``: inner/left/semi/anti.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    tag = "__side"
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    # Non-key right columns that collide with left names get the suffix early
+    # so the tagged union has one flat schema.
+    rename = {n: (n if n in on or n not in lnames else n + suffixes[1])
+              for n in rschema.names}
+    rnames = [rename[n] for n in rschema.names]
+    rtypes = dict(zip(rnames, rschema.types))
+    ltypes = dict(zip(lnames, lschema.types))
+    extra_for_left = [n for n in rnames if n not in lnames and n not in on]
+    extra_for_right = [n for n in lnames if n not in rnames]
+    all_names = lnames + extra_for_left
+
+    def pad(batch: pa.Table, side: int) -> pa.Table:
+        if side == 1:
+            batch = batch.rename_columns([rename[n] for n in batch.column_names])
+        missing = extra_for_left if side == 0 else extra_for_right
+        types = rtypes if side == 0 else ltypes
+        for name in missing:
+            batch = batch.append_column(
+                name, pa.nulls(batch.num_rows, type=types[name]))
+        batch = batch.append_column(
+            tag, pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+        return batch.select(all_names + [tag])
+
+    left_t = _add_bucket(
+        left.map_batches(lambda b: pad(b, 0), batch_format="pyarrow"),
+        on, num_buckets)
+    right_t = _add_bucket(
+        right.map_batches(lambda b: pad(b, 1), batch_format="pyarrow"),
+        on, num_buckets)
+    both = left_t.union(right_t)
+    lkeep = lnames
+    rkeep = on + [n for n in rnames if n not in on]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[tag] == 0][lkeep]
+        r = g[g[tag] == 1][rkeep]
+        if how == "semi":
+            return l[l.set_index(on).index.isin(r.set_index(on).index)]
+        if how == "anti":
+            return l[~l.set_index(on).index.isin(r.set_index(on).index)]
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")
