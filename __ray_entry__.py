@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every SQL-expressible operator has a DuckDB oracle whose column NAMES and
+value representations match the Ray result exactly (aggregates carried as
+exact integers — cents / e4 fixed-point — so fp summation order can never
+flip the driver's value hash). Non-SQL-expressible ops (MinHash LSH, SimHash,
+IVF ANN, lang-id, fingerprints, multimodal stubs) are exposed rows-only and
+are instead verified by the pytest oracles in ``tests/``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,249 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_TINY = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full multi-generation crawl at sf0.001 -> extracted dataset."""
+    from pixcrawler_ray.pipelines import crawl
+    from pixcrawler_ray.pipelines.crawl_queries import seeds_config
+
+    cfg = seeds_config(SF_TINY)
+    out = crawl.run_crawl(cfg, SF_TINY, budget_per_round=8)
+    return out.select_columns(
+        ["url", "host", "category", "keyword", "seq", "text", "valid",
+         "html_bytes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pixcrawler_ray.pipelines import crawl_queries as cq
+    from pixcrawler_ray.pipelines import relational as rel
+    from pixcrawler_ray.stages import dedup as dd
+    from pixcrawler_ray.stages import simsearch as ss
+    from pixcrawler_ray.stages import textstats as ts
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_e2e(sf_dir: str):
+        from pixcrawler_ray.pipelines import crawl
+        cfg = cq.seeds_config(sf_dir)
+        out = crawl.run_crawl(cfg, sf_dir, budget_per_round=8)
+        return out.select_columns(["url", "keyword", "seq", "valid"])
+
+    def minhash_dedup(sf_dir: str):
+        survivors, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
+        return survivors
+
+    def simsearch_topk(sf_dir: str):
+        df = ss.topk_bruteforce(sf_dir, query_vec_ids=[0, 1, 2], k=10)
+        return df[["query_vec_id", "vec_id", "rank"]]
+
+    def simsearch_ivf(sf_dir: str):
+        df = ss.topk_ivf(sf_dir, query_vec_ids=[0, 1, 2], k=10)
+        return df[["query_vec_id", "vec_id", "rank"]]
+
+    def multimodal_features(sf_dir: str):
+        from pixcrawler_ray import corpus
+        from pixcrawler_ray.stages import multimodal as mm
+        media = mm.media_from_pages(corpus.pages_dataset(sf_dir))
+        return mm.decode_features(media).select_columns(
+            ["media_id", "media_type", "declared_bytes", "width", "height",
+             "decode_ok"])
+
+    return {
+        # --- relational / engine ops (oracled) ---
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "revenue_by_nation": rel.q_revenue_by_nation,
+        "top_parts_by_qty": rel.q_top_parts_by_qty,
+        "order_priority_count": rel.q_order_priority_count,
+        "distinct_mktsegment": rel.q_distinct_mktsegment,
+        "lineitem_topk_revenue": rel.q_lineitem_topk_revenue,
+        "events_hourly": rel.q_events_hourly,
+        "events_sessionize": rel.q_events_sessionize,
+        "events_asof_orders": rel.q_events_asof_orders,
+        "sequential_rename": rel.q_sequential_rename,
+        # --- crawl stages (oracled) ---
+        "crawl_units": cq.q_crawl_units,
+        "crawl_frontier": cq.q_crawl_frontier,
+        "crawl_robots": cq.q_crawl_robots,
+        "crawl_schedule": cq.q_crawl_schedule,
+        "crawl_fetch_status": cq.q_crawl_fetch_status,
+        "crawl_budget": cq.q_crawl_budget,
+        "crawl_extract": cq.q_crawl_extract,
+        "pages_per_host": cq.q_pages_per_host,
+        "extract_all_pages": cq.q_extract_all_pages,
+        # --- dedup suite ---
+        "dedup_exact": dd.dedup_exact,                      # oracled
+        "dedup_normalized": dd.dedup_normalized,            # oracled
+        "dedup_simhash": dd.dedup_simhash,                  # rows-only
+        "dedup_minhash": minhash_dedup,                     # rows-only
+        "ngram_jaccard_pairs":
+            lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),  # rows-only
+        "embedding_dup_pairs":
+            lambda sf: dd.embedding_dup_pairs(sf, threshold=0.4),  # oracled
+        # --- text analysis ---
+        "token_counts": ts.token_counts,                    # oracled
+        "quality_scores": ts.quality_scores,                # oracled
+        "lang_id": ts.lang_id,                              # rows-only
+        "doc_fingerprints": ts.doc_fingerprints,            # rows-only
+        # --- similarity search ---
+        "simsearch_topk": simsearch_topk,                   # oracled
+        "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
+        # --- multimodal plumbing (rows-only; decode is stubbed) ---
+        "multimodal_features": multimodal_features,
+        # --- flagship e2e (rows-only; pytest-oracled) ---
+        "crawl_e2e": crawl_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pixcrawler_ray.pipelines.crawl_queries import oracle_sql_crawl
+
+    out = dict(oracle_sql_crawl())
+
+    out["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-09-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+    out["revenue_by_nation"] = """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+    out["top_parts_by_qty"] = """
+SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       any_value(p.p_name) AS p_name
+FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+GROUP BY l_partkey
+ORDER BY sum_qty DESC, l_partkey
+LIMIT 10"""
+
+    out["order_priority_count"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority"""
+
+    out["distinct_mktsegment"] = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment"""
+
+    out["lineitem_topk_revenue"] = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS revenue_e4
+FROM lineitem
+ORDER BY revenue_e4 DESC, l_orderkey, l_linenumber
+LIMIT 20"""
+
+    out["events_hourly"] = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+    out["events_sessionize"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM gaps GROUP BY user_id"""
+
+    out["events_asof_orders"] = """
+SELECT e.event_id, e.user_id,
+       (SELECT max(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         AS last_order_date
+FROM events e
+WHERE (SELECT max(o.o_orderdate) FROM orders o
+       WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) IS NOT NULL"""
+
+    out["sequential_rename"] = """
+SELECT doc_id, lang, source,
+       lpad(CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                    ORDER BY doc_id) AS VARCHAR),
+            4, '0') AS seq_name
+FROM documents"""
+
+    out["dedup_exact"] = """
+SELECT doc_id, md5(text) AS text_md5
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"""
+
+    out["dedup_normalized"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1"""
+
+    out["embedding_dup_pairs"] = """
+SELECT least(a.vec_id, b.vec_id) AS vec_a,
+       greatest(a.vec_id, b.vec_id) AS vec_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+    out["token_counts"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT)) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang"""
+
+    out["quality_scores"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(array_length(words) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(words, w -> w IN
+            ('the','a','an','and','or','of','to','in','is','are','was',
+             'were','be','been','for','on','with','as','at','by','it')))
+            AS BIGINT) AS stop_hits,
+       CAST(list_max(list_transform(words, w -> length(w))) AS BIGINT)
+         AS max_word_len,
+       CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+         AS sum_word_len,
+       (array_length(words) >= 5
+        AND 2 * array_length(words)
+            <= list_sum(list_transform(words, w -> length(w)))
+        AND list_sum(list_transform(words, w -> length(w)))
+            <= 12 * array_length(words)) AS quality_ok
+FROM w"""
+
+    out["simsearch_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_vec_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+)
+SELECT q.query_vec_id, e.vec_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY q.query_vec_id
+         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                  DESC, e.vec_id) AS rank
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> q.query_vec_id
+QUALIFY rank <= 10"""
+
+    return out

@@ -1,0 +1,335 @@
+"""Oracle-checkable crawl queries: every stage of the crawl replayed in SQL.
+
+The crawl pipeline's semantics (expansion order, seen-set, robots, politeness
+schedule, fetch statuses, budget, extraction invariant) are pure functions of
+the ``documents`` table plus integer arithmetic (see ``corpus.py``), so each
+stage can be expressed BOTH as the Ray Data pipeline and as a DuckDB SQL
+query over the same parquet views — the driver hash-compares them at sf0.01.
+
+Seeds for these queries come from the ``region``/``nation`` tables
+(categories = regions in r_regionkey order, keywords = nations in n_nationkey
+order), and variations use the explicit-template mode so the SQL can inline
+the same template list with ``replace()``.
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pixcrawler_ray.functions.variations import TEMPLATES
+from pixcrawler_ray.pipelines.crawl import n_documents, pages_index_ref
+from pixcrawler_ray.stages.expand import (
+    CrawlConfig,
+    ENGINES,
+    PAGE_SIZE,
+    frontier_dataset,
+    work_unit_grid,
+)
+from pixcrawler_ray.stages.fetch import STATUS_OK, fetch_dataset
+from pixcrawler_ray.stages.politeness import assign_rounds
+from pixcrawler_ray.stages.robots import apply_robots
+from pixcrawler_ray.stages.seen import dedup_frontier
+from pixcrawler_ray.stages.shuffle import keep_first_n
+
+ORACLE_TEMPLATES = TEMPLATES[:4]
+ORACLE_MAX_IMAGES = 40
+ORACLE_BUDGET_PER_ROUND = 8
+
+
+def seeds_config(sf_dir: str) -> CrawlConfig:
+    """categories = regions (r_regionkey order), keywords = nations
+    (n_nationkey order within region)."""
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = region.sort_values("r_regionkey")
+    nation = nation.sort_values("n_nationkey")
+    cats: dict[str, list[str]] = {}
+    for _, r in region.iterrows():
+        ns = nation[nation.n_regionkey == r.r_regionkey]["n_name"].tolist()
+        cats[r.r_name] = ns
+    return CrawlConfig.from_dict({
+        "dataset_name": "oracle_crawl",
+        "categories": cats,
+        "options": {"max_images": ORACLE_MAX_IMAGES},
+    })
+
+
+def _frontier(sf_dir: str):
+    cfg = seeds_config(sf_dir)
+    nd = n_documents(sf_dir)
+    return frontier_dataset(cfg, nd, fixed_templates=ORACLE_TEMPLATES)
+
+
+# ---------------------------------------------------------------- queries --
+
+def q_crawl_units(sf_dir: str):
+    """The work-unit grid (driver-side in Ray, pure cross join in SQL)."""
+    import ray.data as rd
+    grid = work_unit_grid(seeds_config(sf_dir),
+                          fixed_templates=ORACLE_TEMPLATES)
+    return rd.from_arrow(grid.select(
+        ["category", "keyword", "engine", "variation", "offset", "priority",
+         "unit_seq"]))
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Candidate frontier after within-run URL dedup (min-seq wins)."""
+    fr = dedup_frontier(_frontier(sf_dir))
+    return fr.select_columns(["url", "host", "doc_id", "seq", "keyword",
+                              "priority"])
+
+
+def q_crawl_robots(sf_dir: str):
+    """Deduped frontier with the robots verdict attached."""
+    fr = dedup_frontier(_frontier(sf_dir))
+    ds = apply_robots(fr, keep_blocked=True)
+    return ds.select_columns(["url", "seq", "robots_allowed"])
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness admission schedule over the allowed frontier."""
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    ds = assign_rounds(fr, budget_per_round=ORACLE_BUDGET_PER_ROUND)
+    return ds.select_columns(["url", "host", "seq", "host_rank", "round"])
+
+
+def q_crawl_fetch_status(sf_dir: str):
+    """Fetch statuses for the scheduled frontier (200/415/503)."""
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    fetched = fetch_dataset(fr, pages_index_ref(sf_dir))
+    return fetched.select_columns(["url", "seq", "status"])
+
+
+def q_crawl_budget(sf_dir: str):
+    """Per-keyword budget survivors among fetch-OK rows (first N by seq)."""
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    fetched = fetch_dataset(fr, pages_index_ref(sf_dir))
+    ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+        batch_format="pyarrow")
+    kept = keep_first_n(ok, ["keyword"], "seq", ORACLE_MAX_IMAGES)
+    return kept.select_columns(["url", "keyword", "seq"])
+
+
+def q_crawl_extract(sf_dir: str):
+    """END-TO-END invariant: md5 of the extracted text per budget survivor.
+
+    The driver's DuckDB oracle computes the same md5 from the documents table
+    directly — equality proves byte-identical extraction through the whole
+    distributed chain (the BASELINE.json per-row invariant).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    from pixcrawler_ray.extract import extract_batch
+
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    fetched = fetch_dataset(fr, pages_index_ref(sf_dir))
+    ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+        batch_format="pyarrow")
+    kept = keep_first_n(ok, ["keyword"], "seq", ORACLE_MAX_IMAGES)
+    extracted = kept.map_batches(extract_batch, batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        md5 = [hashlib.md5((x or "").encode()).hexdigest()
+               for x in t.column("text").to_pylist()]
+        return pa.table({
+            "url": t.column("url"),
+            "seq": t.column("seq"),
+            "text_md5": pa.array(md5, type=pa.string()),
+            "valid": t.column("valid"),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+def q_pages_per_host(sf_dir: str):
+    """Corpus host distribution (exhibits the hot-host skew)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from pixcrawler_ray import corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hostify(t):
+        import pyarrow as pa
+        d = t.column("doc_id").to_numpy()
+        return pa.table({"host": pa.array(corpus.hosts_for(d))})
+
+    return (docs.map_batches(hostify, batch_format="pyarrow")
+                .groupby("host").aggregate(Count(alias_name="n_pages")))
+
+
+def q_extract_all_pages(sf_dir: str):
+    """Every corpus page: url, md5(extracted text), valid — the invariant
+    over the whole corpus (not just crawled urls)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.extract import extracted_dataset
+
+    pages = corpus.pages_dataset(sf_dir)
+    ex = extracted_dataset(pages)
+
+    def project(t: pa.Table) -> pa.Table:
+        md5 = [hashlib.md5((x or "").encode()).hexdigest()
+               for x in t.column("text").to_pylist()]
+        return pa.table({
+            "url": t.column("url"),
+            "text_md5": pa.array(md5, type=pa.string()),
+            "valid": t.column("valid"),
+            "lang": t.column("lang"),
+        })
+
+    return ex.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ oracle SQL --
+
+def _engines_values() -> str:
+    rows = []
+    for eng_i, (name, start, stop, step) in enumerate(ENGINES):
+        for off_i, off in enumerate(range(start, stop, step)):
+            rows.append(f"({eng_i}, '{name}', {off_i}, {off}, {9 - eng_i})")
+    return ("(VALUES " + ", ".join(rows)
+            + ") AS e(eng_i, engine, off_i, off_val, priority)")
+
+
+def _templates_values() -> str:
+    rows = [f"({i}, '{t}')" for i, t in enumerate(ORACLE_TEMPLATES)]
+    return "(VALUES " + ", ".join(rows) + ") AS v(var_i, template)"
+
+
+SQL_KW = """
+kw AS (
+  SELECT r.r_name AS category,
+         n.n_name AS keyword,
+         DENSE_RANK() OVER (ORDER BY r.r_regionkey) - 1 AS cat_i,
+         ROW_NUMBER() OVER (ORDER BY r.r_regionkey, n.n_nationkey) - 1 AS kw_i
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+"""
+
+
+def _sql_units() -> str:
+    return f"""
+WITH {SQL_KW},
+units AS (
+  SELECT k.category, k.keyword, e.engine,
+         replace(v.template, '{{kw}}', k.keyword) AS variation,
+         e.off_val AS "offset", e.priority,
+         k.cat_i, k.kw_i, e.eng_i, v.var_i, e.off_i,
+         ROW_NUMBER() OVER (ORDER BY k.kw_i, e.eng_i, v.var_i, e.off_i) - 1
+           AS unit_seq
+  FROM kw k CROSS JOIN {_engines_values()} CROSS JOIN {_templates_values()}
+)
+"""
+
+
+def _sql_cand(page_size: int = PAGE_SIZE) -> str:
+    """CTE chain: units -> candidates with url/host arithmetic -> dedup."""
+    return _sql_units() + f""",
+nd AS (SELECT count(*) AS n FROM documents),
+cand AS (
+  SELECT u.*, s.slot,
+         (u.cat_i*131071 + u.kw_i*8191 + u.eng_i*524287 + u.var_i*127
+          + (u."offset" + s.slot)*2654435761) % nd.n AS doc_id,
+         u.unit_seq*{page_size} + s.slot AS seq
+  FROM units u CROSS JOIN generate_series(0, {page_size - 1}) s(slot)
+  CROSS JOIN nd
+),
+cand2 AS (
+  SELECT c.*,
+         CASE WHEN c.doc_id % 3 = 0 THEN 0
+              ELSE 1 + (c.doc_id * 2654435761) % 499 END AS host_id
+  FROM cand c
+),
+cand3 AS (
+  SELECT c.*,
+         'h' || CAST(c.host_id AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN c.doc_id % 50 = 7
+              THEN '/private/doc/' || CAST(c.doc_id AS VARCHAR)
+              ELSE '/doc/' || CAST(c.doc_id AS VARCHAR) END AS path
+  FROM cand2 c
+),
+frontier AS (
+  SELECT c.*, 'http://' || c.host || c.path AS url
+  FROM cand3 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY ('http://' || c.host || c.path)
+                             ORDER BY c.seq) = 1
+),
+allowed AS (
+  SELECT f.* FROM frontier f
+  WHERE NOT (f.host_id % 20 = 1 AND f.host_id <> 0
+             AND f.path LIKE '/private/%')
+),
+statused AS (
+  SELECT a.*,
+         CASE WHEN a.doc_id % 97 = 13 THEN 415
+              WHEN a.doc_id % 89 = 3 THEN 503
+              ELSE 200 END AS status
+  FROM allowed a
+)
+"""
+
+
+def oracle_sql_crawl() -> dict[str, str]:
+    page_size = PAGE_SIZE
+    out = {}
+    out["crawl_units"] = _sql_units() + """
+SELECT category, keyword, engine, variation, "offset", priority, unit_seq
+FROM units"""
+    out["crawl_frontier"] = _sql_cand() + """
+SELECT url, host, doc_id, seq, keyword, priority FROM frontier"""
+    out["crawl_robots"] = _sql_cand() + """
+SELECT f.url, f.seq,
+       NOT (f.host_id % 20 = 1 AND f.host_id <> 0
+            AND f.path LIKE '/private/%') AS robots_allowed
+FROM frontier f"""
+    out["crawl_schedule"] = _sql_cand() + f"""
+SELECT url, host, seq,
+       ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1
+         AS host_rank,
+       (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
+         // {ORACLE_BUDGET_PER_ROUND} AS round
+FROM allowed"""
+    out["crawl_fetch_status"] = _sql_cand() + """
+SELECT url, seq, status FROM statused"""
+    out["crawl_budget"] = _sql_cand() + f"""
+SELECT url, keyword, seq FROM statused
+WHERE status = 200
+QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
+        <= {ORACLE_MAX_IMAGES}"""
+    out["crawl_extract"] = _sql_cand() + f"""
+SELECT s.url, s.seq,
+       md5(CASE WHEN s.doc_id % 97 = 13 THEN '' ELSE d.text END) AS text_md5,
+       (s.doc_id % 97 <> 13) AS valid
+FROM statused s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.status = 200
+QUALIFY ROW_NUMBER() OVER (PARTITION BY s.keyword ORDER BY s.seq)
+        <= {ORACLE_MAX_IMAGES}"""
+    out["pages_per_host"] = """
+SELECT 'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                        ELSE 1 + (doc_id * 2654435761) % 499 END AS VARCHAR)
+       || '.example.com' AS host,
+       count(*) AS n_pages
+FROM documents GROUP BY 1"""
+    out["extract_all_pages"] = """
+SELECT 'http://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                               ELSE 1 + (doc_id * 2654435761) % 499 END
+                          AS VARCHAR)
+       || '.example.com'
+       || CASE WHEN doc_id % 50 = 7
+               THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+               ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS url,
+       md5(CASE WHEN doc_id % 97 = 13 THEN '' ELSE text END) AS text_md5,
+       (doc_id % 97 <> 13) AS valid,
+       lang
+FROM documents"""
+    return out

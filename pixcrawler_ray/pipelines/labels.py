@@ -1,0 +1,103 @@
+"""S6 — label/metadata sinks in four formats + category index + tiering.
+
+Reference: ``LabelGenerator.generate_dataset_labels`` writes one label file
+per image in txt/json/csv/yaml plus dataset metadata and a sorted category
+index (``builder/_generator.py:576-1040``); hot/cold tiering splits the first
+N files (``backend/services/dataset_processing_pipeline.py:488-534``). Here
+labels are a columnar projection written once per format (a directory of part
+files, not a file per record), the index is a tiny driver-side table, and
+tiering is a split write by rank.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pixcrawler_ray.stages.shuffle import window_rank
+
+
+def label_projection(extracted_ds):
+    """extracted -> labels table: seq_name per (category, keyword) by seq
+    (M13 sequential rename as a window projection)."""
+    ranked = window_rank(extracted_ds, ["category", "keyword"],
+                         [("seq", True)], rank_col="rank_in_kw")
+
+    def project(t: pa.Table) -> pa.Table:
+        names = [f"{r + 1:04d}" for r in t.column("rank_in_kw").to_pylist()]
+        return pa.table({
+            "category": t.column("category"),
+            "keyword": t.column("keyword"),
+            "url": t.column("url"),
+            "seq_name": pa.array(names, type=pa.string()),
+            "size": t.column("html_bytes"),
+            "valid": t.column("valid"),
+        })
+
+    return ranked.map_batches(project, batch_format="pyarrow")
+
+
+def write_labels(labels_ds, out_dir: str,
+                 formats: tuple[str, ...] = ("parquet", "json", "csv")):
+    """Multi-format label sink (yaml intentionally replaced by parquet — no
+    yaml writer needed at scale; format list mirrors _generator.py:896-1040)."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for fmt in formats:
+        path = os.path.join(out_dir, f"labels_{fmt}")
+        if fmt == "parquet":
+            labels_ds.write_parquet(path)
+        elif fmt == "json":
+            labels_ds.write_json(path)
+        elif fmt == "csv":
+            labels_ds.write_csv(path)
+        written.append(path)
+    return written
+
+
+def category_index(labels_ds) -> dict[str, int]:
+    """A10 — ``{category: id}`` over sorted names (builder/_generator.py:702-736)."""
+    cats = sorted(r["category"]
+                  for r in labels_ds.select_columns(["category"])
+                                    .unique("category"))
+    return {c: i for i, c in enumerate(cats)}
+
+
+def dataset_metadata(labels_ds, dataset_name: str, label_format: str) -> dict:
+    """Dataset-level metadata record (builder/_generator.py:662-700)."""
+    n = labels_ds.count()
+    idx = category_index(labels_ds)
+    return {
+        "dataset_name": dataset_name,
+        "categories_count": len(idx),
+        "images_count": n,
+        "label_format": label_format,
+        "category_index": idx,
+    }
+
+
+def hot_cold_split(labels_ds, hot_threshold: int):
+    """S10 — first ``hot_threshold`` rows per keyword -> hot, rest -> cold
+    (rank-based split: seq_name IS the per-keyword rank, zero-padded)."""
+    def is_hot(t: pa.Table, hot=hot_threshold) -> pa.Table:
+        ranks = [int(x) for x in t.column("seq_name").to_pylist()]
+        mask = pa.array([r <= hot for r in ranks])
+        return t.filter(mask)
+
+    def is_cold(t: pa.Table, hot=hot_threshold) -> pa.Table:
+        ranks = [int(x) for x in t.column("seq_name").to_pylist()]
+        mask = pa.array([r > hot for r in ranks])
+        return t.filter(mask)
+
+    return (labels_ds.map_batches(is_hot, batch_format="pyarrow"),
+            labels_ds.map_batches(is_cold, batch_format="pyarrow"))
+
+
+def write_tiered(labels_ds, out_dir: str, hot_threshold: int):
+    hot, cold = hot_cold_split(labels_ds, hot_threshold)
+    hot.write_parquet(os.path.join(out_dir, "hot"))
+    cold.write_parquet(os.path.join(out_dir, "cold"))
+    return os.path.join(out_dir, "hot"), os.path.join(out_dir, "cold")

@@ -106,7 +106,7 @@ def q_revenue_by_nation(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
     return (ds.map_batches(JoinRevenue, batch_format="pyarrow",
-                           concurrency=4, num_cpus=1)
+                           concurrency=(1, 4), num_cpus=0.5)
               .groupby("n_name")
               .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
                          Count(alias_name="n_items")))
@@ -245,7 +245,7 @@ def q_events_asof_orders(sf_dir: str):
                 columns={"o_orderdate": "last_order_date"})
 
     return events.map_batches(AsOf, batch_format="pandas",
-                              concurrency=4, num_cpus=1)
+                              concurrency=(1, 4), num_cpus=0.5)
 
 
 def q_sequential_rename(sf_dir: str):

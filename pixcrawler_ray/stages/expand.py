@@ -109,7 +109,8 @@ class CrawlConfig:
         return out
 
 
-def work_unit_grid(config: CrawlConfig, depth: int = 0) -> pa.Table:
+def work_unit_grid(config: CrawlConfig, depth: int = 0,
+                   fixed_templates: list[str] | None = None) -> pa.Table:
     """Driver-side grid: one row per (category, keyword, engine, variation,
     offset), dense ``unit_seq`` in canonical nesting order.
 
@@ -126,8 +127,13 @@ def work_unit_grid(config: CrawlConfig, depth: int = 0) -> pa.Table:
     cat_index: dict[str, int] = {}
     for kw_i, (cat, kw) in enumerate(config.prepared_keywords()):
         cat_i = cat_index.setdefault(cat, len(cat_index))
-        variations = select_variations(config.dataset_name, cat, kw,
-                                       config.max_images)
+        if fixed_templates is not None:
+            # SQL-replayable mode: an explicit template list (the oracle
+            # inlines the same list as VALUES + replace()).
+            variations = [t.format(kw=kw) for t in fixed_templates]
+        else:
+            variations = select_variations(config.dataset_name, cat, kw,
+                                           config.max_images)
         for eng_i, (eng, start, stop, step) in enumerate(ENGINES):
             for var_i, var in enumerate(variations):
                 for off_i, off in enumerate(range(start, stop, step)):
@@ -215,11 +221,12 @@ def expand_units_batch(batch: pa.Table, n_docs: int,
 
 
 def frontier_dataset(config: CrawlConfig, n_docs: int, depth: int = 0,
-                     page_size: int = PAGE_SIZE):
+                     page_size: int = PAGE_SIZE,
+                     fixed_templates: list[str] | None = None):
     """Config -> lazy candidate-frontier Dataset (the distributed expansion)."""
     import ray.data as rd
 
-    grid = work_unit_grid(config, depth=depth)
+    grid = work_unit_grid(config, depth=depth, fixed_templates=fixed_templates)
     ds = rd.from_arrow(grid)
     # The grid is small; spread it so the flat-map parallelizes.
     nblocks = max(1, min(64, grid.num_rows // 64))

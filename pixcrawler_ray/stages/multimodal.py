@@ -1,0 +1,105 @@
+"""Multimodal plumbing: opaque binary payload columns + actor-pool
+decode/feature stages. The decode kernels themselves are STUBBED (no
+image/audio libraries in this container) behind a deterministic fake; the
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested.
+
+Reference analog: PIL verify + metadata extraction over downloaded image
+files (``validator/integrity.py:454-542``, ``builder/_generator.py:864-894``).
+Here the "media" is the corpus html payload treated as an opaque blob.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pixcrawler_ray.extract import ahash64
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),      # "image" | "audio" | "video"
+    ("declared_bytes", pa.int64()),
+])
+
+
+def media_from_pages(pages_ds):
+    """pages -> media table: html payloads as opaque blobs + typed metadata."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        payload = t.column("html")
+        sizes = pa.compute.binary_length(payload).cast(pa.int64())
+        mtypes = pa.array(
+            ["image" if d % 3 else "audio"
+             for d in t.column("doc_id").to_pylist()], type=pa.string())
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "payload": payload,
+            "media_type": mtypes,
+            "declared_bytes": sizes,
+        })
+
+    return pages_ds.map_batches(conv, batch_format="pyarrow")
+
+
+class FakeDecoder:
+    """Actor-pool decode/feature stage with a deterministic fake kernel.
+
+    Real deployment: replace ``_decode`` with PIL/ffmpeg bytes->array decode;
+    everything else (init-once model slot, small batch_size for wide rows,
+    feature schema) stays identical. ``strict=True`` raises NotImplementedError
+    to mark the stub boundary explicitly.
+    """
+
+    def __init__(self, target_size: int = 32, strict: bool = False):
+        self.target = target_size
+        self.strict = strict
+        # model-load slot: real impl loads a vision model here, once per actor
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "real image/audio decode requires PIL/ffmpeg (not in this "
+                "container); deterministic fake used when strict=False")
+        # deterministic fake "decode": byte stream -> pseudo 2D luminance
+        arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        side = self.target
+        reps = int(np.ceil(side * side / max(1, len(arr))))
+        return np.tile(arr, reps)[: side * side].reshape(side, side)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats, widths, heights, hashes, ok = [], [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                img = self._decode(payload)
+                feats.append([float(img.mean()), float(img.std()),
+                              float(img.min()), float(img.max())])
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                hashes.append(ahash64(payload or b""))
+                ok.append(True)
+            except NotImplementedError:
+                raise
+            except Exception:
+                feats.append([0.0, 0.0, 0.0, 0.0])
+                heights.append(0)
+                widths.append(0)
+                hashes.append(0)
+                ok.append(False)
+        out = t.drop_columns(["payload"])   # blobs do not travel past decode
+        out = out.append_column("features",
+                                pa.array(feats, type=pa.list_(pa.float64())))
+        out = out.append_column("width", pa.array(widths, type=pa.int32()))
+        out = out.append_column("height", pa.array(heights, type=pa.int32()))
+        out = out.append_column("payload_ahash",
+                                pa.array(hashes, type=pa.uint64()))
+        return out.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
+
+
+def decode_features(media_ds, concurrency: int = 4, batch_size: int = 256):
+    """Small batch_size: rows are payload-wide (SURVEY §7.5.5)."""
+    return media_ds.map_batches(
+        FakeDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=0.5)

@@ -1,0 +1,149 @@
+"""Unit tests for individual stages: shuffle ops, bloom, seen shards,
+minhash/simhash, simsearch recall, textstats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pixcrawler_ray.functions.bloom import BloomFilter
+from pixcrawler_ray.functions.minhash import (
+    jaccard, lsh_band_keys, minhash_signature, simhash64, word_shingles)
+from pixcrawler_ray.stages.shuffle import (
+    bucketed_join, keep_first_by, keep_first_n, window_rank)
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=5000, fpr=0.01)
+    keys = np.arange(0, 10000, 2, dtype=np.uint64)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+    absent = np.arange(1, 10001, 2, dtype=np.uint64)
+    fpr = bf.contains_many(absent).mean()
+    assert fpr < 0.05
+
+
+def test_keep_first_by_matches_pandas():
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 1000),
+                       "seq": rng.permutation(1000),
+                       "v": rng.normal(size=1000)})
+    ds = rd.from_pandas(df)
+    got = keep_first_by(ds, ["k"], "seq", num_buckets=8).to_pandas()
+    want = df.sort_values("seq").drop_duplicates("k")
+    assert len(got) == len(want)
+    got_map = dict(zip(got.k, got.seq))
+    want_map = dict(zip(want.k, want.seq))
+    assert got_map == want_map
+
+
+def test_keep_first_n_budget():
+    df = pd.DataFrame({"k": [1] * 10 + [2] * 3, "seq": list(range(10)) + [20, 21, 22]})
+    ds = rd.from_pandas(df)
+    got = keep_first_n(ds, ["k"], "seq", 4, num_buckets=4).to_pandas()
+    by_k = got.groupby("k")["seq"].apply(sorted).to_dict()
+    assert by_k == {1: [0, 1, 2, 3], 2: [20, 21, 22]}
+
+
+def test_window_rank():
+    df = pd.DataFrame({"k": ["a", "a", "b", "a", "b"],
+                       "seq": [5, 1, 7, 3, 2]})
+    ds = rd.from_pandas(df)
+    got = window_rank(ds, ["k"], [("seq", True)], rank_col="r",
+                      num_buckets=2).to_pandas()
+    m = {(r.k, r.seq): r.r for r in got.itertuples()}
+    assert m == {("a", 1): 0, ("a", 3): 1, ("a", 5): 2,
+                 ("b", 2): 0, ("b", 7): 1}
+
+
+def test_bucketed_join_inner_and_anti():
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [2, 4, 5], "rv": [20, 40, 50]}))
+    inner = bucketed_join(left, right, on="k", how="inner",
+                          num_buckets=4).to_pandas()
+    assert sorted(zip(inner.k, inner.lv, inner.rv)) == [
+        (2, "b", 20), (4, "d", 40)]
+    anti = bucketed_join(left, right, on="k", how="anti",
+                         num_buckets=4).to_pandas()
+    assert sorted(anti.k) == [1, 3]
+    semi = bucketed_join(left, right, on="k", how="semi",
+                         num_buckets=4).to_pandas()
+    assert sorted(semi.k) == [2, 4]
+
+
+def test_minhash_approximates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    b = "the quick brown fox jumps over the lazy cat and runs away fast"
+    sa, sb = word_shingles(a), word_shingles(b)
+    true_j = jaccard(np.sort(sa), np.sort(sb))
+    ma = minhash_signature(sa, 256)
+    mb = minhash_signature(sb, 256)
+    est = (ma == mb).mean()
+    assert abs(est - true_j) < 0.15
+    # identical docs -> identical signatures and band keys
+    assert (minhash_signature(sa, 128) == minhash_signature(
+        word_shingles(a), 128)).all()
+    assert (lsh_band_keys(ma) == lsh_band_keys(ma)).all()
+
+
+def test_simhash_properties():
+    a = simhash64("spark table join merge sort hash batch stream")
+    b = simhash64("spark table join merge sort hash batch stream")
+    c = simhash64("completely different words entirely unrelated content here")
+    assert a == b
+    assert a != c
+    assert simhash64("") == 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(tmp_path, sf_tiny):
+    """Plant near-identical docs; LSH must surface them as candidates."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.stages.dedup import dedup_minhash
+
+    base = pq.read_table(f"{sf_tiny}/documents.parquet").to_pandas().head(50)
+    clone = base.head(5).copy()
+    clone["doc_id"] = clone["doc_id"] + 10000   # near-identical clones
+    planted = pd.concat([base, clone], ignore_index=True)
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                   str(d / "documents.parquet"))
+    survivors, verified = dedup_minhash(str(d), threshold=0.9)
+    dropped = set(planted.doc_id) - set(survivors.doc_id)
+    assert dropped == set(clone.doc_id)   # exactly the clones die (keep-first)
+
+
+def test_simsearch_ivf_recall(sf_tiny):
+    from pixcrawler_ray.stages.simsearch import topk_bruteforce, topk_ivf
+    exact = topk_bruteforce(sf_tiny, [0, 5], k=10)
+    approx = topk_ivf(sf_tiny, [0, 5], k=10, n_cells=8, nprobe=4)
+    for q in (0, 5):
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        a = set(approx[approx.query_vec_id == q].vec_id)
+        assert len(e & a) / len(e) >= 0.5   # recall@10 with half the cells
+
+
+def test_multimodal_plumbing(sf_tiny):
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.stages import multimodal as mm
+    media = mm.media_from_pages(corpus.pages_dataset(sf_tiny))
+    feats = mm.decode_features(media).take(20)
+    assert all(len(f["features"]) == 4 for f in feats)
+    assert all(f["decode_ok"] for f in feats)
+    with pytest.raises(NotImplementedError):
+        mm.FakeDecoder(strict=True)._decode(b"payload")
+
+
+def test_politeness_shard_actor_matches_batch_rule():
+    import ray
+    from pixcrawler_ray.stages.politeness import PolitenessShard
+    shard = PolitenessShard.remote(budget_per_round=2)
+    hosts = ["a", "a", "a", "b", "a", "b", "b"]
+    rounds = ray.get(shard.admit.remote(hosts))
+    # a: ranks 0,1,2,3 -> rounds 0,0,1,1 ; b: 0,0,1
+    assert list(rounds) == [0, 0, 1, 0, 1, 0, 1]
