@@ -108,7 +108,8 @@ def keep_first_by(ds, key_cols: Sequence[str], order_col: str,
                   .drop_duplicates(subset=keys, keep="first"))
         return kept.index.to_numpy()
 
-    return per_bucket_take(ds, keys, keys + [order_col], kernel, num_buckets)
+    helpers = list(dict.fromkeys(keys + [order_col]))
+    return per_bucket_take(ds, keys, helpers, kernel, num_buckets)
 
 
 def keep_first_n(ds, key_cols: Sequence[str], order_col: str, n: int,
@@ -126,7 +127,8 @@ def keep_first_n(ds, key_cols: Sequence[str], order_col: str, n: int,
                   .groupby(keys, sort=False).head(n))
         return kept.index.to_numpy()
 
-    return per_bucket_take(ds, keys, keys + [order_col], kernel, num_buckets)
+    helpers = list(dict.fromkeys(keys + [order_col]))
+    return per_bucket_take(ds, keys, helpers, kernel, num_buckets)
 
 
 def window_rank(ds, key_cols: Sequence[str], order_by: Sequence[tuple[str, bool]],
@@ -160,8 +162,22 @@ def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
     on = [on] if isinstance(on, str) else list(on)
     tag = "__side"
 
-    lschema = left.schema()
-    rschema = right.schema()
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        fields = []
+        for name, t in zip(s.names, s.types):
+            if not isinstance(t, pa.DataType):
+                dt = np.dtype(t)
+                # pandas-backed blocks report object dtype for strings
+                t = pa.string() if dt == object else pa.from_numpy_dtype(dt)
+            fields.append((name, t))
+        return pa.schema(fields)
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
     lnames = list(lschema.names)
     # Non-key right columns that collide with left names get the suffix early
     # so the tagged union has one flat schema.

@@ -115,7 +115,10 @@ def test_minhash_lsh_finds_planted_near_dups(tmp_path, sf_tiny):
                    str(d / "documents.parquet"))
     survivors, verified = dedup_minhash(str(d), threshold=0.9)
     dropped = set(planted.doc_id) - set(survivors.doc_id)
-    assert dropped == set(clone.doc_id)   # exactly the clones die (keep-first)
+    # every clone dies (keep-first keeps the lower doc_id original); the base
+    # corpus may contain genuine near-dups of its own, so subset not equality
+    assert set(clone.doc_id) <= dropped
+    assert set(base.head(5).doc_id) <= set(survivors.doc_id)
 
 
 def test_simsearch_ivf_recall(sf_tiny):
