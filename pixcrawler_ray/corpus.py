@@ -94,6 +94,26 @@ def urls_for(doc_ids: np.ndarray) -> np.ndarray:
     )
 
 
+def urls_hosts_arrow(doc_ids: np.ndarray):
+    """(url, host) as Arrow string arrays — ~5x faster than the numpy
+    ``np.char`` chain for large batches (vectorized C string building)."""
+    import pyarrow.compute as pc
+
+    d = pa.array(doc_ids.astype(np.int64))
+    d_s = pc.cast(d, pa.string())
+    hid_s = pc.cast(pa.array(host_ids(doc_ids)), pa.string())
+    host = pc.binary_join_element_wise(
+        pc.binary_join_element_wise("h", hid_s, ""), ".example.com", "")
+    private = (doc_ids % PRIVATE_MOD) == PRIVATE_REM
+    path = pc.if_else(
+        pa.array(private),
+        pc.binary_join_element_wise("/private/doc/", d_s, ""),
+        pc.binary_join_element_wise("/doc/", d_s, ""))
+    url = pc.binary_join_element_wise(
+        pc.binary_join_element_wise("http://", host, ""), path, "")
+    return url, host
+
+
 def image_links_for(doc_id: int) -> list[str]:
     """``d % 4`` synthetic image links; deterministic in ``d`` alone."""
     n = doc_id % 4
@@ -130,7 +150,7 @@ def pages_batch(batch: pa.Table) -> pa.Table:
     d = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang")
-    url = urls_for(d)
+    url, host = urls_hosts_arrow(d)
     ts = pa.array(BASE_EPOCH_US + d.astype(np.int64) * 1_000_000).cast(
         pa.timestamp("us")
     )
@@ -143,13 +163,13 @@ def pages_batch(batch: pa.Table) -> pa.Table:
     )
     return pa.table(
         {
-            "url": pa.array(url, type=pa.string()),
+            "url": url,
             "warc_ts": ts,
             "html": html_col,
             "text": gt_text,
             "lang": langs,
             "doc_id": pa.array(d, type=pa.int64()),
-            "host": pa.array(hosts_for(d), type=pa.string()),
+            "host": host,
         }
     )
 
@@ -159,12 +179,60 @@ def pages_dataset(sf_dir: str):
 
     Column-pruned at the read; stays streaming (no materialize).
     """
+    from pixcrawler_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return docs.map_batches(pages_batch, batch_format="pyarrow")
+
+
+def amplified_documents(sf_dir: str, factor: int):
+    """Deterministic corpus amplification for bench scale: ``factor`` replicas
+    of the documents table, replica r shifting ``doc_id`` by ``r * n_docs``
+    (distinct urls/hosts per replica; texts repeat, which deliberately
+    stresses the dedup stages). Pure function of the driver tables — no new
+    entropy."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    return docs.map_batches(pages_batch, batch_format="pyarrow")
+    from pixcrawler_ray.sources.readers import read_table
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"],
+                      target_rows=max(1024, 32_768 // factor))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(factor):
+            shifted = pa.table({
+                "doc_id": pa.compute.add(t.column("doc_id"),
+                                         pa.scalar(r * n, pa.int64())),
+                "text": t.column("text"),
+                "lang": t.column("lang"),
+            })
+            parts.append(shifted)
+        return pa.concat_tables(parts)
+
+    import math
+
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    total = n * factor
+    out = docs.map_batches(replicate, batch_format="pyarrow")
+    # fan out to match POST-amplification rows so downstream map stages
+    # can use every core (4k rows/block, capped at 4x CPUs)
+    nblocks = max(1, min(math.ceil(total / 4096), 4 * cpus))
+    out = out.repartition(nblocks)
+    return out, total
+
+
+def amplified_pages_dataset(sf_dir: str, factor: int):
+    """Amplified pages corpus (distributed rendering); returns (ds, n_docs)."""
+    docs, n_total = amplified_documents(sf_dir, factor)
+    return docs.map_batches(pages_batch, batch_format="pyarrow"), n_total
 
 
 def robots_disallowed_host(host_id: np.ndarray) -> np.ndarray:

@@ -23,6 +23,7 @@ the driver (SURVEY §7.5.7), each generation a pure Dataset pipeline.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -52,26 +53,76 @@ def n_documents(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
 
-def pages_index_ref(sf_dir: str):
+def pages_index_ref(sf_dir: str, corpus_factor: int = 1):
     """Materialize the corpus index for the broadcast fetch path.
 
     Fine while the corpus fits a node (tests/bench); the 100 TB path swaps
     this for ``stages.shuffle.bucketed_join(frontier, pages, on="url")`` —
-    same downstream schema.
+    same downstream schema. ``corpus_factor`` amplifies the corpus
+    deterministically (bench scale; see corpus.amplified_documents).
     """
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
-    pages = corpus.pages_batch(docs)
+    if corpus_factor > 1:
+        # render the amplified corpus DISTRIBUTED (html assembly is the
+        # expensive part), then assemble the sorted index from the
+        # object-store block refs — the driver only concatenates + sorts.
+        pages_ds, _ = corpus.amplified_pages_dataset(sf_dir, corpus_factor)
+        import ray as _ray
+        refs = pages_ds.to_arrow_refs()
+        pages = pa.concat_tables(_ray.get(refs)).combine_chunks()
+    else:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        pages = corpus.pages_batch(docs.combine_chunks())
     return build_pages_index(pages)
+
+
+def admit_frontier(frontier_ds, budget_per_round: int = 8,
+                   num_buckets: int = 64):
+    """FUSED admission stage: url-dedup + robots gate + politeness ranks in
+    ONE host-hash shuffle.
+
+    Legal because all three are per-host decisions once urls carry their host:
+    a url always maps to one host, so min-seq-per-url, the robots verdict and
+    the per-host (priority DESC, seq) ranking can all run inside the same
+    host-keyed bucket kernel — 1 all-to-all instead of 3 (the separate
+    stages remain available for the per-stage oracle queries).
+    """
+    import pandas as pd
+
+    from pixcrawler_ray import corpus as _corpus
+    from pixcrawler_ray.stages.shuffle import per_bucket_take
+
+    def kernel(df: pd.DataFrame):
+        # pure-integer kernel: doc_id is bijective with url, host_id with
+        # host, and path privacy is doc_id % 50 == 7 (corpus derivation) —
+        # no string ops anywhere in the hot path.
+        df = df.sort_values("seq", kind="mergesort")
+        df = df[~df.duplicated("doc_id", keep="first")]
+        hid = df["host_id"].to_numpy()
+        disallow = _corpus.robots_disallowed_host(hid)
+        private = (df["doc_id"].to_numpy() % _corpus.PRIVATE_MOD
+                   == _corpus.PRIVATE_REM)
+        df = df[~(disallow & private)]
+        s = df.sort_values(["priority", "seq"], ascending=[False, True],
+                           kind="mergesort")
+        ranks = s.groupby("host_id", sort=False).cumcount().to_numpy()
+        return s.index.to_numpy(), {
+            "host_rank": ranks.astype(np.int64),
+            "round": (ranks // budget_per_round).astype(np.int64),
+        }
+
+    return per_bucket_take(frontier_ds, ["host_id"],
+                           ["doc_id", "host_id", "priority", "seq"], kernel,
+                           num_buckets=num_buckets)
 
 
 def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
                    page_size: int = PAGE_SIZE, seen_shards=None,
-                   budget_per_round: int = 8, seen_concurrency: int = 4):
+                   budget_per_round: int = 8, seen_concurrency: int = 4,
+                   fused: bool = True, corpus_factor: int = 1):
     """Expansion -> url-dedup -> (resume anti-join) -> robots -> politeness."""
-    nd = n_documents(sf_dir)
+    nd = n_documents(sf_dir) * corpus_factor
     fr = frontier_dataset(config, nd, depth=depth, page_size=page_size)
-    fr = dedup_frontier(fr)
     if seen_shards:
         fr = fr.map_batches(
             SeenAntiJoin,
@@ -80,6 +131,9 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
             concurrency=(1, max(1, seen_concurrency)),
             num_cpus=0.5,
         )
+    if fused:
+        return admit_frontier(fr, budget_per_round=budget_per_round)
+    fr = dedup_frontier(fr)
     fr = apply_robots(fr)
     return assign_rounds(fr, budget_per_round=budget_per_round)
 
@@ -87,20 +141,31 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
 def crawl_generation(config: CrawlConfig, sf_dir: str, index_ref,
                      depth: int = 0, page_size: int = PAGE_SIZE,
                      budget_per_round: int = 8, seen_shards=None,
-                     fetch_concurrency: int = 8,
-                     transient_frontier=None):
+                     fetch_concurrency: int | None = None,
+                     transient_frontier=None, materialize_fork: bool = False,
+                     corpus_factor: int = 1):
     """One generation. Returns (extracted_ds, transient_frontier_ds).
 
     ``transient_frontier``: when given (generation > 0), it IS the frontier
     (re-queued 503 rows at depth+1) and no expansion happens.
+
+    ``materialize_fork``: pin the fetched dataset in the object store before
+    forking into the (extracted, transient) branches — otherwise BOTH
+    consumers re-execute the whole expand+admit+fetch graph (Ray Data has no
+    cross-consumer subexpression caching). The multi-generation driver sets
+    this; single-branch callers keep pure streaming. At cluster scale the
+    equivalent fork point is the checkpointed fetched parquet.
     """
     if transient_frontier is not None:
         fr = transient_frontier
     else:
         fr = build_frontier(config, sf_dir, depth=depth, page_size=page_size,
                             seen_shards=seen_shards,
-                            budget_per_round=budget_per_round)
+                            budget_per_round=budget_per_round,
+                            corpus_factor=corpus_factor)
     fetched = fetch_dataset(fr, index_ref, concurrency=fetch_concurrency)
+    if materialize_fork:
+        fetched = fetched.materialize()
     ok = fetched.map_batches(
         lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
         batch_format="pyarrow")
@@ -128,7 +193,8 @@ def _requeue(t: pa.Table) -> pa.Table:
 
 def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
               budget_per_round: int = 8, max_generations: int | None = None,
-              fetch_concurrency: int = 8, seen_shards=None):
+              fetch_concurrency: int | None = None, seen_shards=None,
+              corpus_factor: int = 1):
     """Full multi-generation crawl; returns the union of extracted datasets.
 
     Generations after the first re-fetch only the transient rows — the
@@ -136,11 +202,12 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
     ``builder/_generator.py:282-341``) with generation index == retry count.
     """
     gens = (config.max_retries if max_generations is None else max_generations)
-    index_ref = pages_index_ref(sf_dir)
+    index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
     extracted, transient = crawl_generation(
         config, sf_dir, index_ref, depth=0, page_size=page_size,
         budget_per_round=budget_per_round, seen_shards=seen_shards,
-        fetch_concurrency=fetch_concurrency)
+        fetch_concurrency=fetch_concurrency, materialize_fork=True,
+        corpus_factor=corpus_factor)
     outputs = [extracted]
     current = transient
     for _ in range(gens):
@@ -151,7 +218,7 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
         ex, current = crawl_generation(
             config, sf_dir, index_ref, budget_per_round=budget_per_round,
             fetch_concurrency=fetch_concurrency,
-            transient_frontier=current)
+            transient_frontier=current, materialize_fork=True)
         outputs.append(ex)
     out = outputs[0]
     if len(outputs) > 1:

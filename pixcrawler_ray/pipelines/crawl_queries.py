@@ -37,7 +37,7 @@ ORACLE_MAX_IMAGES = 40
 ORACLE_BUDGET_PER_ROUND = 8
 
 
-def seeds_config(sf_dir: str) -> CrawlConfig:
+def seeds_config(sf_dir: str, max_images: int = ORACLE_MAX_IMAGES) -> CrawlConfig:
     """categories = regions (r_regionkey order), keywords = nations
     (n_nationkey order within region)."""
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
@@ -51,7 +51,7 @@ def seeds_config(sf_dir: str) -> CrawlConfig:
     return CrawlConfig.from_dict({
         "dataset_name": "oracle_crawl",
         "categories": cats,
-        "options": {"max_images": ORACLE_MAX_IMAGES},
+        "options": {"max_images": max_images},
     })
 
 
@@ -270,9 +270,11 @@ allowed AS (
              AND f.path LIKE '/private/%')
 ),
 statused AS (
+  -- transient (503) wins over the content filter (415), matching the
+  -- fetch stage's check order (Fetcher.__call__ / oracle.run_oracle)
   SELECT a.*,
-         CASE WHEN a.doc_id % 97 = 13 THEN 415
-              WHEN a.doc_id % 89 = 3 THEN 503
+         CASE WHEN a.doc_id % 89 = 3 THEN 503
+              WHEN a.doc_id % 97 = 13 THEN 415
               ELSE 200 END AS status
   FROM allowed a
 )

@@ -23,7 +23,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from pixcrawler_ray.stages.shuffle import per_bucket
+from pixcrawler_ray.sources.readers import read_table
+from pixcrawler_ray.stages.shuffle import per_bucket, per_bucket_take
 
 
 def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -37,11 +38,7 @@ def q1_pricing_summary(sf_dir: str):
     sum_qty / sum_base_cents / sum_disc_cents / count per
     (l_returnflag, l_linestatus) for l_shipdate < 1995-09-01.
     """
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_shipdate"],
-    )
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
     cutoff = pa.scalar(np.datetime64("1995-09-01", "us"))
 
     def prep(t: pa.Table) -> pa.Table:
@@ -102,9 +99,7 @@ def q_revenue_by_nation(sf_dir: str):
                 "rev_e4": rev_e4,
             })
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     return (ds.map_batches(JoinRevenue, batch_format="pyarrow",
                            concurrency=(1, 4), num_cpus=0.5)
               .groupby("n_name")
@@ -119,8 +114,7 @@ def q_top_parts_by_qty(sf_dir: str, k: int = 10):
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_name"]).to_pandas()
     part_ref = ray.put(part.set_index("p_partkey")["p_name"])
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_partkey", "l_quantity"])
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
     agg = (ds.map_batches(
         lambda t: pa.table({
             "l_partkey": t.column("l_partkey"),
@@ -138,24 +132,19 @@ def q_top_parts_by_qty(sf_dir: str, k: int = 10):
 
 
 def q_order_priority_count(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                         columns=["o_orderpriority"])
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
     return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
 
 def q_distinct_mktsegment(sf_dir: str):
     """D1 distinct: unique customer market segments."""
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                         columns=["c_mktsegment"])
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
     return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
 
 
 def q_lineitem_topk_revenue(sf_dir: str, k: int = 20):
     """Global top-k rows by computed revenue (sort + limit)."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
-                 "l_discount"])
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
         price_c = _cents(t.column("l_extendedprice"))
@@ -177,8 +166,7 @@ def q_events_hourly(sf_dir: str):
 
     Window = event-time hour truncation; value summed in exact cents.
     """
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["ts", "event_type", "value"])
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t.column("ts"), unit="hour")
@@ -198,8 +186,7 @@ def q_events_sessionize(sf_dir: str, gap_minutes: int = 30):
     session boundary when ts - prev_ts > gap; output = sessions per user +
     total events. Hash-partitioned on user_id, vectorized per bucket.
     """
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -221,8 +208,7 @@ def q_events_asof_orders(sf_dir: str):
     user-hash bucket (ray_guide "As-of / range join"). Events with no prior
     order are dropped (inner as-of).
     """
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
-                             columns=["event_id", "user_id", "ts"])
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     import pyarrow.parquet as pq
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
@@ -252,8 +238,7 @@ def q_sequential_rename(sf_dir: str):
     """M13 sequential rename as a window projection: per (lang, source)
     partition, docs ordered by doc_id get zero-padded names '0001'... —
     mirror of rename_images_sequentially (builder/_helpers.py:128-312)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "lang", "source"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", kind="mergesort")

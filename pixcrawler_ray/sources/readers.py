@@ -1,0 +1,48 @@
+"""Size-aware parquet reads (S11 analog — the SDK's chunked reader).
+
+Ray's default read planning targets ~200 blocks regardless of input size; a
+5k-row dimension table then becomes 64 blocks of 78 rows and every downstream
+stage pays 64x task overhead. This helper sizes ``override_num_blocks`` from
+parquet metadata: ~``target_rows`` rows per block, capped by cluster CPUs —
+the same formula yields hundreds of blocks on a 100 TB input and ONE block on
+a dimension table. Column pruning stays mandatory at the call site.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+DEFAULT_TARGET_ROWS = 32_768
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               target_rows: int = DEFAULT_TARGET_ROWS):
+    path = f"{sf_dir}/{name}.parquet"
+    n = pq.read_metadata(path).num_rows
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    blocks = max(1, min(math.ceil(n / target_rows), 4 * cpus))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=blocks)
+
+
+def pool_size(fraction: float = 0.5, minimum: int = 1) -> int:
+    """Deterministic actor-pool size proportional to cluster CPUs.
+
+    Autoscaling pools ((1, N)) ramp on queue depth and often stay tiny for
+    short jobs — run-to-run variance and poor scaling. A fixed pool sized to
+    a fraction of the cluster is deterministic and leaves CPU slots for the
+    surrounding task stages.
+    """
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(minimum, int(cpus * fraction))

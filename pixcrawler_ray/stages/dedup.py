@@ -27,6 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from pixcrawler_ray.sources.readers import pool_size, read_table
 from pixcrawler_ray.functions.minhash import (
     jaccard,
     lsh_band_keys,
@@ -41,8 +42,7 @@ _WS_RE = re.compile(r"\s+")
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: keep min-doc_id per md5(text). Oracle-checked vs DuckDB."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_md5(t: pa.Table) -> pa.Table:
         md5 = [hashlib.md5((x or "").encode()).hexdigest()
@@ -57,8 +57,7 @@ def dedup_exact(sf_dir: str):
 def dedup_normalized(sf_dir: str):
     """Fuzzy-exact dedup on normalized text (lower + collapse whitespace) —
     the canonicalization step of every web-scale dedup pipeline."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_norm(t: pa.Table) -> pa.Table:
         md5 = [hashlib.md5(_WS_RE.sub(" ", (x or "").lower()).strip().encode())
@@ -98,37 +97,64 @@ class MinHasher:
 
 
 def minhash_candidate_pairs(sf_dir: str, num_perms: int = 128,
-                            shingle_k: int = 3, bands: int = 16):
+                            shingle_k: int = 3, bands: int = 16,
+                            amplify: int = 1):
     """documents -> LSH candidate pairs dataset (doc_a < doc_b).
 
     shingle -> minhash -> band rows -> groupby (band, bucket) -> pairs.
     The groupby key is (band, bucket); bucket collisions within a band are
     the LSH candidates (Broder/LSH standard construction).
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    import math
+
+    import ray as _ray
+
+    if amplify > 1:
+        from pixcrawler_ray.corpus import amplified_documents
+        ds, total = amplified_documents(sf_dir, amplify)
+        ds = ds.drop_columns(["lang"])
+    else:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        total = ds.count()
+    # signature computation is CPU-bound per doc: split into enough blocks
+    # that the actor pool actually fans out even for one-block inputs
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nblocks = max(1, min(2 * cpus, math.ceil(total / 256)))
+    ds = ds.repartition(nblocks)
     bandrows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perms": num_perms, "shingle_k": shingle_k,
                                "bands": bands},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
+        batch_format="pyarrow", batch_size=512,
+        concurrency=pool_size(0.75), num_cpus=1)
 
     def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        outs_a, outs_b = [], []
         for (_, _), grp in g.groupby(["band", "bucket"], sort=False):
             ids = np.sort(grp["doc_id"].unique())
-            if len(ids) > 1:
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        out_a.append(int(ids[i]))
-                        out_b.append(int(ids[j]))
-        return pd.DataFrame({"doc_a": np.array(out_a, dtype=np.int64),
-                             "doc_b": np.array(out_b, dtype=np.int64)})
+            m = len(ids)
+            if m > 1:
+                i, j = np.triu_indices(m, 1)   # vectorized pair expansion
+                outs_a.append(ids[i])
+                outs_b.append(ids[j])
+        if not outs_a:
+            return pd.DataFrame({"doc_a": np.array([], dtype=np.int64),
+                                 "doc_b": np.array([], dtype=np.int64),
+                                 "pair_key": np.array([], dtype=np.int64)})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        return pd.DataFrame({"doc_a": a, "doc_b": b,
+                             "pair_key": a * (1 << 32) + b})
 
     pairs = per_bucket(bandrows, ["band", "bucket"], pairs_kernel,
                        num_buckets=32)
-    # distinct pairs (same pair can collide in several bands)
-    return keep_first_by(pairs, ["doc_a", "doc_b"], "doc_a", num_buckets=16)
+    # distinct pairs (same pair can collide in several bands); single-int64
+    # pair_key keeps the dedup shuffle on the vectorized hash fast path
+    deduped = keep_first_by(pairs, ["pair_key"], "pair_key", num_buckets=16)
+    return deduped.drop_columns(["pair_key"])
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 128,
@@ -176,8 +202,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 128,
 
 def dedup_simhash(sf_dir: str, k: int = 2):
     """SimHash fingerprints + exact-match keep-first (A4 text analog)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_sim(t: pa.Table) -> pa.Table:
         sims = [simhash64(x or "", k=k) for x in t.column("text").to_pylist()]
@@ -197,8 +222,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     baseline that MinHash approximates; usable at scale only inside small
     blocks.
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", block_key])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", block_key])
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -227,7 +251,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98):
     threshold. Blocking on label is the partitioning assumption (same-label
     near-dups only); the unblocked variant is the IVF path in simsearch.
     """
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_table(sf_dir, "embeddings")
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []

@@ -57,6 +57,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("priority", pa.int64()),
         ("seq", pa.int64()),
         ("doc_id", pa.int64()),
+        ("host_id", pa.int64()),
     ]
 )
 
@@ -200,13 +201,13 @@ def expand_units_batch(batch: pa.Table, n_docs: int,
         cols["cat_i"][rep], cols["kw_i"][rep], cols["eng_i"][rep],
         cols["var_i"][rep], cols["offset"][rep], slot, n_docs,
     )
-    url = corpus.urls_for(doc)
-    host = corpus.hosts_for(doc)
+    url, host = corpus.urls_hosts_arrow(doc)
+    host_id = corpus.host_ids(doc)
     take = lambda name: batch.column(name).take(pa.array(rep))
     return pa.table(
         {
-            "url": pa.array(url, type=pa.string()),
-            "host": pa.array(host, type=pa.string()),
+            "url": url,
+            "host": host,
             "category": take("category"),
             "keyword": take("keyword"),
             "variation": take("variation"),
@@ -216,6 +217,7 @@ def expand_units_batch(batch: pa.Table, n_docs: int,
             "seq": pa.array(cols["unit_seq"][rep] * page_size + slot,
                             type=pa.int64()),
             "doc_id": pa.array(doc, type=pa.int64()),
+            "host_id": pa.array(host_id, type=pa.int64()),
         }
     )
 
@@ -228,8 +230,18 @@ def frontier_dataset(config: CrawlConfig, n_docs: int, depth: int = 0,
 
     grid = work_unit_grid(config, depth=depth, fixed_templates=fixed_templates)
     ds = rd.from_arrow(grid)
-    # The grid is small; spread it so the flat-map parallelizes.
-    nblocks = max(1, min(64, grid.num_rows // 64))
+    # Spread the grid so the flat-map parallelizes, sized to the OUTPUT
+    # (grid rows x page_size candidates), ~32k candidate rows per block,
+    # capped by cluster CPUs — same formula as sources.readers.
+    import math
+
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    out_rows = grid.num_rows * page_size
+    nblocks = max(1, min(math.ceil(out_rows / 4096), 4 * cpus))
     if nblocks > 1:
         ds = ds.repartition(nblocks)
     return ds.map_batches(

@@ -6,9 +6,11 @@ SSL-retry, Retry-After handling and content filters
 (``builder/_search_engines.py:115-223``). Here the "web" is the corpus
 Parquet, so fetch is a JOIN on url (SURVEY §2.4 J5):
 
-- small corpus (tests / single node): BROADCAST join — the pages index is
-  ``ray.put`` once (url-sorted arrays) and every fetch actor binary-searches
-  it per batch. No shuffle.
+- small corpus (tests / single node): BROADCAST join — the pages index is an
+  Arrow table ``ray.put`` once, sorted by a 64-bit url hash; actors get it
+  ZERO-COPY from the object store (Arrow buffers are shared, never pickled)
+  and do a vectorized binary search per batch, then verify candidate matches
+  by exact url comparison (hash collisions can never corrupt a result).
 - large corpus: partitioned hash join on ``hash(url)`` via
   ``stages.shuffle.bucketed_join``.
 
@@ -21,15 +23,16 @@ Status model (M7, ``builder/_exceptions.py:216-240`` taxonomy):
   the reference's ≥1000-byte / image/* gates,
   ``builder/_search_engines.py:97-98, 182-188``)
 
-Stateful fetcher = actor pool: the index ref is resolved ONCE per actor in
-``__init__`` (ST1 — the reference builds crawler thread pools per keyword;
-we amortize across the whole run).
+Stateful fetcher = actor pool: the zero-copy index ref is resolved ONCE per
+actor in ``__init__`` (ST1 — the reference builds crawler thread pools per
+keyword; we amortize across the whole run).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 MIN_CONTENT_BYTES = 64  # scaled-down analog of min_file_size=1000
@@ -45,32 +48,38 @@ PERMANENT_STATUSES = (STATUS_NOT_FOUND, STATUS_CONTENT_REJECTED,
 
 
 def build_pages_index(pages_table: pa.Table):
-    """Url-sorted lookup arrays for the broadcast fetch path.
+    """Doc-id-sorted Arrow index for the broadcast fetch path.
 
-    Returns an object-store ref holding (urls_sorted, warc_ts, html, text?,
-    doc_id) — a few columns of the corpus, sorted by url for binary search.
+    The object-store payload is ONE Arrow table (url, warc_ts, html, doc_id)
+    sorted by doc_id — zero-copy for every actor that reads it, regardless of
+    pool size. doc_id is the corpus primary key (bijective with url); the
+    fetcher still verifies the url string per match, so a bad key can never
+    silently fetch the wrong page. Generic url-keyed fetch against an
+    external corpus is the ``stages.shuffle.bucketed_join`` path.
     """
-    idx = pa.compute.sort_indices(pages_table.column("url"))
-    t = pages_table.take(idx)
-    payload = {
-        "url": np.asarray(t.column("url").to_pylist(), dtype=object),
-        "warc_ts": t.column("warc_ts").to_numpy(),
-        "html": np.asarray(t.column("html").to_pylist(), dtype=object),
-        "doc_id": t.column("doc_id").to_numpy(),
-    }
-    return ray.put(payload)
+    d = pages_table.column("doc_id").to_numpy()
+    order = np.argsort(d, kind="stable")
+    t = pages_table.select(["url", "warc_ts", "html", "doc_id"])
+    t = t.append_column(
+        "html_len", pc.binary_length(pages_table.column("html")).cast(
+            pa.int64()))
+    t = t.take(pa.array(order))
+    return ray.put(t.combine_chunks())
 
 
 class Fetcher:
     """Actor-pool fetch stage: frontier batch -> fetched batch.
 
-    ``__init__`` resolves the broadcast index once per actor (ST1);
-    ``__call__`` does vectorized binary-search lookups per batch.
+    ``__init__`` resolves the broadcast index once per actor (zero-copy);
+    ``__call__`` is fully vectorized: hash urls -> binary search -> exact-url
+    verify -> arrow ``take`` of the matched page rows.
     """
 
     def __init__(self, index_ref, min_bytes: int = MIN_CONTENT_BYTES,
                  transient_mod: int = 89, transient_rem: int = 3):
-        self.idx = ray.get(index_ref)
+        self.t = ray.get(index_ref)
+        self.doc_ids = self.t.column("doc_id").to_numpy()   # zero-copy
+        self.html_len = self.t.column("html_len").to_numpy()
         self.min_bytes = min_bytes
         self.transient_mod = transient_mod
         self.transient_rem = transient_rem
@@ -82,65 +91,68 @@ class Fetcher:
             out = out.append_column("warc_ts",
                                     pa.array([], type=pa.timestamp("us")))
             return out.append_column("html", pa.array([], type=pa.binary()))
-        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
-        pos = np.searchsorted(self.idx["url"], urls)
-        pos_clamped = np.minimum(pos, len(self.idx["url"]) - 1)
-        found = self.idx["url"][pos_clamped] == urls
-        status = np.full(n, STATUS_NOT_FOUND, dtype=np.int32)
-        htmls: list[bytes | None] = [None] * n
-        ts = np.zeros(n, dtype="datetime64[us]")
+        bd = batch.column("doc_id").to_numpy()
+        pos = np.minimum(np.searchsorted(self.doc_ids, bd),
+                         len(self.doc_ids) - 1)
+        cand = self.doc_ids[pos] == bd
+        # verify the url strings of candidate matches (a wrong key can never
+        # silently fetch the wrong page)
+        idx = pa.array(pos[cand].astype(np.int64))
+        same = pc.equal(pc.take(self.t.column("url"), idx),
+                        batch.column("url").filter(pa.array(cand)))
+        found = cand.copy()
+        found[np.nonzero(cand)[0][~same.to_numpy(zero_copy_only=False)]] = False
+
         depth = batch.column("depth").to_numpy()
-        for i in np.nonzero(found)[0]:
-            p = pos_clamped[i]
-            doc_id = int(self.idx["doc_id"][p])
-            if (doc_id % self.transient_mod == self.transient_rem
-                    and depth[i] == 0):
-                status[i] = STATUS_TRANSIENT  # first-attempt 503 (retryable)
-                continue
-            h = self.idx["html"][p]
-            if len(h) < self.min_bytes:
-                status[i] = STATUS_CONTENT_REJECTED
-                continue
-            status[i] = STATUS_OK
-            htmls[i] = h
-            ts[i] = self.idx["warc_ts"][p]
+        transient = (found & (bd % self.transient_mod == self.transient_rem)
+                     & (depth == 0))
+        small = found & ~transient & (self.html_len[pos] < self.min_bytes)
+        ok = found & ~transient & ~small
+        status = np.select(
+            [transient, small, ok],
+            [STATUS_TRANSIENT, STATUS_CONTENT_REJECTED, STATUS_OK],
+            default=STATUS_NOT_FOUND).astype(np.int32)
+        # html/warc_ts: arrow take with a null mask — no python objects
+        ind = pa.array(np.where(ok, pos, 0).astype(np.int64), mask=~ok)
         out = batch.append_column("status", pa.array(status, type=pa.int32()))
-        out = out.append_column(
-            "warc_ts", pa.array(ts).cast(pa.timestamp("us")))
-        return out.append_column("html", pa.array(htmls, type=pa.binary()))
+        out = out.append_column("warc_ts",
+                                pc.take(self.t.column("warc_ts"), ind))
+        return out.append_column("html", pc.take(self.t.column("html"), ind))
 
 
-def fetch_dataset(frontier_ds, index_ref, concurrency: int = 8,
+def fetch_dataset(frontier_ds, index_ref, concurrency: int | None = None,
                   batch_size: int = 2048):
     """Broadcast-join fetch as an actor pool.
 
     batch_size is kept modest because output rows carry the html binary
     payload (SURVEY §7.5.5 wide-binary-rows guidance). The pool autoscales
     from 1 actor (``concurrency=(1, max)``) with fractional CPUs so it can
-    never deadlock a small cluster waiting for a fixed-size pool, and never
-    starves the shuffle stages of CPU slots.
+    never starve the shuffle stages (pool defaults to half the cluster).
     """
+    from pixcrawler_ray.sources.readers import pool_size
+    if concurrency is None:
+        concurrency = pool_size(0.5)
     return frontier_ds.map_batches(
         Fetcher,
         fn_constructor_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, max(1, concurrency)),
-        num_cpus=0.5,
+        concurrency=max(1, concurrency),
+        num_cpus=1,
     )
 
 
 def split_fetched(fetched_ds):
     """(ok, transient, failed) sub-streams by status class."""
     ok = fetched_ds.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column("status"), STATUS_OK)),
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
         batch_format="pyarrow")
     transient = fetched_ds.map_batches(
         lambda t: t.filter(
-            pa.compute.equal(t.column("status"), STATUS_TRANSIENT)),
+            pc.equal(t.column("status"), STATUS_TRANSIENT)),
         batch_format="pyarrow")
     failed = fetched_ds.map_batches(
-        lambda t: t.filter(pa.compute.is_in(
+        lambda t: t.filter(pc.is_in(
             t.column("status"),
             value_set=pa.array(PERMANENT_STATUSES, type=pa.int32()))),
         batch_format="pyarrow")

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from pixcrawler_ray.functions.hashing import hash64_array
+from pixcrawler_ray.functions.hashing import fnv1a64_ints, hash64_array
 
 BUCKET_COL = "__bucket"
 DEFAULT_BUCKETS = 64
@@ -32,8 +32,23 @@ def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
         if batch.num_rows == 0:
             return batch.append_column(BUCKET_COL,
                                        pa.array([], type=pa.int64()))
-        if len(keys) == 1 and pa.types.is_integer(batch.schema.field(keys[0]).type):
+        key_types = [batch.schema.field(k).type for k in keys]
+        if (len(keys) == 1 and pa.types.is_fixed_size_binary(key_types[0])
+                and key_types[0].byte_width >= 8):
+            # vectorized: first 8 bytes of the fixed-width digest are already
+            # uniform (md5/sha) — view the raw buffer as uint64
+            col = batch.column(keys[0]).combine_chunks()
+            arr = col.chunks[0] if isinstance(col, pa.ChunkedArray) else col
+            w = key_types[0].byte_width
+            buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            off = arr.offset * w
+            mat = buf[off:off + len(arr) * w].reshape(len(arr), w)
+            h = mat[:, :8].copy().view(np.uint64).ravel()
+        elif all(pa.types.is_integer(t) for t in key_types):
             h = batch.column(keys[0]).to_numpy().astype(np.uint64)
+            for k in keys[1:]:   # vectorized integer key mixing
+                h = fnv1a64_ints(
+                    batch.column(k).to_numpy().astype(np.uint64) ^ h)
         else:
             parts = []
             for k in keys:

@@ -19,6 +19,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from pixcrawler_ray.sources.readers import pool_size, read_table
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -71,13 +73,12 @@ def topk_bruteforce(sf_dir: str, query_vec_ids: list[int], k: int = 10,
     """
     q = load_query_vectors(sf_dir, query_vec_ids)
     query_ref = ray.put(q)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteForceScorer,
         fn_constructor_kwargs={"query_ref": query_ref, "k": k + 1},
         batch_format="pandas", batch_size=4096,
-        concurrency=(1, 8), num_cpus=0.5).to_pandas()
+        concurrency=pool_size(0.25), num_cpus=1).to_pandas()
     out_rows = []
     for qi, qid in enumerate(query_vec_ids):
         part = partials[partials.query_idx == qi]
@@ -160,11 +161,11 @@ def topk_ivf(sf_dir: str, query_vec_ids: list[int], k: int = 10,
                     out["cosine"].append(float(sims[t, qi]))
             return pd.DataFrame(out)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(ProbeScorer, batch_format="pandas",
-                              batch_size=4096, concurrency=(1, 8),
-                              num_cpus=0.5).to_pandas()
+                              batch_size=4096,
+                              concurrency=pool_size(0.25),
+                              num_cpus=1).to_pandas()
     out_rows = []
     for qi, qid in enumerate(query_vec_ids):
         part = partials[(partials.query_idx == qi)

@@ -19,6 +19,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from pixcrawler_ray.functions.hashing import rolling_fingerprint
+from pixcrawler_ray.sources.readers import read_table
 
 # BPE-ish token splitter: words, numbers, or single non-space symbols
 _TOKEN_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]")
@@ -49,8 +50,7 @@ def token_stats_batch(t: pa.Table) -> pa.Table:
 
 def token_counts(sf_dir: str):
     """Per-lang aggregate of whitespace token counts (SQL-oracled)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "lang", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     stats = ds.map_batches(token_stats_batch, batch_format="pyarrow")
     return (stats.groupby("lang")
             .aggregate(Count(alias_name="n_docs"),
@@ -88,8 +88,7 @@ def quality_score_batch(t: pa.Table) -> pa.Table:
 
 
 def quality_scores(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
@@ -129,16 +128,14 @@ class LangId:
 
 
 def lang_id(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "lang", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=(1, 4), num_cpus=0.5)
 
 
 def doc_fingerprints(sf_dir: str, window: int = 8):
     """Winnowed rolling-hash fingerprints per doc (containment queries)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
         ids, fps = [], []
