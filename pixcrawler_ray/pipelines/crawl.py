@@ -228,4 +228,108 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
         # content even though urls are disjoint (url-dedup is global via seq).
         out = keep_first_by(out, ["content_md5"], "seq")
         out = keep_first_by(out, ["phash"], "seq")
+        # budget is CUMULATIVE per keyword across generations (the reference's
+        # shared counter spans retries, builder/_engine.py:580-644)
+        out = keep_first_n(out, ["keyword"], "seq", config.max_images)
     return out
+
+
+def _shortfall(extracted_counts: dict[str, int], config: CrawlConfig) -> dict[str, int]:
+    """Keywords still under budget (and by how much)."""
+    out = {}
+    for cat, kw in config.prepared_keywords():
+        have = extracted_counts.get(kw, 0)
+        if have < config.max_images:
+            out[kw] = config.max_images - have
+    return out
+
+
+def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
+                           page_size: int = PAGE_SIZE,
+                           budget_per_round: int = 8,
+                           corpus_factor: int = 1,
+                           fetch_concurrency: int | None = None):
+    """Full reference retry semantics (Retry.retry_download,
+    ``builder/_generator.py:282-341`` + M3 alternative terms,
+    ``builder/_keywords.py:293-697``).
+
+    Round 0 is the normal crawl (with its transient re-queue generations).
+    Rounds 1..max_retries expand ALTERNATIVE search terms for every keyword
+    still under its ``max_images`` budget; new rows keep the ORIGINAL keyword
+    for attribution (budget + dedup are cumulative per original keyword) and
+    their ``seq`` is offset by ``round * SEQ_STRIDE`` so the reference's
+    ordering — initial results first, retries in ascending retry index — is
+    carried in data.
+
+    Driver-side loop: each round's shortfall depends on the previous round's
+    outcome (the iterative dataflow of SURVEY §7.5.7).
+    """
+    SEQ_STRIDE = 1 << 40
+    from pixcrawler_ray.functions.variations import alternative_term
+
+    base = run_crawl(config, sf_dir, page_size=page_size,
+                     budget_per_round=budget_per_round,
+                     corpus_factor=corpus_factor,
+                     fetch_concurrency=fetch_concurrency).materialize()
+    index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
+    kw_cat = {kw: cat for cat, kw in config.prepared_keywords()}
+    outputs = [base]
+
+    def counts_of(ds) -> dict[str, int]:
+        agg = {}
+        for b in ds.select_columns(["keyword"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            for k, c in zip(*np.unique(np.asarray(b.column("keyword")),
+                                       return_counts=True)):
+                agg[str(k)] = agg.get(str(k), 0) + int(c)
+        return agg
+
+    counts = counts_of(base)
+    for retry in range(1, config.max_retries + 1):
+        need = _shortfall(counts, config)
+        if not need:
+            break
+        # alternative-term expansion for the under-budget keywords only
+        alt_map = {alternative_term(kw, retry): kw for kw in need}
+        retry_cfg = CrawlConfig(
+            dataset_name=config.dataset_name,
+            categories={}, max_images=config.max_images,
+            max_retries=config.max_retries)
+        cats: dict[str, list[str]] = {}
+        for alt, orig in alt_map.items():
+            cats.setdefault(kw_cat[orig], []).append(alt)
+        retry_cfg.categories = cats
+        fr = build_frontier(retry_cfg, sf_dir, depth=retry,
+                            page_size=page_size,
+                            budget_per_round=budget_per_round,
+                            corpus_factor=corpus_factor)
+
+        def reattribute(t: pa.Table, amap=dict(alt_map), r=retry) -> pa.Table:
+            kws = [amap.get(k, k) for k in t.column("keyword").to_pylist()]
+            seq = pc.add(t.column("seq"),
+                         pa.scalar(r * SEQ_STRIDE, pa.int64()))
+            t = t.set_column(t.schema.get_field_index("keyword"), "keyword",
+                             pa.array(kws, type=pa.string()))
+            return t.set_column(t.schema.get_field_index("seq"), "seq", seq)
+
+        fr = fr.map_batches(reattribute, batch_format="pyarrow")
+        fetched = fetch_dataset(fr, index_ref,
+                                concurrency=fetch_concurrency)
+        ok = fetched.map_batches(
+            lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+            batch_format="pyarrow")
+        ex = extracted_dataset(ok)
+        ex = ex.map_batches(lambda t: t.filter(t.column("valid")),
+                            batch_format="pyarrow")
+        # cumulative budget + dedup vs everything gathered so far
+        merged = outputs[0]
+        for ds in outputs[1:]:
+            merged = merged.union(ds)
+        merged = merged.union(ex)
+        merged = keep_first_by(merged, ["content_md5"], "seq")
+        merged = keep_first_by(merged, ["phash"], "seq")
+        merged = keep_first_n(merged, ["keyword"], "seq",
+                              config.max_images).materialize()
+        outputs = [merged]
+        counts = counts_of(merged)
+    return outputs[0]

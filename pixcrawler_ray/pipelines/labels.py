@@ -60,9 +60,7 @@ def write_labels(labels_ds, out_dir: str,
 
 def category_index(labels_ds) -> dict[str, int]:
     """A10 — ``{category: id}`` over sorted names (builder/_generator.py:702-736)."""
-    cats = sorted(r["category"]
-                  for r in labels_ds.select_columns(["category"])
-                                    .unique("category"))
+    cats = sorted(labels_ds.unique("category"))
     return {c: i for i, c in enumerate(cats)}
 
 

@@ -1,0 +1,113 @@
+"""Labels, tiering, compression, report, validation levels, retry rounds."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pixcrawler_ray import base
+from pixcrawler_ray.pipelines import compress, crawl, labels
+from pixcrawler_ray.state import checkpoint, metrics
+from pixcrawler_ray.stages.expand import CrawlConfig
+
+CFG = {
+    "dataset_name": "extras_fixture",
+    "categories": {"cats": ["cat"], "dogs": ["dog"]},
+    "options": {"max_images": 10},
+}
+
+
+@pytest.fixture(scope="module")
+def extracted(sf_tiny):
+    cfg = CrawlConfig.from_dict(CFG)
+    idx = crawl.pages_index_ref(sf_tiny)
+    ex, _ = crawl.crawl_generation(cfg, sf_tiny, idx, budget_per_round=8)
+    return ex.materialize()
+
+
+def test_labels_and_category_index(extracted, tmp_path):
+    lab = labels.label_projection(extracted)
+    rows = lab.take_all()
+    assert {r["category"] for r in rows} <= {"cats", "dogs"}
+    # per (category, keyword) names are 0001..000k dense
+    by_kw = {}
+    for r in rows:
+        by_kw.setdefault((r["category"], r["keyword"]), []).append(
+            r["seq_name"])
+    for names in by_kw.values():
+        assert sorted(names) == [f"{i + 1:04d}" for i in range(len(names))]
+    idx = labels.category_index(labels.label_projection(extracted))
+    assert idx == {c: i for i, c in enumerate(sorted(idx))}
+    meta = labels.dataset_metadata(labels.label_projection(extracted),
+                                   "extras_fixture", "parquet")
+    assert meta["images_count"] == len(rows)
+    paths = labels.write_labels(labels.label_projection(extracted),
+                                str(tmp_path), formats=("parquet", "csv"))
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_hot_cold_tiering(extracted, tmp_path):
+    lab = labels.label_projection(extracted)
+    hot_dir, cold_dir = labels.write_tiered(lab, str(tmp_path), hot_threshold=3)
+    hot = pq.read_table(hot_dir)
+    assert hot.num_rows > 0
+    assert all(int(x) <= 3 for x in hot.column("seq_name").to_pylist())
+
+
+def test_validation_levels(extracted):
+    fast = base.validate(extracted, "fast").count()
+    medium = base.validate(extracted, "medium").count()
+    slow = base.validate(extracted, "slow").count()
+    assert fast >= medium >= slow
+    assert slow > 0  # md5 recomputation agrees -> nothing dropped vs medium
+    assert slow == medium
+
+
+def test_compression_sinks(extracted, tmp_path):
+    out = compress.write_compressed_parquet(
+        extracted.select_columns(["url", "seq", "text"]),
+        str(tmp_path / "zstd"), codec="zstd")
+    t = pq.read_table(out)
+    assert t.num_rows == extracted.count()
+    arch = compress.archive_output(out)
+    assert os.path.exists(arch) and os.path.getsize(arch) > 0
+
+
+def test_report_rendering(extracted, tmp_path):
+    mc = metrics.MetricsCollector()
+    mc.record("extract", 100, extracted.count(), wall_s=1.0)
+    out_dir = str(tmp_path / "chk")
+    rows = checkpoint.write_partitioned(extracted, out_dir, num_partitions=2)
+    md = metrics.render_report(mc.table(), rows, "extras_fixture")
+    assert "# Crawl report — extras_fixture" in md
+    assert "extract" in md and "| 0 |" in md
+
+
+def test_keyword_generator_protocol():
+    gen = base.PredefinedKeywordGenerator()
+    assert isinstance(gen, base.KeywordGenerator)
+    out = gen.generate("cats", 5)
+    assert len(out) == 5 and len(set(out)) == 5
+    assert out == gen.generate("cats", 5)  # deterministic
+
+
+def test_retry_rounds_fill_budget(sf_tiny):
+    """Alternative-term retries must increase under-budget keywords
+    (monotone non-decreasing counts; never exceed max_images)."""
+    cfg = CrawlConfig.from_dict({
+        "dataset_name": "retry_fixture",
+        "categories": {"cats": ["cat"]},
+        "options": {"max_images": 60, "max_retries": 2},
+    })
+    base_out = crawl.run_crawl(cfg, sf_tiny, budget_per_round=8).materialize()
+    full = crawl.run_crawl_with_retries(cfg, sf_tiny, budget_per_round=8)
+    n_base = base_out.count()
+    n_full = full.count()
+    assert n_full >= n_base
+    counts = {}
+    for r in full.select_columns(["keyword"]).take_all():
+        counts[r["keyword"]] = counts.get(r["keyword"], 0) + 1
+    assert all(v <= 60 for v in counts.values())
