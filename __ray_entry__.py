@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk_revenue": rel.q_lineitem_topk_revenue,
         "events_hourly": rel.q_events_hourly,
         "events_sessionize": rel.q_events_sessionize,
+        "events_sliding": rel.q_events_sliding,
         "events_asof_orders": rel.q_events_asof_orders,
         "sequential_rename": rel.q_sequential_rename,
         # --- crawl stages (oracled) ---
@@ -90,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dd.dedup_exact,                      # oracled
         "dedup_normalized": dd.dedup_normalized,            # oracled
         "dedup_simhash": dd.dedup_simhash,                  # rows-only
+        "simhash_near_pairs":
+            lambda sf: dd.simhash_near_pairs(sf, radius=3),  # rows-only
         "dedup_minhash": minhash_dedup,                     # rows-only
         "ngram_jaccard_pairs":
             lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),  # rows-only
@@ -168,6 +171,15 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+    out["events_sliding"] = """
+SELECT event_type,
+       date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+GROUP BY event_type, date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR"""
 
     out["events_sessionize"] = """
 WITH gaps AS (

@@ -38,6 +38,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # corpus amplification EXPANDS its input 20-200x; Ray's default input
+    # bundling (target_min_block_size=1MiB) would fuse the tiny upstream
+    # blocks into 2-3 giant tasks and collapse parallelism. Reads are
+    # explicitly block-sized, so disable bundling for the bench pipelines.
+    ctx.target_min_block_size = 4096
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pixcrawler_ray.pipelines import crawl, crawl_queries as cq
@@ -104,6 +109,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
     ray.shutdown()
     return out
+
+
+def scaling_pipeline(sf_dir: str, amp: int, page_size: int) -> dict:
+    """Dedicated scaling workload: the streaming frontier->fetch->extract
+    pipeline (the BASELINE.json throughput metric), single generation, no
+    driver-side serial index — fetch is the distributed shuffle join."""
+    import os
+    import time as _time
+
+    import pyarrow.compute as pc
+
+    from pixcrawler_ray.extract import extracted_dataset
+    from pixcrawler_ray.pipelines import crawl, crawl_queries as cq
+    from pixcrawler_ray.stages.fetch import STATUS_OK, virtual_fetch_dataset
+
+    t0 = _time.perf_counter()
+    cfg = cq.seeds_config(sf_dir, max_images=int(os.environ.get("GRAFT_SCALING_MAXIMG", "50")))
+    fr = crawl.build_frontier(cfg, sf_dir, budget_per_round=8,
+                              page_size=page_size, corpus_factor=amp)
+    fetched = virtual_fetch_dataset(fr, sf_dir)
+    ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+        batch_format="pyarrow")
+    rows = extracted_dataset(ok).count()
+    wall = _time.perf_counter() - t0
+    return {"rows": rows, "sec": round(wall, 3),
+            "rows_per_s": round(rows / wall, 1)}
 
 
 def run_scaling(sf_dir: str) -> dict:

@@ -197,9 +197,18 @@ def amplified_documents(sf_dir: str, factor: int):
     from pixcrawler_ray.sources.readers import read_table
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # block count chosen at the READ so no repartition shuffle is needed:
+    # one input block -> one amplified output block of ~n*factor/(4*cpus)
+    import math
+
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "text", "lang"],
-                      target_rows=max(1024, 32_768 // factor))
+                      target_rows=max(16, math.ceil(n / (4 * cpus))))
 
     def replicate(t: pa.Table) -> pa.Table:
         parts = []
@@ -213,19 +222,8 @@ def amplified_documents(sf_dir: str, factor: int):
             parts.append(shifted)
         return pa.concat_tables(parts)
 
-    import math
-
-    import ray as _ray
-    try:
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
     total = n * factor
     out = docs.map_batches(replicate, batch_format="pyarrow")
-    # fan out to match POST-amplification rows so downstream map stages
-    # can use every core (4k rows/block, capped at 4x CPUs)
-    nblocks = max(1, min(math.ceil(total / 4096), 4 * cpus))
-    out = out.repartition(nblocks)
     return out, total
 
 

@@ -83,7 +83,6 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     links: list[list[str]] = []
     valids: list[bool] = []
     md5s: list[bytes] = []
-    phashes: list[int] = []
     sizes: list[int] = []
     for h in htmls:
         h = h or b""
@@ -92,8 +91,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         links.append(ln)
         valids.append(v)
         md5s.append(hashlib.md5(t.encode("utf-8")).digest())
-        phashes.append(simhash64(t))
         sizes.append(len(h))
+    # scalar per-doc simhash on purpose: tiny cache-resident arrays, zero
+    # large allocations — large per-batch matrices page-fault badly on this
+    # host (see _tune_allocator); values are identical to simhash64_batch
+    phashes = [simhash64(t) for t in texts]
     drop = ["html"] + (["text"] if "text" in batch.column_names else [])
     out = batch.drop_columns(drop)
     out = out.append_column("text", pa.array(texts, type=pa.string()))
@@ -109,6 +111,13 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
-def extracted_dataset(pages_ds):
-    """pages Dataset -> extracted Dataset (drops html early)."""
-    return pages_ds.map_batches(extract_batch, batch_format="pyarrow")
+def extracted_dataset(pages_ds, batch_size: int = 2048):
+    """pages Dataset -> extracted Dataset (drops html early).
+
+    Modest batch_size on purpose: the fingerprint kernels allocate a few MB
+    per batch, and keeping those inside the allocator's reused arena matters
+    on machines where fresh page faults are expensive (see
+    ``pixcrawler_ray._tune_allocator``).
+    """
+    return pages_ds.map_batches(extract_batch, batch_format="pyarrow",
+                                batch_size=batch_size)

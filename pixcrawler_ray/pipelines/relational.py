@@ -180,6 +180,33 @@ def q_events_hourly(sf_dir: str):
                          Sum("value_cents", alias_name="sum_value_cents")))
 
 
+def q_events_sliding(sf_dir: str, window_hours: int = 2):
+    """Sliding/hopping window (size 2h, hop 1h): each event contributes to
+    ``window_hours`` windows. Flat-map inside map_batches -> groupby —
+    the standard batch re-expression of a hop window (§2.8)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        parts = []
+        for o in range(window_hours):
+            start = pc.subtract(
+                hour.cast(pa.int64()),
+                pa.scalar(o * 3_600_000_000, pa.int64())).cast(
+                    pa.timestamp("us"))
+            parts.append(pa.table({
+                "event_type": t.column("event_type"),
+                "window_start": start,
+                "value_cents": _cents(t.column("value")),
+            }))
+        return pa.concat_tables(parts)
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby(["event_type", "window_start"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("value_cents", alias_name="sum_value_cents")))
+
+
 def q_events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (§2.8 streaming analog).
 

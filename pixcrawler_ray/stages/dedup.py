@@ -79,19 +79,20 @@ class MinHasher:
         self.bands = bands
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from pixcrawler_ray.functions.minhash import minhash_signature_batch
+
         ids = t.column("doc_id").to_numpy()
-        texts = t.column("text").to_pylist()
-        out_doc, out_band, out_bucket = [], [], []
-        for d, text in zip(ids, texts):
-            sig = minhash_signature(word_shingles(text or "", self.k),
-                                    self.num_perms)
-            keys = lsh_band_keys(sig, self.bands)
-            out_doc.extend([int(d)] * self.bands)
-            out_band.extend(range(self.bands))
-            out_bucket.extend(int(x) for x in keys)
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        sigs = minhash_signature_batch(texts, self.num_perms, self.k)
+        n = len(ids)
+        out_bucket = np.empty(n * self.bands, dtype=np.uint64)
+        for i in range(n):
+            out_bucket[i * self.bands:(i + 1) * self.bands] = \
+                lsh_band_keys(sigs[i], self.bands)
         return pa.table({
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "band": pa.array(out_band, type=pa.int32()),
+            "doc_id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     n)),
             "bucket": pa.array(out_bucket, type=pa.uint64()),
         })
 
@@ -205,12 +206,82 @@ def dedup_simhash(sf_dir: str, k: int = 2):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_sim(t: pa.Table) -> pa.Table:
-        sims = [simhash64(x or "", k=k) for x in t.column("text").to_pylist()]
+        from pixcrawler_ray.functions.minhash import simhash64_batch
+        sims = simhash64_batch([x or "" for x in t.column("text").to_pylist()],
+                               k=k)
         return pa.table({"doc_id": t.column("doc_id"),
                          "simhash": pa.array(sims, type=pa.uint64())})
 
     hashed = ds.map_batches(add_sim, batch_format="pyarrow")
     return keep_first_by(hashed, ["simhash"], "doc_id", num_buckets=32)
+
+
+def simhash_near_pairs(sf_dir: str, radius: int = 3, k: int = 2):
+    """Hamming-radius SimHash near-dup pairs via 4-segment pigeonhole blocking.
+
+    Split the 64-bit fingerprint into four 16-bit segments: any pair within
+    Hamming distance <= 3 differs in at most 3 segments, so it MUST share at
+    least one exact segment (pigeonhole; Manku et al. WWW'07 construction).
+    Candidates = pairs sharing (segment_index, segment_value); verified with
+    the exact Hamming distance. One groupby shuffle on the segment key.
+    """
+    if radius > 3:
+        raise ValueError("4-segment blocking guarantees recall only for "
+                         "radius <= 3; use more segments for larger radii")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_segments(t: pa.Table) -> pa.Table:
+        from pixcrawler_ray.functions.minhash import simhash64_batch
+        ids = t.column("doc_id").to_numpy()
+        sims = simhash64_batch(
+            [x or "" for x in t.column("text").to_pylist()], k=k)
+        seg_i = np.repeat(np.arange(4, dtype=np.int64), len(ids))
+        doc = np.tile(ids, 4)
+        sim_rep = np.tile(sims, 4)
+        seg_v = (sim_rep >> (seg_i.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        return pa.table({
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "seg_i": pa.array(seg_i, type=pa.int64()),
+            "seg_v": pa.array(seg_v.astype(np.int64), type=pa.int64()),
+            "simhash": pa.array(sim_rep, type=pa.uint64()),
+        })
+
+    segrows = ds.map_batches(add_segments, batch_format="pyarrow")
+
+    def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        sim_of: dict[int, int] = {}
+        for (_, _), grp in g.groupby(["seg_i", "seg_v"], sort=False):
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["simhash"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids, sims = ids[order], sims[order]
+            uniq = ~pd.Series(ids).duplicated().to_numpy()
+            ids, sims = ids[uniq], sims[uniq]
+            m = len(ids)
+            if m > 1:
+                i, j = np.triu_indices(m, 1)
+                x = sims[i] ^ sims[j]
+                ham = np.unpackbits(
+                    x.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+                    axis=1).sum(axis=1)
+                keep = ham <= radius
+                outs_a.append(ids[i][keep])
+                outs_b.append(ids[j][keep])
+        if not outs_a:
+            return pd.DataFrame({"doc_a": np.array([], dtype=np.int64),
+                                 "doc_b": np.array([], dtype=np.int64),
+                                 "pair_key": np.array([], dtype=np.int64)})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        return pd.DataFrame({"doc_a": a, "doc_b": b,
+                             "pair_key": a * (1 << 32) + b})
+
+    pairs = per_bucket(segrows, ["seg_i", "seg_v"], pairs_kernel,
+                       num_buckets=32)
+    deduped = keep_first_by(pairs, ["pair_key"], "pair_key", num_buckets=16)
+    return deduped.drop_columns(["pair_key"])
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,

@@ -157,3 +157,123 @@ def split_fetched(fetched_ds):
             value_set=pa.array(PERMANENT_STATUSES, type=pa.int32()))),
         batch_format="pyarrow")
     return ok, transient, failed
+
+
+def statuses_batch(t: pa.Table, min_bytes: int = MIN_CONTENT_BYTES,
+                   transient_mod: int = 89, transient_rem: int = 3) -> pa.Table:
+    """Status assignment for join-fetched rows (html nullable = not found)."""
+    n = t.num_rows
+    doc = t.column("doc_id").to_numpy()
+    depth = t.column("depth").to_numpy()
+    html = t.column("html")
+    found = ~np.asarray(html.is_null())
+    lengths = pc.fill_null(pc.binary_length(html), 0).to_numpy()
+    transient = found & (doc % transient_mod == transient_rem) & (depth == 0)
+    small = found & ~transient & (lengths < min_bytes)
+    ok = found & ~transient & ~small
+    status = np.select([transient, small, ok],
+                       [STATUS_TRANSIENT, STATUS_CONTENT_REJECTED, STATUS_OK],
+                       default=STATUS_NOT_FOUND).astype(np.int32)
+    out = t.append_column("status", pa.array(status, type=pa.int32()))
+    # blank the payload for non-OK rows (transient rows are retried; failed
+    # rows carry no body downstream)
+    ind = pa.array(np.arange(n, dtype=np.int64), mask=~ok)
+    idx = out.schema.get_field_index("html")
+    return out.set_column(idx, "html", pc.take(out.column("html"), ind))
+
+
+def fetch_via_join(frontier_ds, pages_ds, num_buckets: int = 64):
+    """The 100 TB fetch path: partitioned hash join frontier ⨝ pages.
+
+    No broadcast — both sides shuffle on ``hash(doc_id) % B`` and join
+    per-bucket (``stages.shuffle.bucketed_join``). The corpus side ships only
+    (doc_id, url, warc_ts, html); the left-join null html marks 404s. Use
+    when the corpus exceeds a node's memory; the broadcast index path
+    (:func:`fetch_dataset`) wins below that.
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    pages = pages_ds.map_batches(
+        lambda t: t.select(["doc_id", "warc_ts", "html"]),
+        batch_format="pyarrow")
+    joined = bucketed_join(frontier_ds, pages, on="doc_id", how="left",
+                           num_buckets=num_buckets)
+    return joined.map_batches(statuses_batch, batch_format="pyarrow")
+
+
+class VirtualCorpusFetcher:
+    """Fetcher for the DERIVED corpus: renders the page per candidate from
+    the (tiny, broadcast) base documents table instead of shipping the
+    amplified corpus around.
+
+    Because the corpus is a pure function of ``documents`` (corpus.py
+    derivation), fetching doc_id d IS ``render_html(d, text[d % n_base])`` —
+    the "web server" computes the page, the pipeline still sees exactly the
+    same bytes/status a stored corpus would yield. Scales to any
+    amplification with O(base) memory per actor; the stored-corpus paths
+    (:func:`fetch_dataset` broadcast index / :func:`fetch_via_join` shuffle
+    join) remain for real corpora.
+    """
+
+    def __init__(self, texts_ref, n_base: int,
+                 min_bytes: int = MIN_CONTENT_BYTES,
+                 transient_mod: int = 89, transient_rem: int = 3):
+        self.texts = ray.get(texts_ref)      # list[str], base table order
+        self.n_base = n_base
+        self.min_bytes = min_bytes
+        self.transient_mod = transient_mod
+        self.transient_rem = transient_rem
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pixcrawler_ray import corpus as _corpus
+
+        n = batch.num_rows
+        if n == 0:
+            out = batch.append_column("status", pa.array([], type=pa.int32()))
+            out = out.append_column("warc_ts",
+                                    pa.array([], type=pa.timestamp("us")))
+            return out.append_column("html", pa.array([], type=pa.binary()))
+        doc = batch.column("doc_id").to_numpy()
+        depth = batch.column("depth").to_numpy()
+        transient = ((doc % self.transient_mod == self.transient_rem)
+                     & (depth == 0))
+        malformed = (doc % _corpus.MALFORMED_MOD) == _corpus.MALFORMED_REM
+        ok = ~transient & ~malformed     # malformed html is < min_bytes
+        status = np.select(
+            [transient, malformed],
+            [STATUS_TRANSIENT, STATUS_CONTENT_REJECTED],
+            default=STATUS_OK).astype(np.int32)
+        htmls = [
+            _corpus.render_html(int(d), self.texts[int(d) % self.n_base])
+            if k else None
+            for d, k in zip(doc, ok)
+        ]
+        ts = _corpus.BASE_EPOCH_US + doc.astype(np.int64) * 1_000_000
+        ts_arr = pa.array(np.where(ok, ts, 0), mask=~ok).cast(
+            pa.timestamp("us"))
+        out = batch.append_column("status", pa.array(status, type=pa.int32()))
+        out = out.append_column("warc_ts", ts_arr)
+        return out.append_column("html", pa.array(htmls, type=pa.binary()))
+
+
+def virtual_fetch_dataset(frontier_ds, sf_dir: str,
+                          concurrency: int | None = None,
+                          batch_size: int = 2048):
+    """Virtual-corpus fetch actor pool (broadcasts only the base texts)."""
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.sources.readers import pool_size
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    order = np.argsort(docs.column("doc_id").to_numpy())
+    texts = [docs.column("text").to_pylist()[i] for i in order]
+    texts_ref = ray.put(texts)
+    if concurrency is None:
+        concurrency = pool_size(0.75)
+    return frontier_ds.map_batches(
+        VirtualCorpusFetcher,
+        fn_constructor_kwargs={"texts_ref": texts_ref,
+                               "n_base": len(texts)},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=max(1, concurrency), num_cpus=1)

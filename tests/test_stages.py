@@ -150,3 +150,23 @@ def test_politeness_shard_actor_matches_batch_rule():
     rounds = ray.get(shard.admit.remote(hosts))
     # a: ranks 0,1,2,3 -> rounds 0,0,1,1 ; b: 0,0,1
     assert list(rounds) == [0, 0, 1, 0, 1, 0, 1]
+
+
+def test_batch_fingerprints_match_scalar(sf_tiny):
+    """simhash64_batch / minhash_signature_batch must be value-identical to
+    the scalar reference implementations."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.functions.minhash import (
+        minhash_signature, minhash_signature_batch, simhash64,
+        simhash64_batch, word_shingles)
+
+    texts = pq.read_table(f"{sf_tiny}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()[:200]
+    texts += ["", "one", "two words", "a b c d"]
+    batch = simhash64_batch(texts, k=2)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64(t, k=2), (i, t[:40])
+    sigs = minhash_signature_batch(texts, 64, k=3)
+    for i, t in enumerate(texts):
+        want = minhash_signature(word_shingles(t, 3), 64)
+        assert (sigs[i] == want).all(), (i, t[:40])
