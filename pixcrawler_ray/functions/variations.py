@@ -47,6 +47,42 @@ def select_variations(dataset: str, category: str, keyword: str,
     return [TEMPLATES[i].format(kw=keyword) for i in order[:n]]
 
 
+# M6 — deterministic keyword generator. The reference calls a g4f chat model
+# (builder/_keywords.py:93-138) and then cleans/dedupes the reply, always
+# inserting the category first (builder/_keywords.py:200-224). A remote AI
+# model is out of scope here (ST5, no network), so generation is a fixed
+# template grid over the category name — same downstream contract: a cleaned,
+# order-stable list with the category itself first.
+GENERATED_KEYWORD_TEMPLATES: list[str] = [
+    "{cat}",
+    "{cat} photo",
+    "{cat} image",
+    "high quality {cat}",
+    "{cat} close up",
+    "{cat} wallpaper",
+    "{cat} illustration",
+    "professional {cat} photography",
+    "{cat} detailed",
+    "{cat} examples",
+]
+
+
+def generate_keywords(category: str) -> list[str]:
+    """M6 — deterministic stand-in for the reference's AI keyword generation.
+
+    Mirrors ``_clean_and_deduplicate_keywords`` (builder/_keywords.py:200-224):
+    strip, drop empties, order-preserving dedup, category first.
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for t in GENERATED_KEYWORD_TEMPLATES:
+        kw = t.format(cat=category).strip()
+        if kw and kw not in seen:
+            seen.add(kw)
+            out.append(kw)
+    return out
+
+
 def validate_keyword(kw: str) -> bool:
     """M4 — mirror of ``validate_keywords`` (builder/_keywords.py:223-256)."""
     kw = kw.strip()

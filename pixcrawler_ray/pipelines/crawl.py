@@ -143,8 +143,11 @@ def crawl_generation(config: CrawlConfig, sf_dir: str, index_ref,
                      budget_per_round: int = 8, seen_shards=None,
                      fetch_concurrency: int | None = None,
                      transient_frontier=None, materialize_fork: bool = False,
-                     corpus_factor: int = 1):
-    """One generation. Returns (extracted_ds, transient_frontier_ds).
+                     corpus_factor: int = 1, with_failed: bool = False):
+    """One generation. Returns (extracted_ds, transient_frontier_ds), plus a
+    ``failed`` quarantine Dataset (permanent statuses + invalid extracts, with
+    audit ``reason``) when ``with_failed`` — the validator-quarantine analog
+    (``validator/validation.py:129-149``).
 
     ``transient_frontier``: when given (generation > 0), it IS the frontier
     (re-queued 503 rows at depth+1) and no expansion happens.
@@ -172,12 +175,55 @@ def crawl_generation(config: CrawlConfig, sf_dir: str, index_ref,
     transient = fetched.map_batches(
         lambda t: _requeue(t), batch_format="pyarrow")
     budgeted = keep_first_n(ok, ["keyword"], "seq", config.max_images)
-    extracted = extracted_dataset(budgeted)
-    extracted = extracted.map_batches(
+    extracted_all = extracted_dataset(budgeted)
+    extracted = extracted_all.map_batches(
         lambda t: t.filter(t.column("valid")), batch_format="pyarrow")
     extracted = keep_first_by(extracted, ["content_md5"], "seq")
     extracted = keep_first_by(extracted, ["phash"], "seq")
+    if with_failed:
+        failed = fetched.map_batches(_quarantine_permanent,
+                                     batch_format="pyarrow")
+        invalid = extracted_all.map_batches(_quarantine_invalid,
+                                            batch_format="pyarrow")
+        return extracted, transient, failed.union(invalid)
     return extracted, transient
+
+
+QUARANTINE_COLS = ["url", "host", "category", "keyword", "seq", "doc_id",
+                   "depth", "status"]
+
+_REASON_BY_STATUS = {403: "robots_blocked", 404: "not_found",
+                     415: "content_rejected", 422: "invalid_extract",
+                     503: "retry_exhausted"}
+
+
+def _with_reason(t: pa.Table) -> pa.Table:
+    """Append the audit ``reason`` string derived from ``status``."""
+    s = t.column("status").to_numpy()
+    conds = [s == code for code in _REASON_BY_STATUS]
+    reason = np.select(conds, list(_REASON_BY_STATUS.values()),
+                       default="unknown")
+    return t.append_column("reason", pa.array(reason.tolist(),
+                                              type=pa.string()))
+
+
+def _quarantine_permanent(t: pa.Table) -> pa.Table:
+    """Fetched rows with a permanent failure status -> quarantine rows."""
+    from pixcrawler_ray.stages.fetch import PERMANENT_STATUSES
+    t = t.filter(pc.is_in(t.column("status"),
+                          value_set=pa.array(PERMANENT_STATUSES,
+                                             type=pa.int32())))
+    return _with_reason(t.select(QUARANTINE_COLS))
+
+
+def _quarantine_invalid(t: pa.Table) -> pa.Table:
+    """Extracted rows failing the validity check -> quarantine rows (422)."""
+    t = t.filter(pc.invert(t.column("valid")))
+    t = t.drop_columns([c for c in t.column_names
+                        if c not in QUARANTINE_COLS])
+    t = t.set_column(t.schema.get_field_index("status"), "status",
+                     pa.array(np.full(t.num_rows, 422, dtype=np.int32)))
+    return _with_reason(t.select(QUARANTINE_COLS))
 
 
 def _requeue(t: pa.Table) -> pa.Table:
@@ -194,8 +240,9 @@ def _requeue(t: pa.Table) -> pa.Table:
 def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
               budget_per_round: int = 8, max_generations: int | None = None,
               fetch_concurrency: int | None = None, seen_shards=None,
-              corpus_factor: int = 1):
-    """Full multi-generation crawl; returns the union of extracted datasets.
+              corpus_factor: int = 1, with_failed: bool = False):
+    """Full multi-generation crawl; returns the union of extracted datasets
+    (plus the quarantine Dataset when ``with_failed``).
 
     Generations after the first re-fetch only the transient rows — the
     iterative retry dataflow (Retry.retry_download,
@@ -203,23 +250,30 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
     """
     gens = (config.max_retries if max_generations is None else max_generations)
     index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
-    extracted, transient = crawl_generation(
+    res = crawl_generation(
         config, sf_dir, index_ref, depth=0, page_size=page_size,
         budget_per_round=budget_per_round, seen_shards=seen_shards,
         fetch_concurrency=fetch_concurrency, materialize_fork=True,
-        corpus_factor=corpus_factor)
+        corpus_factor=corpus_factor, with_failed=with_failed)
+    extracted, transient = res[0], res[1]
+    faileds = [res[2]] if with_failed else []
     outputs = [extracted]
     current = transient
     for _ in range(gens):
         # materialize the (small) retry frontier to decide termination
         current = current.materialize()
         if current.count() == 0:
+            current = None
             break
-        ex, current = crawl_generation(
+        res = crawl_generation(
             config, sf_dir, index_ref, budget_per_round=budget_per_round,
             fetch_concurrency=fetch_concurrency,
-            transient_frontier=current, materialize_fork=True)
-        outputs.append(ex)
+            transient_frontier=current, materialize_fork=True,
+            with_failed=with_failed)
+        outputs.append(res[0])
+        current = res[1]
+        if with_failed:
+            faileds.append(res[2])
     out = outputs[0]
     if len(outputs) > 1:
         for ds in outputs[1:]:
@@ -231,6 +285,20 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
         # budget is CUMULATIVE per keyword across generations (the reference's
         # shared counter spans retries, builder/_engine.py:580-644)
         out = keep_first_n(out, ["keyword"], "seq", config.max_images)
+    if with_failed:
+        failed = faileds[0]
+        for ds in faileds[1:]:
+            failed = failed.union(ds)
+        if current is not None:
+            # transients that never resolved within the retry budget
+            exhausted = current.map_batches(
+                lambda t: _with_reason(t.select(QUARANTINE_COLS[:-1])
+                                       .append_column(
+                    "status", pa.array(np.full(t.num_rows, 503,
+                                               dtype=np.int32)))),
+                batch_format="pyarrow")
+            failed = failed.union(exhausted)
+        return out, failed
     return out
 
 

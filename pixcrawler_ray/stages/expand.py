@@ -28,6 +28,7 @@ import pyarrow as pa
 
 from pixcrawler_ray import corpus
 from pixcrawler_ray.functions.variations import (
+    generate_keywords,
     sanitize_keyword,
     select_variations,
     validate_keyword,
@@ -44,6 +45,7 @@ ENGINES: list[tuple[str, int, int, int]] = [
 
 PAGE_SIZE = 10          # candidate urls per (unit, offset) "result page"
 CAND_STRIDE = 2654435761  # candidate doc spacing (Knuth constant, SQL-safe)
+MAX_KEYWORDS_PER_CATEGORY = 64  # D4 post-union cap (builder/_config.py bound)
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -92,22 +94,89 @@ class CrawlConfig:
             options=opts,
         )
 
+    def keyword_plan(self) -> dict[str, dict]:
+        """M6/D1 — per-category keyword resolution under ``keyword_generation``
+        (builder/_keywords.py:36-89 ``prepare_keywords``):
+
+        - no keywords, mode auto/enabled -> generated keywords
+        - no keywords, mode disabled     -> [category]
+        - keywords,    mode enabled      -> user keywords UNION generated ones
+          (order pinned: user keywords in config order first, then generated
+          keywords not already present, in generator order — SURVEY D1; the
+          reference's ``list(set(...))`` order is irreproducible by design)
+        - keywords,    mode auto/disabled -> user keywords unchanged
+
+        Returns per category: keywords, original_keywords, generated_keywords,
+        generation_occurred (the reference's prepare_keywords dict).
+        """
+        mode = self.keyword_generation
+        plan: dict[str, dict] = {}
+        for cat, kws in self.categories.items():
+            original = [k.strip() for k in (kws or []) if k and k.strip()]
+            generated: list[str] = []
+            occurred = False
+            if not original and mode in ("auto", "enabled"):
+                generated = generate_keywords(cat)
+                final = list(generated)
+                occurred = True
+            elif not original:
+                final = [cat]
+            elif mode == "enabled":
+                generated = generate_keywords(cat)
+                have = set(original)
+                final = original + [g for g in generated if g not in have]
+                occurred = True
+            else:
+                final = list(original)
+            plan[cat] = {
+                "keywords": final,
+                "original_keywords": original,
+                "generated_keywords": generated,
+                "generation_occurred": occurred,
+            }
+        return plan
+
     def prepared_keywords(self) -> list[tuple[str, str]]:
         """(category, keyword) pairs in canonical order.
 
-        Empty keyword list -> [category] (builder/_keywords.py:66-71);
-        invalid keywords filtered (M4); order preserved (D2).
+        Keyword-generation modes applied per :meth:`keyword_plan` (M6/D1);
+        invalid keywords filtered (M4); order preserved (D2); capped at
+        ``MAX_KEYWORDS_PER_CATEGORY`` post-union (D4).
         """
         out: list[tuple[str, str]] = []
-        for cat, kws in self.categories.items():
-            kws = kws or [cat]
+        for cat, plan in self.keyword_plan().items():
             seen: set[str] = set()
-            for kw in kws:
+            kept = 0
+            for kw in plan["keywords"]:
                 kw = kw.strip()
+                if kept >= MAX_KEYWORDS_PER_CATEGORY:
+                    break
                 if validate_keyword(kw) and kw not in seen:
                     seen.add(kw)
                     out.append((cat, sanitize_keyword(kw)))
+                    kept += 1
         return out
+
+
+def keyword_generation_stats(config: CrawlConfig) -> dict:
+    """A5 — keyword-generation statistics (builder/_keywords.py:259-290)."""
+    plan = config.keyword_plan()
+    stats = {
+        "total_categories": len(plan),
+        "categories_with_generation":
+            sum(1 for p in plan.values() if p["generation_occurred"]),
+        "total_original_keywords":
+            sum(len(p["original_keywords"]) for p in plan.values()),
+        "total_generated_keywords":
+            sum(len(p["generated_keywords"]) for p in plan.values()),
+        "total_final_keywords":
+            sum(len(p["keywords"]) for p in plan.values()),
+        "generation_rate": 0.0,
+    }
+    if stats["total_categories"]:
+        stats["generation_rate"] = (stats["categories_with_generation"]
+                                    / stats["total_categories"])
+    return stats
 
 
 def work_unit_grid(config: CrawlConfig, depth: int = 0,

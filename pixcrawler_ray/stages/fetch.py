@@ -132,12 +132,16 @@ def fetch_dataset(frontier_ds, index_ref, concurrency: int | None = None,
     from pixcrawler_ray.sources.readers import pool_size
     if concurrency is None:
         concurrency = pool_size(0.5)
+    # autoscaling pool with a minimum of ONE actor: a fixed-size pool whose
+    # second actor can never be placed (small clusters with other pools
+    # holding reservations) stalls the streaming executor forever — the
+    # round-1 resume-path deadlock.
     return frontier_ds.map_batches(
         Fetcher,
         fn_constructor_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=max(1, concurrency),
+        concurrency=(1, max(1, concurrency)),
         num_cpus=1,
     )
 
@@ -267,7 +271,8 @@ def virtual_fetch_dataset(frontier_ds, sf_dir: str,
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     order = np.argsort(docs.column("doc_id").to_numpy())
-    texts = [docs.column("text").to_pylist()[i] for i in order]
+    texts_all = docs.column("text").to_pylist()
+    texts = [texts_all[i] for i in order]
     texts_ref = ray.put(texts)
     if concurrency is None:
         concurrency = pool_size(0.75)
@@ -276,4 +281,4 @@ def virtual_fetch_dataset(frontier_ds, sf_dir: str,
         fn_constructor_kwargs={"texts_ref": texts_ref,
                                "n_base": len(texts)},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=max(1, concurrency), num_cpus=1)
+        concurrency=(1, max(1, concurrency)), num_cpus=1)

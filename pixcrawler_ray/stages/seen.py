@@ -18,6 +18,16 @@ Sharding is by ``url_hash % num_shards``; at 10^10 URLs each of S shards holds
 plus an in-memory bloom of a few GB/S. Host-affine routing (hash of host) is
 used by the politeness stage; the seen filter shards on the full url hash for
 uniform load.
+
+Keying: every frontier/extracted row carries the integer ``doc_id`` (bijective
+with url in this corpus), so the seen key is the VECTORIZED
+``fnv1a64_ints(doc_id)`` — no per-row Python hashing anywhere in the seen hot
+path. The blake2b url-string hash remains only as the fallback for tables
+without a ``doc_id`` column (external corpora).
+
+The shard actors are membership stores, not compute: ``num_cpus=0`` so they
+never hold CPU reservations that could starve the fetch/shuffle actor pools
+(a real deadlock observed at num_cpus=4 in round 1).
 """
 
 from __future__ import annotations
@@ -27,7 +37,7 @@ import pyarrow as pa
 import ray
 
 from pixcrawler_ray.functions.bloom import BloomFilter
-from pixcrawler_ray.functions.hashing import hash64_array
+from pixcrawler_ray.functions.hashing import fnv1a64_ints, hash64_array
 from pixcrawler_ray.stages.shuffle import keep_first_by
 
 SEEN_SCHEMA = pa.schema(
@@ -35,12 +45,20 @@ SEEN_SCHEMA = pa.schema(
 )
 
 
+def seen_keys(batch: pa.Table) -> np.ndarray:
+    """uint64 seen-set keys for a batch — vectorized on ``doc_id`` when
+    present, per-row blake2b of ``url`` otherwise."""
+    if "doc_id" in batch.column_names:
+        return fnv1a64_ints(batch.column("doc_id").to_numpy())
+    return hash64_array(batch.column("url"))
+
+
 def dedup_frontier(frontier_ds, num_buckets: int = 64):
     """Within-generation URL dedup: keep the min-``seq`` row per url."""
     return keep_first_by(frontier_ds, ["url"], "seq", num_buckets=num_buckets)
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the URL-seen set: exact uint64 set + bloom accelerator."""
 
@@ -74,6 +92,16 @@ def start_seen_shards(num_shards: int, capacity_per_shard: int = 1_000_000):
     return [SeenShard.remote(i, capacity_per_shard) for i in range(num_shards)]
 
 
+def kill_seen_shards(shards) -> None:
+    """Release the shard actors (their state lives on in the checkpointed
+    ``seen`` deltas; a resumed run replays those into fresh actors)."""
+    for s in shards or []:
+        try:
+            ray.kill(s)
+        except Exception:
+            pass
+
+
 def load_seen_shards(shards, seen_table: pa.Table) -> None:
     """Replay a checkpointed ``seen`` table into the shard actors."""
     if seen_table.num_rows == 0:
@@ -99,7 +127,7 @@ class SeenAntiJoin:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        h = hash64_array(batch.column("url"))
+        h = seen_keys(batch)
         s = (h % np.uint64(self.n)).astype(np.int64)
         seen_mask = np.zeros(len(h), dtype=bool)
         futures, owners = [], []
@@ -119,16 +147,25 @@ class SeenRegister(SeenAntiJoin):
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        h = hash64_array(batch.column("url"))
+        h = seen_keys(batch)
         s = (h % np.uint64(self.n)).astype(np.int64)
         ray.get([self.shards[i].add.remote(h[s == i]) for i in range(self.n)
                  if (s == i).any()])
         return batch
 
 
-def seen_delta_table(urls, epoch: int, num_shards: int) -> pa.Table:
-    """Checkpoint rows for newly-admitted urls (FIXTURES.md ``seen`` schema)."""
-    h = hash64_array(urls)
+def seen_delta_table(keys, epoch: int, num_shards: int) -> pa.Table:
+    """Checkpoint rows for newly-admitted urls (FIXTURES.md ``seen`` schema).
+
+    ``keys``: int64 doc_ids (vectorized fnv key) or url strings (fallback).
+    """
+    arr = np.asarray(keys)
+    if arr.dtype.kind in "iu" and len(arr):
+        h = fnv1a64_ints(arr.astype(np.int64))
+    elif arr.dtype.kind in "iu":
+        h = np.zeros(0, dtype=np.uint64)
+    else:
+        h = hash64_array(list(keys))
     return pa.table({
         "url_hash": pa.array(h, type=pa.uint64()),
         "shard": pa.array((h % np.uint64(num_shards)).astype(np.int32)),

@@ -49,6 +49,16 @@ def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
             for k in keys[1:]:   # vectorized integer key mixing
                 h = fnv1a64_ints(
                     batch.column(k).to_numpy().astype(np.uint64) ^ h)
+        elif (len(keys) == 1 and (pa.types.is_string(key_types[0])
+                                  or pa.types.is_large_string(key_types[0]))):
+            # hash each UNIQUE string once (dictionary-encode): bucketing
+            # string keys (urls, keywords) must not pay per-row blake2b
+            col = batch.column(keys[0]).combine_chunks()
+            d = col.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            uniq_h = hash64_array(d.dictionary)
+            h = uniq_h[d.indices.to_numpy(zero_copy_only=False)]
         else:
             parts = []
             for k in keys:

@@ -38,7 +38,20 @@ MANIFEST = "manifest.jsonl"
 
 
 def partition_ids(keywords, num_partitions: int) -> np.ndarray:
-    return (hash64_array(keywords) % np.uint64(num_partitions)).astype(np.int64)
+    """hash(keyword) % P, hashing each UNIQUE keyword once per batch (the
+    keyword column is low-cardinality; per-row blake2b would dominate)."""
+    if isinstance(keywords, (pa.Array, pa.ChunkedArray)):
+        enc = pa.chunked_array([keywords]).combine_chunks() \
+            if isinstance(keywords, pa.ChunkedArray) else keywords
+        d = enc.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq_h = hash64_array(d.dictionary)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        h = uniq_h[idx]
+    else:
+        h = hash64_array(keywords)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def read_manifest(out_dir: str) -> list[dict]:
@@ -50,7 +63,32 @@ def read_manifest(out_dir: str) -> list[dict]:
 
 
 def completed_partitions(out_dir: str) -> set[int]:
-    return {m["partition"] for m in read_manifest(out_dir)}
+    return {m["partition"] for m in read_manifest(out_dir)
+            if m.get("stage") == "extracted"}
+
+
+def mark_epoch_complete(out_dir: str, epoch: int) -> None:
+    """Append the epoch-complete marker — its absence distinguishes a crash
+    resume (rerun same epoch, skip committed partitions, NO seen filter) from
+    a new incremental epoch (seen anti-join)."""
+    _append_manifest(out_dir, {"partition": -1, "epoch": epoch,
+                               "stage": "epoch_complete",
+                               "rows": 0, "bytes": 0,
+                               "seen_delta_path": "", "wall_s": 0.0})
+
+
+def read_quarantine(out_dir: str, epoch: int | None = None) -> pa.Table:
+    """Read the quarantine trail (one parquet dir per epoch)."""
+    import glob
+    pat = (os.path.join(out_dir, "quarantine", "epoch=*", "*.parquet")
+           if epoch is None else
+           os.path.join(out_dir, "quarantine", f"epoch={epoch}", "*.parquet"))
+    files = sorted(glob.glob(pat))
+    if not files:
+        return pa.table({"url": pa.array([], type=pa.string()),
+                         "status": pa.array([], type=pa.int32()),
+                         "reason": pa.array([], type=pa.string())})
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 
 def _append_manifest(out_dir: str, row: dict) -> None:
@@ -62,57 +100,79 @@ def write_partitioned(extracted_ds, out_dir: str, num_partitions: int = 8,
                       epoch: int = 0, fail_after: int | None = None) -> list[dict]:
     """Write the extracted dataset as committed partitions + lineage rows.
 
+    DISTRIBUTED writer: rows shuffle once on the partition key
+    (``groupby(part).map_groups``), each partition task sorts its own rows by
+    ``seq`` and writes ``data.parquet`` + ``seen_delta.parquet`` into a
+    ``_tmp-part={p}`` staging dir — the driver never holds row data, only the
+    tiny per-partition stats table. The COMMIT (staging-dir rename + manifest
+    append) runs on the driver in sorted partition order, so a crash leaves a
+    clean prefix of committed partitions and ``fail_after`` is deterministic.
+
     ``fail_after``: test hook — raise after committing N partitions to
     simulate a mid-run crash (FIXTURES.md §4.6 resume test).
 
     Partition column is keyword-hash so a partition maps to a stable unit of
     reference work (category/keyword), like the ProgressCache key.
     """
+    import pyarrow.compute as pc
+
     os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
 
     def tag(t: pa.Table) -> pa.Table:
         p = partition_ids(t.column("keyword"), num_partitions)
-        return t.append_column("part", pa.array(p, type=pa.int64()))
+        t = t.append_column("part", pa.array(p, type=pa.int64()))
+        if done:   # skip already-committed partitions before the shuffle
+            mask = pc.invert(pc.is_in(
+                t.column("part"),
+                value_set=pa.array(sorted(done), type=pa.int64())))
+            t = t.filter(mask)
+        return t
 
     tagged = extracted_ds.map_batches(tag, batch_format="pyarrow")
-    done = completed_partitions(out_dir)
+
+    def write_tmp(g: pa.Table) -> pa.Table:
+        t0 = time.time()
+        p = int(g.column("part")[0].as_py())
+        table = g.sort_by([("seq", "ascending")]).drop_columns(["part"])
+        tmp = os.path.join(out_dir, f"_tmp-part={p}")
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+        keys = (table.column("doc_id").to_numpy()
+                if "doc_id" in table.column_names
+                else table.column("url").to_pylist())
+        delta = seen_delta_table(keys, epoch, num_partitions)
+        pq.write_table(delta, os.path.join(tmp, "seen_delta.parquet"))
+        return pa.table({
+            "partition": pa.array([p], type=pa.int64()),
+            "rows": pa.array([table.num_rows], type=pa.int64()),
+            "bytes": pa.array([int(table.nbytes)], type=pa.int64()),
+            "wall_s": pa.array([round(time.time() - t0, 4)],
+                               type=pa.float64()),
+        })
+
+    stats = (tagged.groupby("part")
+             .map_groups(write_tmp, batch_format="pyarrow")
+             .take_all())          # num_partitions tiny rows — not row data
+
     rows: list[dict] = []
     committed = 0
-    # One pass over the stream, buffered per partition. Partition count is
-    # small (open-file bound); blocks stream through without full pin.
-    writers: dict[int, list[pa.Table]] = {}
-    for batch in tagged.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if batch.num_rows == 0:
-            continue
-        parts = batch.column("part").to_numpy()
-        for p in np.unique(parts):
-            if int(p) in done:
-                continue
-            sub = batch.filter(pa.array(parts == p))
-            writers.setdefault(int(p), []).append(sub)
-    for p in sorted(writers):
-        t0 = time.time()
-        table = pa.concat_tables(writers[p])
-        # deterministic layout: sort by seq inside the partition
-        table = table.take(pa.compute.sort_indices(table.column("seq")))
+    for st in sorted(stats, key=lambda r: r["partition"]):
+        p = int(st["partition"])
         tmp = os.path.join(out_dir, f"_tmp-part={p}")
         final = os.path.join(out_dir, f"part={p}")
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(table.drop_columns(["part"]),
-                       os.path.join(tmp, "data.parquet"))
-        delta = seen_delta_table(table.column("url").to_pylist(), epoch,
-                                 num_partitions)
-        pq.write_table(delta, os.path.join(tmp, "seen_delta.parquet"))
         if os.path.exists(final):
             import shutil
             shutil.rmtree(final)
         os.rename(tmp, final)
         row = {
-            "partition": int(p), "epoch": epoch, "stage": "extracted",
-            "rows": table.num_rows,
-            "bytes": int(table.nbytes),
+            "partition": p, "epoch": epoch, "stage": "extracted",
+            "rows": int(st["rows"]),
+            "bytes": int(st["bytes"]),
             "seen_delta_path": os.path.join(final, "seen_delta.parquet"),
-            "wall_s": round(time.time() - t0, 4),
+            "wall_s": float(st["wall_s"]),
         }
         _append_manifest(out_dir, row)
         rows.append(row)

@@ -71,7 +71,8 @@ def test_seen_delta_checkpoint_roundtrip(sf_tiny, tmp_path):
     shards = start_seen_shards(4, capacity_per_shard=10000)
     load_seen_shards(shards, seen)
     aj = SeenAntiJoin(shards)
-    import pyarrow.parquet as pq
-    out_table = checkpoint.read_output(out).select(["url", "seq"])
+    # the seen key is the vectorized doc_id hash (frontier/extracted rows
+    # always carry doc_id); url-only tables fall back to string hashing
+    out_table = checkpoint.read_output(out).select(["url", "doc_id", "seq"])
     filtered = aj(out_table)
     assert filtered.num_rows == 0
