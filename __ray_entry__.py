@@ -79,10 +79,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequential_rename": rel.q_sequential_rename,
         # --- crawl stages (oracled) ---
         "crawl_units": cq.q_crawl_units,
+        "crawl_units_kwgen": cq.q_crawl_units_kwgen,
+        "extract_image_links": cq.q_extract_image_links,
         "crawl_frontier": cq.q_crawl_frontier,
         "crawl_robots": cq.q_crawl_robots,
         "crawl_schedule": cq.q_crawl_schedule,
         "crawl_fetch_status": cq.q_crawl_fetch_status,
+        "crawl_quarantine": cq.q_crawl_quarantine,
         "crawl_budget": cq.q_crawl_budget,
         "crawl_extract": cq.q_crawl_extract,
         "pages_per_host": cq.q_pages_per_host,
@@ -230,16 +233,23 @@ FROM embeddings a JOIN embeddings b
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4"""
 
+    # CASE guard: str.split() yields 0 tokens on empty/whitespace-only text,
+    # but regexp_split_to_array(trim('')) yields [''] (1 token) — align the
+    # oracle with the Python semantics.
     out["token_counts"] = """
 SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
-                AS BIGINT)) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(array_length(
+                     regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                END) AS BIGINT) AS sum_tokens,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang"""
 
     out["quality_scores"] = """
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
   FROM documents
 )
 SELECT doc_id,
@@ -248,14 +258,14 @@ SELECT doc_id,
             ('the','a','an','and','or','of','to','in','is','are','was',
              'were','be','been','for','on','with','as','at','by','it')))
             AS BIGINT) AS stop_hits,
-       CAST(list_max(list_transform(words, w -> length(w))) AS BIGINT)
-         AS max_word_len,
-       CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
-         AS sum_word_len,
+       CAST(COALESCE(list_max(list_transform(words, w -> length(w))), 0)
+            AS BIGINT) AS max_word_len,
+       CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+            AS BIGINT) AS sum_word_len,
        (array_length(words) >= 5
         AND 2 * array_length(words)
-            <= list_sum(list_transform(words, w -> length(w)))
-        AND list_sum(list_transform(words, w -> length(w)))
+            <= COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+        AND COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
             <= 12 * array_length(words)) AS quality_ok
 FROM w"""
 

@@ -113,8 +113,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 def scaling_pipeline(sf_dir: str, amp: int, page_size: int) -> dict:
     """Dedicated scaling workload: the streaming frontier->fetch->extract
-    pipeline (the BASELINE.json throughput metric), single generation, no
-    driver-side serial index — fetch is the distributed shuffle join."""
+    pipeline (the BASELINE.json throughput metric), single generation, with
+    the hot-host-salted admission shuffle and the virtual-corpus fetch (no
+    driver-side serial index)."""
     import os
     import time as _time
 
@@ -126,8 +127,10 @@ def scaling_pipeline(sf_dir: str, amp: int, page_size: int) -> dict:
 
     t0 = _time.perf_counter()
     cfg = cq.seeds_config(sf_dir, max_images=int(os.environ.get("GRAFT_SCALING_MAXIMG", "50")))
+    stats: dict = {}
     fr = crawl.build_frontier(cfg, sf_dir, budget_per_round=8,
-                              page_size=page_size, corpus_factor=amp)
+                              page_size=page_size, corpus_factor=amp,
+                              salted=True, stats=stats)
     fetched = virtual_fetch_dataset(fr, sf_dir)
     ok = fetched.map_batches(
         lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
@@ -135,22 +138,37 @@ def scaling_pipeline(sf_dir: str, amp: int, page_size: int) -> dict:
     rows = extracted_dataset(ok).count()
     wall = _time.perf_counter() - t0
     return {"rows": rows, "sec": round(wall, 3),
-            "rows_per_s": round(rows / wall, 1)}
+            "rows_per_s": round(rows / wall, 1),
+            "max_bucket_unsalted": stats.get("max_bucket_unsalted"),
+            "max_bucket_salted": stats.get("max_bucket_salted")}
+
+
+def run_scaling_worker(sf_dir: str, ncpu: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_min_block_size = 4096
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # warm the worker pool (untimed)
+    import ray.data as rd
+    rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
+        lambda b: b).count()
+    amp = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "200"))
+    page_size = int(os.environ.get("GRAFT_PAGE_SIZE", "100"))
+    out = scaling_pipeline(sf_dir, amp, page_size)
+    out["num_cpus"] = ncpu
+    ray.shutdown()
+    return out
 
 
 def run_scaling(sf_dir: str) -> dict:
     def run(ncpu: int) -> dict:
-        # compute-bound workload for the scaling criterion: heavier
-        # amplification than the default bench so wall time is dominated by
-        # per-row work, not per-stage scheduling overhead
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=sf_dir,
-                   GRAFT_AMPLIFY=os.environ.get("GRAFT_SCALING_AMPLIFY", "200"),
-                   GRAFT_PAGE_SIZE="100",
-                   GRAFT_MAX_IMAGES="50000",
-                   GRAFT_MINHASH_AMPLIFY="20")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -162,23 +180,27 @@ def run_scaling(sf_dir: str) -> dict:
     # the MINIMUM wall time (the steal-free estimate) is compared.
     lo, hi = (int(x) for x in os.environ.get(
         "GRAFT_SCALING_LEVELS", "4,16").split(","))
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     runs_lo = [run(lo) for _ in range(repeats)]
     runs_hi = [run(hi) for _ in range(repeats)]
-    r_lo = min(runs_lo, key=lambda r: r["value"])
-    r_hi = min(runs_hi, key=lambda r: r["value"])
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    # throughput scaling efficiency: thr = work/t; eff = (thr_hi/thr_lo)/(hi/lo)
+    r_lo = min(runs_lo, key=lambda r: r["sec"])
+    r_hi = min(runs_hi, key=lambda r: r["sec"])
+    t_lo, t_hi = r_lo["sec"], r_hi["sec"]
+    # throughput scaling efficiency: thr = rows/t; eff = (thr_hi/thr_lo)/(hi/lo)
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh "
-                  f"processes, min of {repeats} runs per level)",
+        "metric": f"scaling efficiency, frontier->fetch->extract rows/s "
+                  f"(num_cpus {lo} -> {hi}, fresh processes, min of "
+                  f"{repeats} runs per level)",
+        "rows": r_lo["rows"],
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"all_sec_{lo}": [r["value"] for r in runs_lo],
-        f"all_sec_{hi}": [r["value"] for r in runs_hi],
-        f"queries_{lo}": r_lo["queries"],
-        f"queries_{hi}": r_hi["queries"],
+        f"rows_per_s_{lo}": r_lo["rows_per_s"],
+        f"rows_per_s_{hi}": r_hi["rows_per_s"],
+        f"all_sec_{lo}": [r["sec"] for r in runs_lo],
+        f"all_sec_{hi}": [r["sec"] for r in runs_hi],
+        "max_bucket_unsalted": r_hi["max_bucket_unsalted"],
+        "max_bucket_salted": r_hi["max_bucket_salted"],
         "scaling_efficiency": round(eff, 3),
         "sf": sf_dir,
     }
@@ -186,7 +208,10 @@ def run_scaling(sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+        print(json.dumps(run_scaling_worker(sf_dir, ncpu)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

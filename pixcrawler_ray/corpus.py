@@ -114,11 +114,21 @@ def urls_hosts_arrow(doc_ids: np.ndarray):
     return url, host
 
 
+# link extension grid: the first five are valid image extensions, the last
+# three are the non-image noise a real result page carries (exercises the M9
+# extension gate, builder/_helpers.py:39-52)
+LINK_EXTS: list[str] = [".jpg", ".jpeg", ".png", ".gif", ".webp",
+                        ".svg", ".mp4", ".html"]
+
+
 def image_links_for(doc_id: int) -> list[str]:
-    """``d % 4`` synthetic image links; deterministic in ``d`` alone."""
+    """``d % 4`` synthetic links; deterministic in ``d`` alone. Extension
+    cycles through :data:`LINK_EXTS` by ``(d + j) % 8`` (SQL-replayable)."""
     n = doc_id % 4
     return [
-        f"http://img.example.com/i/{(doc_id * 31 + j * 17) % IMG_LINK_BUCKETS}.jpg"
+        f"http://img.example.com/i/"
+        f"{(doc_id * 31 + j * 17) % IMG_LINK_BUCKETS}"
+        f"{LINK_EXTS[(doc_id + j) % len(LINK_EXTS)]}"
         for j in range(n)
     ]
 

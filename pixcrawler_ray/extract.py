@@ -35,6 +35,22 @@ from pixcrawler_ray.functions.minhash import simhash64
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.S)
 _IMG_RE = re.compile(rb'<img src="([^"]*)"/>')
 
+# M9 — valid image extensions (builder/_constants.py:40-41; gate applied in
+# valid_image_ext, builder/_helpers.py:39-52)
+IMAGE_EXTENSIONS = frozenset(
+    {".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp", ".tiff"})
+
+
+def filter_image_links(links: list[str]) -> list[str]:
+    """M9 — keep only links whose (lowercased) suffix is a valid image
+    extension; the batch-level gate mirroring ``valid_image_ext``."""
+    out = []
+    for u in links:
+        dot = u.rfind(".")
+        if dot != -1 and u[dot:].lower() in IMAGE_EXTENSIONS:
+            out.append(u)
+    return out
+
 
 def extract_one(html: bytes) -> tuple[str, list[str], bool]:
     """Invert ``corpus.render_html``: html bytes -> (text, image_links, valid).
@@ -81,6 +97,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     htmls = batch.column("html").to_pylist()
     texts: list[str] = []
     links: list[list[str]] = []
+    raw_counts: list[int] = []
     valids: list[bool] = []
     md5s: list[bytes] = []
     sizes: list[int] = []
@@ -88,7 +105,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         h = h or b""
         t, ln, v = extract_one(h)
         texts.append(t)
-        links.append(ln)
+        raw_counts.append(len(ln))
+        links.append(filter_image_links(ln))   # M9 extension gate
         valids.append(v)
         md5s.append(hashlib.md5(t.encode("utf-8")).digest())
         sizes.append(len(h))
@@ -102,6 +120,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column(
         "image_links", pa.array(links, type=pa.list_(pa.string()))
     )
+    out = out.append_column("n_links_raw",
+                            pa.array(raw_counts, type=pa.int64()))
     out = out.append_column("valid", pa.array(valids, type=pa.bool_()))
     out = out.append_column(
         "content_md5", pa.array(md5s, type=pa.binary(16))

@@ -116,11 +116,54 @@ def admit_frontier(frontier_ds, budget_per_round: int = 8,
                            num_buckets=num_buckets)
 
 
+def admit_frontier_salted(frontier_ds, budget_per_round: int = 8,
+                          num_buckets: int = 64, num_salts: int = 16,
+                          max_seq: int | None = None, stats: dict | None = None):
+    """Hot-host-safe admission: same output as :func:`admit_frontier`, but no
+    single host ever lands in one bucket kernel.
+
+    Pass A shuffles on ``doc_id`` (uniform regardless of host skew — h0 owns
+    ~1/3 of the corpus but its doc ids hash evenly) for the per-doc decisions:
+    min-seq URL dedup and the robots/privacy gate. Pass B/C are the
+    range-salted rank shuffle (:func:`assign_rounds_salted`). Equality with
+    the fused kernel is pytest-asserted (tests/test_crawl_e2e.py)."""
+    import pandas as pd
+
+    from pixcrawler_ray import corpus as _corpus
+    from pixcrawler_ray.stages.politeness import assign_rounds_salted
+    from pixcrawler_ray.stages.shuffle import per_bucket_take
+
+    def dedup_robots_kernel(df: pd.DataFrame):
+        df = df.sort_values("seq", kind="mergesort")
+        df = df[~df.duplicated("doc_id", keep="first")]
+        hid = df["host_id"].to_numpy()
+        disallow = _corpus.robots_disallowed_host(hid)
+        private = (df["doc_id"].to_numpy() % _corpus.PRIVATE_MOD
+                   == _corpus.PRIVATE_REM)
+        return df[~(disallow & private)].index.to_numpy()
+
+    admitted = per_bucket_take(frontier_ds, ["doc_id"],
+                               ["doc_id", "host_id", "seq"],
+                               dedup_robots_kernel, num_buckets=num_buckets)
+    # pin the admitted set: the salted ranker reads it twice (counts + rank);
+    # at cluster scale this fork point is the checkpointed frontier parquet
+    admitted = admitted.materialize()
+    return assign_rounds_salted(admitted, budget_per_round=budget_per_round,
+                                num_buckets=num_buckets, num_salts=num_salts,
+                                max_seq=max_seq, stats=stats)
+
+
 def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
                    page_size: int = PAGE_SIZE, seen_shards=None,
                    budget_per_round: int = 8, seen_concurrency: int = 4,
-                   fused: bool = True, corpus_factor: int = 1):
-    """Expansion -> url-dedup -> (resume anti-join) -> robots -> politeness."""
+                   fused: bool = True, corpus_factor: int = 1,
+                   salted: bool = False, stats: dict | None = None):
+    """Expansion -> url-dedup -> (resume anti-join) -> robots -> politeness.
+
+    ``salted=True`` uses the hot-host-safe admission (doc-keyed dedup shuffle
+    + range-salted rank shuffle) — identical output, no per-host straggler
+    kernel; the default fused single-shuffle path wins at low skew/scale.
+    """
     nd = n_documents(sf_dir) * corpus_factor
     fr = frontier_dataset(config, nd, depth=depth, page_size=page_size)
     if seen_shards:
@@ -131,6 +174,13 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
             concurrency=(1, max(1, seen_concurrency)),
             num_cpus=0.5,
         )
+    if salted:
+        # upper bound on seq from the (driver-sized) grid — avoids an
+        # aggregate pass; any consistent bound yields a valid salt shift
+        from pixcrawler_ray.stages.expand import work_unit_grid
+        max_seq = work_unit_grid(config, depth=depth).num_rows * page_size
+        return admit_frontier_salted(fr, budget_per_round=budget_per_round,
+                                     max_seq=max_seq, stats=stats)
     if fused:
         return admit_frontier(fr, budget_per_round=budget_per_round)
     fr = dedup_frontier(fr)
@@ -166,7 +216,10 @@ def crawl_generation(config: CrawlConfig, sf_dir: str, index_ref,
                             seen_shards=seen_shards,
                             budget_per_round=budget_per_round,
                             corpus_factor=corpus_factor)
-    fetched = fetch_dataset(fr, index_ref, concurrency=fetch_concurrency)
+    if callable(index_ref):
+        fetched = index_ref(fr)          # custom fetcher (virtual / join)
+    else:
+        fetched = fetch_dataset(fr, index_ref, concurrency=fetch_concurrency)
     if materialize_fork:
         fetched = fetched.materialize()
     ok = fetched.map_batches(
@@ -249,7 +302,16 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
     ``builder/_generator.py:282-341``) with generation index == retry count.
     """
     gens = (config.max_retries if max_generations is None else max_generations)
-    index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
+    if corpus_factor > 1:
+        # amplified corpora are a pure function of the base documents table:
+        # fetch renders the page server-side from the broadcast BASE texts
+        # (O(base) memory) instead of materializing + broadcasting the
+        # factor-x corpus through the driver (round-1 scale finding #6)
+        from pixcrawler_ray.stages.fetch import virtual_fetch_dataset
+        index_ref = lambda fr: virtual_fetch_dataset(
+            fr, sf_dir, concurrency=fetch_concurrency)
+    else:
+        index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
     res = crawl_generation(
         config, sf_dir, index_ref, depth=0, page_size=page_size,
         budget_per_round=budget_per_round, seen_shards=seen_shards,

@@ -55,6 +55,30 @@ def seeds_config(sf_dir: str, max_images: int = ORACLE_MAX_IMAGES) -> CrawlConfi
     })
 
 
+def kwgen_config(sf_dir: str,
+                 max_images: int = ORACLE_MAX_IMAGES) -> CrawlConfig:
+    """Keyword-generation oracle seeds: the first two regions keep their
+    nation keywords (union path: user + generated), the rest have none
+    (generation-only path); mode=enabled."""
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = region.sort_values("r_regionkey")
+    nation = nation.sort_values("n_nationkey")
+    cats: dict[str, list[str]] = {}
+    for _, r in region.iterrows():
+        if r.r_regionkey < 2:
+            cats[r.r_name] = nation[
+                nation.n_regionkey == r.r_regionkey]["n_name"].tolist()
+        else:
+            cats[r.r_name] = []
+    return CrawlConfig.from_dict({
+        "dataset_name": "oracle_kwgen",
+        "categories": cats,
+        "options": {"max_images": max_images,
+                    "keyword_generation": "enabled"},
+    })
+
+
 def _frontier(sf_dir: str):
     cfg = seeds_config(sf_dir)
     nd = n_documents(sf_dir)
@@ -71,6 +95,49 @@ def q_crawl_units(sf_dir: str):
     return rd.from_arrow(grid.select(
         ["category", "keyword", "engine", "variation", "offset", "priority",
          "unit_seq"]))
+
+
+def q_crawl_units_kwgen(sf_dir: str):
+    """The work-unit grid under keyword_generation=enabled (M6/D1 union)."""
+    import ray.data as rd
+    grid = work_unit_grid(kwgen_config(sf_dir),
+                          fixed_templates=ORACLE_TEMPLATES)
+    return rd.from_arrow(grid.select(
+        ["category", "keyword", "engine", "variation", "offset", "priority",
+         "unit_seq"]))
+
+
+def q_extract_image_links(sf_dir: str):
+    """M9 — raw vs valid-extension link counts per page."""
+    import pyarrow as pa
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.extract import extracted_dataset
+
+    pages = corpus.pages_dataset(sf_dir)
+    ex = extracted_dataset(pages)
+
+    def project(t: pa.Table) -> pa.Table:
+        n_img = pc.list_value_length(t.column("image_links")).cast(pa.int64())
+        return pa.table({
+            "url": t.column("url"),
+            "n_links_raw": t.column("n_links_raw"),
+            "n_links_img": n_img,
+        })
+
+    return ex.map_batches(project, batch_format="pyarrow")
+
+
+def q_crawl_quarantine(sf_dir: str):
+    """Quarantine audit trail for one generation (rejected rows + reason),
+    over the oracle's fixed-template frontier."""
+    from pixcrawler_ray.pipelines.crawl import _quarantine_permanent
+
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    fetched = fetch_dataset(fr, pages_index_ref(sf_dir))
+    failed = fetched.map_batches(_quarantine_permanent,
+                                 batch_format="pyarrow")
+    return failed.select_columns(["url", "seq", "status", "reason"])
 
 
 def q_crawl_frontier(sf_dir: str):
@@ -217,9 +284,45 @@ kw AS (
 """
 
 
-def _sql_units() -> str:
+def _kwgen_templates_values() -> str:
+    from pixcrawler_ray.functions.variations import GENERATED_KEYWORD_TEMPLATES
+    rows = [f"({i}, '{t}')"
+            for i, t in enumerate(GENERATED_KEYWORD_TEMPLATES)]
+    return "(VALUES " + ", ".join(rows) + ") AS g(g_i, tmpl)"
+
+
+# kw CTE under keyword_generation=enabled over the kwgen_config seeds:
+# regions 0-1 carry user keywords (origin 0, nationkey order), every region
+# gets generated keywords (origin 1, template order); order-preserving dedup
+# by (origin, seq) then global kw_i numbering — the D1 union pin.
+def _sql_kw_gen() -> str:
     return f"""
-WITH {SQL_KW},
+kw AS (
+  SELECT category, keyword, DENSE_RANK() OVER (ORDER BY cat_seq) - 1 AS cat_i,
+         ROW_NUMBER() OVER (ORDER BY cat_seq, origin, kseq) - 1 AS kw_i
+  FROM (
+    SELECT * FROM (
+      SELECT r.r_name AS category, r.r_regionkey AS cat_seq,
+             n.n_name AS keyword, 0 AS origin,
+             CAST(n.n_nationkey AS BIGINT) AS kseq
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_regionkey < 2
+      UNION ALL
+      SELECT r.r_name, r.r_regionkey,
+             replace(g.tmpl, '{{cat}}', r.r_name), 1,
+             CAST(g.g_i AS BIGINT)
+      FROM region r CROSS JOIN {_kwgen_templates_values()}
+    ) u
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY category, keyword
+                               ORDER BY origin, kseq) = 1
+  ) d
+)
+"""
+
+
+def _sql_units(kw_cte: str | None = None) -> str:
+    return f"""
+WITH {kw_cte if kw_cte is not None else SQL_KW},
 units AS (
   SELECT k.category, k.keyword, e.engine,
          replace(v.template, '{{kw}}', k.keyword) AS variation,
@@ -287,6 +390,37 @@ def oracle_sql_crawl() -> dict[str, str]:
     out["crawl_units"] = _sql_units() + """
 SELECT category, keyword, engine, variation, "offset", priority, unit_seq
 FROM units"""
+    out["crawl_units_kwgen"] = _sql_units(kw_cte=_sql_kw_gen().strip()) + """
+SELECT category, keyword, engine, variation, "offset", priority, unit_seq
+FROM units"""
+    out["extract_image_links"] = """
+WITH exts AS (
+  SELECT * FROM (VALUES (0, TRUE), (1, TRUE), (2, TRUE), (3, TRUE),
+                        (4, TRUE), (5, FALSE), (6, FALSE), (7, FALSE))
+         AS e(i, ok)
+),
+l AS (
+  SELECT d.doc_id, e.ok
+  FROM documents d
+  JOIN generate_series(0, 2) AS j(j) ON j.j < d.doc_id % 4
+  JOIN exts e ON e.i = (d.doc_id + j.j) % 8
+  WHERE d.doc_id % 97 <> 13          -- malformed pages extract no links
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS c_raw,
+         SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS c_img
+  FROM l GROUP BY doc_id
+)
+SELECT 'http://h' || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0
+                               ELSE 1 + (d.doc_id * 2654435761) % 499 END
+                          AS VARCHAR)
+       || '.example.com'
+       || CASE WHEN d.doc_id % 50 = 7
+               THEN '/private/doc/' || CAST(d.doc_id AS VARCHAR)
+               ELSE '/doc/' || CAST(d.doc_id AS VARCHAR) END AS url,
+       CAST(COALESCE(a.c_raw, 0) AS BIGINT) AS n_links_raw,
+       CAST(COALESCE(a.c_img, 0) AS BIGINT) AS n_links_img
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
     out["crawl_frontier"] = _sql_cand() + """
 SELECT url, host, doc_id, seq, keyword, priority FROM frontier"""
     out["crawl_robots"] = _sql_cand() + """
@@ -303,6 +437,12 @@ SELECT url, host, seq,
 FROM allowed"""
     out["crawl_fetch_status"] = _sql_cand() + """
 SELECT url, seq, status FROM statused"""
+    out["crawl_quarantine"] = _sql_cand() + """
+SELECT url, seq, status,
+       CASE status WHEN 404 THEN 'not_found'
+                   WHEN 415 THEN 'content_rejected'
+                   WHEN 403 THEN 'robots_blocked' END AS reason
+FROM statused WHERE status IN (403, 404, 415)"""
     out["crawl_budget"] = _sql_cand() + f"""
 SELECT url, keyword, seq FROM statused
 WHERE status = 200

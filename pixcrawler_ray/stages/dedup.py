@@ -158,46 +158,198 @@ def minhash_candidate_pairs(sf_dir: str, num_perms: int = 128,
     return deduped.drop_columns(["pair_key"])
 
 
+def _pair_doc_ids(pairs_ds) -> np.ndarray:
+    """Distinct doc ids referenced by a (doc_a, doc_b) pair Dataset.
+
+    Only INTEGER ids reach the driver — candidate-pair counts are O(dups),
+    orders of magnitude below corpus size (logged if that assumption is
+    violated); row data never leaves the cluster.
+    """
+    ids: set[int] = set()
+    for b in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        ids.update(b.column("doc_a").to_pylist())
+        ids.update(b.column("doc_b").to_pylist())
+    return np.array(sorted(ids), dtype=np.int64)
+
+
+def _shingle_dataset(sf_dir: str, ids: np.ndarray, shingle_k: int):
+    """(doc_id, shingles:list<uint64>) for the needed docs only — a streaming
+    broadcast-filtered scan of the corpus (no shuffle), shingles computed
+    ONCE per doc regardless of how many pairs reference it."""
+    import ray as _ray
+
+    ids_ref = _ray.put(ids)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Shingler:
+        def __init__(self, ids_ref, k):
+            self.ids = _ray.get(ids_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy()
+            mask = np.isin(d, self.ids)
+            t = t.filter(pa.array(mask))
+            # shingle sets travel as raw uint64 LE bytes: binary columns pass
+            # through the join's pandas kernel losslessly (list columns are
+            # rejected by acero and mangled by pandas)
+            sh = [word_shingles(x or "", self.k).tobytes()
+                  for x in t.column("text").to_pylist()]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "shingles": pa.array(sh, type=pa.large_binary()),
+            })
+
+    return ds.map_batches(Shingler,
+                          fn_constructor_kwargs={"ids_ref": ids_ref,
+                                                 "k": shingle_k},
+                          batch_format="pyarrow",
+                          concurrency=(1, pool_size(0.5)))
+
+
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8,
+                           num_perms: int = 128, shingle_k: int = 3,
+                           bands: int = 16, amplify: int = 1):
+    """Candidate pairs -> DISTRIBUTED exact-Jaccard verification.
+
+    pairs ⨝ shingles on doc_a, then on doc_b (bucketed hash joins — the
+    100 TB join shape), then a vectorized per-row Jaccard over the uint64
+    shingle lists. No text or shingle data ever reaches the driver.
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    pairs = minhash_candidate_pairs(sf_dir, num_perms, shingle_k, bands,
+                                    amplify=amplify).materialize()
+    ids = _pair_doc_ids(pairs)
+    if len(ids) == 0:
+        return pairs.map_batches(
+            lambda t: t.append_column(
+                "jaccard_sim", pa.array([], type=pa.float64())),
+            batch_format="pyarrow")
+    shingled = _shingle_dataset(sf_dir, ids, shingle_k)
+
+    sh_a = shingled.map_batches(
+        lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
+    sh_b = shingled.map_batches(
+        lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow")
+    j1 = bucketed_join(pairs, sh_a, on="doc_a", num_buckets=16)
+    j2 = bucketed_join(j1, sh_b, on="doc_b", num_buckets=16)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard_sim": pa.array([], type=pa.float64())})
+        a_list = t.column("sh_a").to_pylist()
+        b_list = t.column("sh_b").to_pylist()
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):
+            sa = np.frombuffer(a_list[i] or b"", dtype=np.uint64)
+            sb = np.frombuffer(b_list[i] or b"", dtype=np.uint64)
+            jac[i] = jaccard(sa, sb)   # shingle sets are sorted-unique
+        keep = jac >= threshold
+        out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+                        "jaccard_sim": pa.array(jac)})
+        return out.filter(pa.array(keep))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def min_label_components(pairs_ds, num_buckets: int = 16,
+                         max_iters: int = 32):
+    """Connected components by iterated min-label propagation — the
+    distributed replacement for driver-side union-find.
+
+    labels(doc) starts as doc; each round propagates the neighbor minimum
+    through a bucketed join + keep-min groupby until the label sum is stable
+    (monotone non-increasing, so the sum is a valid convergence witness).
+    Rounds needed = graph diameter; near-dup cluster graphs are shallow.
+    Returns a Dataset (doc, label).
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join, keep_first_by
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return pa.table({
+            "doc": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "src": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow") \
+                    .materialize()
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        d = np.unique(t.column("doc").to_numpy())
+        return pa.table({"doc": pa.array(d, type=pa.int64()),
+                         "label": pa.array(d, type=pa.int64())})
+
+    labels = keep_first_by(
+        edges.map_batches(to_nodes, batch_format="pyarrow"),
+        ["doc"], "label", num_buckets=num_buckets).materialize()
+
+    def checksum(ds) -> int:
+        import ray.data.aggregate as agg
+        row = ds.aggregate(agg.Sum("label"))
+        return int(row["sum(label)"])
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        prop = bucketed_join(
+            edges,
+            labels.map_batches(
+                lambda t: t.rename_columns(["src", "label"]),
+                batch_format="pyarrow"),
+            on="src", num_buckets=num_buckets)
+        prop = prop.map_batches(
+            lambda t: t.select(["doc", "label"]), batch_format="pyarrow")
+        labels = keep_first_by(labels.union(prop), ["doc"], "label",
+                               num_buckets=num_buckets).materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 128,
                   shingle_k: int = 3, bands: int = 16):
-    """Full MinHash-LSH near-dup: candidates -> exact-Jaccard verify ->
-    min-label clusters -> survivors (min doc_id per cluster).
+    """Full MinHash-LSH near-dup: candidates -> distributed exact-Jaccard
+    verify -> distributed min-label clusters -> survivors (min doc_id per
+    cluster).
 
-    Returns (survivors_ds_pandas, verified_pairs) — pairs verified with exact
-    Jaccard >= threshold on the true shingle sets (false positives from LSH
-    are dropped; false negatives bounded by the band/row choice).
+    Returns (survivors_ds, verified_pairs_ds). Every stage is a Dataset
+    pipeline: verification is a bucketed pairs ⨝ shingles join, clustering is
+    iterated min-label propagation (no driver union-find, no corpus pull).
     """
-    import pyarrow.parquet as pq
+    verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
+                                      shingle_k, bands).materialize()
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    if verified.count() == 0:
+        return docs, verified
+    labels = min_label_components(verified)
+    # dropped = non-root cluster members; only their INTEGER ids transit the
+    # driver for the broadcast anti-filter (O(dups) ids)
+    dropped: list[int] = []
+    for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        d = b.column("doc").to_numpy()
+        l = b.column("label").to_numpy()
+        dropped.extend(d[d != l].tolist())
+    import ray as _ray
+    dropped_ref = _ray.put(np.array(sorted(dropped), dtype=np.int64))
 
-    pairs = minhash_candidate_pairs(sf_dir, num_perms, shingle_k, bands)
-    cand = pairs.to_pandas()
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"]).to_pandas()
-    text_by_id = dict(zip(docs.doc_id, docs.text))
-    verified = []
-    for a, b in zip(cand.get("doc_a", []), cand.get("doc_b", [])):
-        sa = word_shingles(text_by_id[a], shingle_k)
-        sb = word_shingles(text_by_id[b], shingle_k)
-        j = jaccard(np.sort(sa), np.sort(sb))
-        if j >= threshold:
-            verified.append((int(a), int(b), j))
-    # union-find on the (small, verified) pair list — driver-side by design;
-    # at 100 TB this is the iterated min-label-propagation groupby instead.
-    parent: dict[int, int] = {}
+    class DropFilter:
+        def __init__(self, dropped_ref):
+            self.dropped = _ray.get(dropped_ref)
 
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy()
+            return t.filter(pa.array(~np.isin(d, self.dropped)))
 
-    for a, b, _ in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    dropped = {d for d in parent if find(d) != d}
-    survivors = docs[~docs.doc_id.isin(dropped)][["doc_id"]]
+    survivors = docs.map_batches(
+        DropFilter, fn_constructor_kwargs={"dropped_ref": dropped_ref},
+        batch_format="pyarrow", concurrency=(1, pool_size(0.25)))
     return survivors, verified
 
 

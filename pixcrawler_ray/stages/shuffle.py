@@ -237,13 +237,32 @@ def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
     lkeep = lnames
     rkeep = on + [n for n in rnames if n not in on]
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+    # integer columns that arrive null-padded from the other side become
+    # float64 in the pandas group view; the kernel therefore returns ARROW,
+    # casting integer-typed columns back to their declared type so every
+    # bucket emits one consistent schema (2^53 caveat on the float
+    # round-trip: larger int values must use the arrow-native
+    # per_bucket_take paths instead)
+    import pyarrow.compute as pc
+
+    target_types = {**rtypes, **ltypes}
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
         l = g[g[tag] == 0][lkeep]
         r = g[g[tag] == 1][rkeep]
         if how == "semi":
-            return l[l.set_index(on).index.isin(r.set_index(on).index)]
-        if how == "anti":
-            return l[~l.set_index(on).index.isin(r.set_index(on).index)]
-        return l.merge(r, on=on, how=how)
+            res = l[l.set_index(on).index.isin(r.set_index(on).index)]
+        elif how == "anti":
+            res = l[~l.set_index(on).index.isin(r.set_index(on).index)]
+        else:
+            res = l.merge(r, on=on, how=how)
+        t = pa.Table.from_pandas(res, preserve_index=False)
+        for i, name in enumerate(t.column_names):
+            want = target_types.get(name)
+            if (isinstance(want, pa.DataType) and t.column(name).type != want
+                    and (pa.types.is_integer(want)
+                         or pa.types.is_floating(want))):
+                t = t.set_column(i, name, pc.cast(t.column(name), want))
+        return t
 
     return both.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")

@@ -87,3 +87,71 @@ def test_transient_retry_generation(config, oracle_res, sf_tiny):
     out = crawl.run_crawl(config, sf_tiny, budget_per_round=8)
     urls = {r["url"] for r in out.select_columns(["url"]).take_all()}
     assert urls >= {r["url"] for r in oracle_res.extracted}
+
+
+def test_salted_admission_matches_fused(config, sf_tiny):
+    """The hot-host-safe salted admission must produce EXACTLY the fused
+    kernel's (host_rank, round) per url, and its histogram must show the
+    hot-host bucket split."""
+    stats: dict = {}
+    fused = crawl.build_frontier(config, sf_tiny, budget_per_round=8)
+    salted = crawl.build_frontier(config, sf_tiny, budget_per_round=8,
+                                  salted=True, stats=stats)
+    f = {r["url"]: (r["host_rank"], r["round"]) for r in fused.take_all()}
+    s = {r["url"]: (r["host_rank"], r["round"]) for r in salted.take_all()}
+    assert f == s
+    # histogram emitted, and salting strictly reduces the max bucket load
+    assert stats["max_bucket_salted"] <= stats["max_bucket_unsalted"]
+    assert sum(stats["bucket_rows_salted"].values()) == len(s)
+
+
+def test_quarantine_reconciles(config, sf_tiny):
+    """Audit-trail conservation: every admitted frontier row is exactly one
+    of {extracted-valid, still-transient, quarantined} (frontier = ok +
+    transient + failed; ok = valid + invalid-quarantined)."""
+    import collections
+
+    index_ref = crawl.pages_index_ref(sf_tiny)
+    admitted = crawl.build_frontier(config, sf_tiny, budget_per_round=8)
+    n_admitted = admitted.count()
+    extracted, transient, failed = crawl.crawl_generation(
+        config, sf_tiny, index_ref, budget_per_round=8, with_failed=True)
+    f = failed.take_all()
+    by_reason = collections.Counter(r["reason"] for r in f)
+    n_transient = transient.count()
+    # ok rows = budget survivors (all pass, per-keyword cap not binding here)
+    # + content-deduped drops; reconcile at the fetch level instead:
+    from pixcrawler_ray.stages.fetch import fetch_dataset, STATUS_OK
+    import pyarrow.compute as pc
+    fetched = fetch_dataset(admitted, index_ref)
+    n_ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+        batch_format="pyarrow").count()
+    n_permanent = sum(v for k, v in by_reason.items()
+                      if k in ("not_found", "content_rejected",
+                               "robots_blocked"))
+    assert n_admitted == n_ok + n_transient + n_permanent
+    # invalid extracts are quarantined with reason invalid_extract (422)
+    assert by_reason.get("invalid_extract", 0) >= 0
+    assert all(r["status"] in (403, 404, 415, 422, 503) for r in f)
+
+
+def test_virtual_fetch_equals_broadcast_amplified(config, sf_tiny):
+    """The virtual-corpus fetcher (pages rendered from broadcast BASE texts)
+    must yield exactly the rows the materialized broadcast-index path yields
+    on the same amplified corpus — single generation, both paths."""
+    from pixcrawler_ray.stages.fetch import virtual_fetch_dataset
+
+    amp = 3
+    virtual, _ = crawl.crawl_generation(
+        config, sf_tiny, lambda fr: virtual_fetch_dataset(fr, sf_tiny),
+        budget_per_round=8, corpus_factor=amp)
+    idx = crawl.pages_index_ref(sf_tiny, corpus_factor=amp)
+    bcast, _ = crawl.crawl_generation(config, sf_tiny, idx,
+                                      budget_per_round=8, corpus_factor=amp)
+    cols = ["url", "seq", "text", "valid"]
+    v = sorted((r["url"], r["seq"], r["text"], r["valid"])
+               for r in virtual.select_columns(cols).take_all())
+    b = sorted((r["url"], r["seq"], r["text"], r["valid"])
+               for r in bcast.select_columns(cols).take_all())
+    assert v == b and len(b) > 0

@@ -114,11 +114,61 @@ def test_minhash_lsh_finds_planted_near_dups(tmp_path, sf_tiny):
     pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
                    str(d / "documents.parquet"))
     survivors, verified = dedup_minhash(str(d), threshold=0.9)
-    dropped = set(planted.doc_id) - set(survivors.doc_id)
+    surv_ids = set(survivors.to_pandas().doc_id)
+    dropped = set(planted.doc_id) - surv_ids
     # every clone dies (keep-first keeps the lower doc_id original); the base
     # corpus may contain genuine near-dups of its own, so subset not equality
     assert set(clone.doc_id) <= dropped
-    assert set(base.head(5).doc_id) <= set(survivors.doc_id)
+    assert set(base.head(5).doc_id) <= surv_ids
+
+
+def test_minhash_dedup_matches_serial_oracle(sf_tiny):
+    """Distributed verify + min-label clustering must equal a straight serial
+    MinHash-LSH dedup (signatures -> bands -> pairs -> jaccard -> union-find)
+    over the same corpus."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.functions.minhash import (
+        lsh_band_keys, minhash_signature_batch)
+    from pixcrawler_ray.stages.dedup import dedup_minhash
+
+    threshold, k, perms, bands = 0.8, 3, 128, 16
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids = docs.doc_id.to_numpy()
+    sigs = minhash_signature_batch([t or "" for t in docs.text], perms, k)
+    buckets: dict[tuple, list[int]] = {}
+    for i, did in enumerate(ids):
+        for band, key in enumerate(lsh_band_keys(sigs[i], bands)):
+            buckets.setdefault((band, int(key)), []).append(int(did))
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    text_of = dict(zip(docs.doc_id, docs.text))
+    parent: dict[int, int] = {}
+
+    def find(v):
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in sorted(cand):
+        sa = np.sort(word_shingles(text_of[a] or "", k))
+        sb = np.sort(word_shingles(text_of[b] or "", k))
+        if jaccard(sa, sb) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    serial_dropped = {d for d in parent if find(d) != d}
+    serial_survivors = set(ids) - serial_dropped
+
+    survivors, _ = dedup_minhash(sf_tiny, threshold=threshold,
+                                 num_perms=perms, shingle_k=k, bands=bands)
+    assert set(survivors.to_pandas().doc_id) == serial_survivors
 
 
 def test_simsearch_ivf_recall(sf_tiny):
