@@ -19,8 +19,15 @@ from typing import Any
 SF_TINY = "/root/testdata/sf0.001"
 
 
+def _tune() -> None:
+    """Production shuffle strategy (no ray.init here — the driver owns it)."""
+    from pixcrawler_ray.stages.shuffle import enable_hash_shuffle
+    enable_hash_shuffle()
+
+
 def entry() -> Any:
     """Flagship: full multi-generation crawl at sf0.001 -> extracted dataset."""
+    _tune()
     from pixcrawler_ray.pipelines import crawl
     from pixcrawler_ray.pipelines.crawl_queries import seeds_config
 
@@ -32,6 +39,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _tune()
     from pixcrawler_ray.pipelines import crawl_queries as cq
     from pixcrawler_ray.pipelines import relational as rel
     from pixcrawler_ray.stages import dedup as dd

@@ -45,6 +45,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx.target_min_block_size = 4096
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pixcrawler_ray.stages.shuffle import enable_hash_shuffle
+    enable_hash_shuffle(num_cpus)
     from pixcrawler_ray.pipelines import crawl, crawl_queries as cq
     from pixcrawler_ray.pipelines import relational as rel
     from pixcrawler_ray.stages import dedup as dd
@@ -152,6 +154,8 @@ def run_scaling_worker(sf_dir: str, ncpu: int) -> dict:
     ctx.enable_progress_bars = False
     ctx.target_min_block_size = 4096
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pixcrawler_ray.stages.shuffle import enable_hash_shuffle
+    enable_hash_shuffle(ncpu)
     # warm the worker pool (untimed)
     import ray.data as rd
     rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(

@@ -51,25 +51,65 @@ def md5_hex_array(texts: list[str]) -> list[str]:
     return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
 
 
-def rolling_fingerprint(text: str, window: int = 8, base: int = 257,
-                        mod: int = (1 << 61) - 1, keep_mask: int = 0x7F) -> list[int]:
-    """Winnowing-style rolling-hash fingerprint of a document.
+_FP_BASE = np.uint64(1099511628211)   # FNV prime as the polynomial base
 
-    Classic Rabin-Karp rolling hash over byte windows; keep hashes whose low
-    bits are zero under ``keep_mask`` (content-defined selection). Used by the
-    ``doc_fingerprint`` query; the reference has no analog (its identity is
-    whole-file MD5) — this is the scale path for containment queries.
+
+def rolling_fingerprint(text: str, window: int = 8,
+                        keep_mask: int = 0x7F) -> list[int]:
+    """Winnowing-style content-defined fingerprint of a document (scalar
+    reference implementation; the hot path is
+    :func:`rolling_fingerprints_batch`).
+
+    Polynomial hash over byte windows in overflow-wrapped uint64 arithmetic
+    (the fixed spec — same family as the shingle hashing); keep hashes whose
+    low bits are zero under ``keep_mask``. The reference has no analog (its
+    identity is whole-file MD5) — this is the scale path for containment
+    queries.
     """
-    data = text.encode("utf-8")
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) == 0:
+        return []
     if len(data) < window:
-        return [hash64(data) & ((1 << 61) - 1)] if data else []
-    h = 0
-    pw = pow(base, window - 1, mod)
-    out = []
-    for i, b in enumerate(data):
-        h = (h * base + b) % mod
-        if i >= window - 1:
-            if h & keep_mask == 0:
-                out.append(h)
-            h = (h - data[i - window + 1] * pw) % mod
+        return [hash64(data.tobytes()) & ((1 << 61) - 1)]
+    with np.errstate(over="ignore"):
+        pows = np.empty(window, dtype=np.uint64)
+        pows[-1] = 1
+        for i in range(window - 2, -1, -1):
+            pows[i] = pows[i + 1] * _FP_BASE
+        out = []
+        for i in range(len(data) - window + 1):
+            h = np.uint64(0)
+            for j in range(window):
+                h = h + np.uint64(data[i + j]) * pows[j]
+            if int(h) & keep_mask == 0:
+                out.append(int(h))
+    return out
+
+
+def rolling_fingerprints_batch(texts: list[str], window: int = 8,
+                               keep_mask: int = 0x7F) -> list[np.ndarray]:
+    """Vectorized :func:`rolling_fingerprint` for a batch of documents —
+    sliding-window view + one matvec per doc, value-identical to the scalar
+    path (asserted in tests)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    with np.errstate(over="ignore"):
+        pows = np.empty(window, dtype=np.uint64)
+        pows[-1] = 1
+        for i in range(window - 2, -1, -1):
+            pows[i] = pows[i + 1] * _FP_BASE
+        out: list[np.ndarray] = []
+        for t in texts:
+            data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(data) == 0:
+                out.append(np.zeros(0, dtype=np.uint64))
+                continue
+            if len(data) < window:
+                out.append(np.array(
+                    [hash64(data.tobytes()) & ((1 << 61) - 1)],
+                    dtype=np.uint64))
+                continue
+            win = sliding_window_view(data, window).astype(np.uint64)
+            h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+            out.append(h[(h & np.uint64(keep_mask)) == 0])
     return out

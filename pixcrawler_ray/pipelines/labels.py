@@ -41,9 +41,12 @@ def label_projection(extracted_ds):
 
 
 def write_labels(labels_ds, out_dir: str,
-                 formats: tuple[str, ...] = ("parquet", "json", "csv")):
-    """Multi-format label sink (yaml intentionally replaced by parquet — no
-    yaml writer needed at scale; format list mirrors _generator.py:896-1040)."""
+                 formats: tuple[str, ...] = ("parquet", "json", "csv",
+                                             "yaml")):
+    """Multi-format label sink — all four reference formats
+    (``builder/_generator.py:896-1040``): parquet/json/csv via the native
+    Ray sinks, yaml as a distributed per-block writer (one yaml document
+    list per block file; gated on PyYAML availability)."""
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for fmt in formats:
@@ -54,6 +57,26 @@ def write_labels(labels_ds, out_dir: str,
             labels_ds.write_json(path)
         elif fmt == "csv":
             labels_ds.write_csv(path)
+        elif fmt == "yaml":
+            try:
+                import yaml as _yaml  # noqa: F401
+            except ImportError:       # keep the sink optional
+                continue
+            os.makedirs(path, exist_ok=True)
+
+            def dump_block(t: pa.Table, _path=path) -> pa.Table:
+                import uuid
+
+                import yaml as _y
+                rows = t.to_pylist()
+                fname = os.path.join(_path,
+                                     f"part-{uuid.uuid4().hex}.yaml")
+                with open(fname, "w") as f:
+                    _y.safe_dump(rows, f, sort_keys=True)
+                return pa.table({"written": pa.array([len(rows)],
+                                                     type=pa.int64())})
+
+            labels_ds.map_batches(dump_block, batch_format="pyarrow").count()
         written.append(path)
     return written
 

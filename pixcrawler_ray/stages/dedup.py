@@ -130,7 +130,7 @@ def minhash_candidate_pairs(sf_dir: str, num_perms: int = 128,
         fn_constructor_kwargs={"num_perms": num_perms, "shingle_k": shingle_k,
                                "bands": bands},
         batch_format="pyarrow", batch_size=512,
-        concurrency=pool_size(0.75), num_cpus=1)
+        concurrency=(1, max(1, pool_size(0.75))), num_cpus=1)
 
     def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []

@@ -25,6 +25,56 @@ BUCKET_COL = "__bucket"
 DEFAULT_BUCKETS = 64
 
 
+def enable_hash_shuffle(cpus: int | None = None) -> None:
+    """Switch Ray Data to the hash-shuffle strategy with aggregator counts
+    bounded to the cluster (the unbounded default spawns an actor per
+    partition — 60+ workers on a laptop-sized node).
+
+    The sort-based default shuffle ANTI-scales for the bucket pattern on
+    small-block datasets (measured: the salted admission took 3.3 s at 4
+    cpus but 20-25 s at 16 on the round-2 bench host); hash partitioning by
+    the bucket column is the semantically-right primitive and scales.
+    """
+    import ray as _ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    if cpus is None:
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    ctx.default_hash_shuffle_parallelism = max(2, cpus)
+    # aggregators are IO/accumulate actors, not compute: near-zero CPU
+    # reservation so they can never starve map/fetch actor pools (the same
+    # starvation class as the round-1 SeenShard deadlock — observed again
+    # here as 6 aggregators pinning a 4-cpu test cluster)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+
+
+def _hash_shuffle_on() -> bool:
+    from ray.data.context import DataContext, ShuffleStrategy
+    return (DataContext.get_current().shuffle_strategy
+            == ShuffleStrategy.HASH_SHUFFLE)
+
+
+def _partition_by_bucket(ds, num_buckets: int):
+    """Hash-partition on the bucket column; every bucket lands wholly in one
+    output block, so a whole-block map_batches sees complete buckets."""
+    import math
+
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    p = max(2, min(num_buckets, 4 * cpus))
+    return ds.repartition(p, keys=[BUCKET_COL])
+
+
 def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
     keys = list(key_cols)
 
@@ -84,13 +134,22 @@ def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
 
 def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.DataFrame],
                num_buckets: int = DEFAULT_BUCKETS):
-    """Shuffle on hash(key) % B, run a vectorized pandas kernel per bucket."""
+    """Shuffle on hash(key) % B, run a vectorized pandas kernel per bucket.
+
+    Kernels must be correct over a UNION of buckets (they all group by their
+    true key internally) — under hash shuffle a whole partition (several
+    buckets) is handed to one kernel call, which is strictly less work than
+    one call per bucket.
+    """
     ds = _add_bucket(ds, key_cols, num_buckets)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         out = kernel(g)
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
+    if _hash_shuffle_on():
+        return _partition_by_bucket(ds, num_buckets).map_batches(
+            run, batch_format="pandas", batch_size=None)
     return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
 
 
@@ -116,6 +175,9 @@ def per_bucket_take(ds, key_cols: Sequence[str], helper_cols: Sequence[str],
             out = out.append_column(name, pa.array(values))
         return out.drop_columns([BUCKET_COL])
 
+    if _hash_shuffle_on():
+        return _partition_by_bucket(ds, num_buckets).map_batches(
+            run, batch_format="pyarrow", batch_size=None)
     return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
 
 
@@ -265,4 +327,8 @@ def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
                 t = t.set_column(i, name, pc.cast(t.column(name), want))
         return t
 
+    if _hash_shuffle_on():
+        # kernel projects columns explicitly, so the bucket column is inert
+        return _partition_by_bucket(both, num_buckets).map_batches(
+            kernel, batch_format="pandas", batch_size=None)
     return both.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")

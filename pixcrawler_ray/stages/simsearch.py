@@ -78,7 +78,7 @@ def topk_bruteforce(sf_dir: str, query_vec_ids: list[int], k: int = 10,
         BruteForceScorer,
         fn_constructor_kwargs={"query_ref": query_ref, "k": k + 1},
         batch_format="pandas", batch_size=4096,
-        concurrency=pool_size(0.25), num_cpus=1).to_pandas()
+        concurrency=(1, max(1, pool_size(0.25))), num_cpus=1).to_pandas()
     out_rows = []
     for qi, qid in enumerate(query_vec_ids):
         part = partials[partials.query_idx == qi]
@@ -164,7 +164,7 @@ def topk_ivf(sf_dir: str, query_vec_ids: list[int], k: int = 10,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(ProbeScorer, batch_format="pandas",
                               batch_size=4096,
-                              concurrency=pool_size(0.25),
+                              concurrency=(1, max(1, pool_size(0.25))),
                               num_cpus=1).to_pandas()
     out_rows = []
     for qi, qid in enumerate(query_vec_ids):

@@ -138,15 +138,13 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for d, x in zip(t.column("doc_id").to_pylist(),
-                        t.column("text").to_pylist()):
-            ids.append(d)
-            fps.append([int(h) for h in rolling_fingerprint(x or "",
-                                                            window=window)])
+        from pixcrawler_ray.functions.hashing import rolling_fingerprints_batch
+        fps = rolling_fingerprints_batch(t.column("text").to_pylist(),
+                                         window=window)
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "fingerprints": pa.array(fps, type=pa.list_(pa.int64())),
+            "doc_id": t.column("doc_id"),
+            "fingerprints": pa.array(
+                [f.tolist() for f in fps], type=pa.list_(pa.uint64())),
         })
 
     return ds.map_batches(fp, batch_format="pyarrow")

@@ -132,30 +132,48 @@ def write_partitioned(extracted_ds, out_dir: str, num_partitions: int = 8,
     tagged = extracted_ds.map_batches(tag, batch_format="pyarrow")
 
     def write_tmp(g: pa.Table) -> pa.Table:
-        t0 = time.time()
-        p = int(g.column("part")[0].as_py())
-        table = g.sort_by([("seq", "ascending")]).drop_columns(["part"])
-        tmp = os.path.join(out_dir, f"_tmp-part={p}")
+        """Write every partition present in this block (hash partitioning
+        co-locates each ``part`` wholly in one block, possibly several parts
+        per block)."""
+        import numpy as np
         import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(table, os.path.join(tmp, "data.parquet"))
-        keys = (table.column("doc_id").to_numpy()
-                if "doc_id" in table.column_names
-                else table.column("url").to_pylist())
-        delta = seen_delta_table(keys, epoch, num_partitions)
-        pq.write_table(delta, os.path.join(tmp, "seen_delta.parquet"))
+        out = {"partition": [], "rows": [], "bytes": [], "wall_s": []}
+        if g.num_rows:
+            parts = g.column("part").to_numpy()
+            for p in np.unique(parts):
+                t0 = time.time()
+                table = (g.filter(pa.array(parts == p))
+                         .sort_by([("seq", "ascending")])
+                         .drop_columns(["part"]))
+                tmp = os.path.join(out_dir, f"_tmp-part={int(p)}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp, exist_ok=True)
+                pq.write_table(table, os.path.join(tmp, "data.parquet"))
+                keys = (table.column("doc_id").to_numpy()
+                        if "doc_id" in table.column_names
+                        else table.column("url").to_pylist())
+                delta = seen_delta_table(keys, epoch, num_partitions)
+                pq.write_table(delta, os.path.join(tmp, "seen_delta.parquet"))
+                out["partition"].append(int(p))
+                out["rows"].append(table.num_rows)
+                out["bytes"].append(int(table.nbytes))
+                out["wall_s"].append(round(time.time() - t0, 4))
         return pa.table({
-            "partition": pa.array([p], type=pa.int64()),
-            "rows": pa.array([table.num_rows], type=pa.int64()),
-            "bytes": pa.array([int(table.nbytes)], type=pa.int64()),
-            "wall_s": pa.array([round(time.time() - t0, 4)],
-                               type=pa.float64()),
+            "partition": pa.array(out["partition"], type=pa.int64()),
+            "rows": pa.array(out["rows"], type=pa.int64()),
+            "bytes": pa.array(out["bytes"], type=pa.int64()),
+            "wall_s": pa.array(out["wall_s"], type=pa.float64()),
         })
 
-    stats = (tagged.groupby("part")
-             .map_groups(write_tmp, batch_format="pyarrow")
-             .take_all())          # num_partitions tiny rows — not row data
+    from pixcrawler_ray.stages.shuffle import _hash_shuffle_on
+    if _hash_shuffle_on():
+        part_ds = tagged.repartition(num_partitions, keys=["part"])
+        stats_ds = part_ds.map_batches(write_tmp, batch_format="pyarrow",
+                                       batch_size=None)
+    else:
+        stats_ds = (tagged.groupby("part")
+                    .map_groups(write_tmp, batch_format="pyarrow"))
+    stats = stats_ds.take_all()   # num_partitions tiny rows — not row data
 
     rows: list[dict] = []
     committed = 0

@@ -13,6 +13,10 @@ def ray_session():
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # the engine's production shuffle strategy — the whole suite (incl. the
+    # DuckDB oracle gate) runs on the hash-shuffle path
+    from pixcrawler_ray.stages.shuffle import enable_hash_shuffle
+    enable_hash_shuffle(4)
     yield
     ray.shutdown()
 

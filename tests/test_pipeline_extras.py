@@ -45,8 +45,20 @@ def test_labels_and_category_index(extracted, tmp_path):
                                    "extras_fixture", "parquet")
     assert meta["images_count"] == len(rows)
     paths = labels.write_labels(labels.label_projection(extracted),
-                                str(tmp_path), formats=("parquet", "csv"))
+                                str(tmp_path),
+                                formats=("parquet", "csv", "yaml"))
     assert all(os.path.exists(p) for p in paths)
+    # yaml sink round-trips: every label row present across the block files
+    import glob
+
+    import yaml as _yaml
+    ydir = [p for p in paths if p.endswith("labels_yaml")][0]
+    yrows = []
+    for f in sorted(glob.glob(os.path.join(ydir, "*.yaml"))):
+        with open(f) as fh:
+            yrows.extend(_yaml.safe_load(fh))
+    assert len(yrows) == len(rows)
+    assert {r["url"] for r in yrows} == {r["url"] for r in rows}
 
 
 def test_hot_cold_tiering(extracted, tmp_path):

@@ -220,3 +220,17 @@ def test_batch_fingerprints_match_scalar(sf_tiny):
     for i, t in enumerate(texts):
         want = minhash_signature(word_shingles(t, 3), 64)
         assert (sigs[i] == want).all(), (i, t[:40])
+
+
+def test_rolling_fingerprints_batch_matches_scalar(sf_tiny):
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.functions.hashing import (
+        rolling_fingerprint, rolling_fingerprints_batch)
+
+    texts = pq.read_table(f"{sf_tiny}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()[:100]
+    texts += ["", "hi", "seven b"]
+    batch = rolling_fingerprints_batch(texts)
+    for t, b in zip(texts, batch):
+        assert [int(x) for x in b] == [int(x)
+                                       for x in rolling_fingerprint(t or "")]
