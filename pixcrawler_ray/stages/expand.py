@@ -310,7 +310,7 @@ def frontier_dataset(config: CrawlConfig, n_docs: int, depth: int = 0,
     except Exception:
         cpus = 8
     out_rows = grid.num_rows * page_size
-    nblocks = max(1, min(math.ceil(out_rows / 4096), 4 * cpus))
+    nblocks = max(1, min(math.ceil(out_rows / 16384), 2 * cpus))
     if nblocks > 1:
         ds = ds.repartition(nblocks)
     return ds.map_batches(

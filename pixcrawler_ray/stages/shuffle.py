@@ -71,7 +71,12 @@ def _partition_by_bucket(ds, num_buckets: int):
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    p = max(2, min(num_buckets, 4 * cpus))
+    # partitions ~ cpus, not buckets: every (block x partition) pair is an
+    # actor push on the shuffle send side, so excess partitions turn a small
+    # shuffle into thousands of tiny actor calls (measured 1s/send-task at
+    # 64x64); kernels are multi-bucket-correct so fewer, larger partitions
+    # only help
+    p = max(2, min(num_buckets, cpus))
     return ds.repartition(p, keys=[BUCKET_COL])
 
 
