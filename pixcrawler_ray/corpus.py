@@ -151,26 +151,63 @@ def render_html(doc_id: int, text: str) -> bytes:
     return body
 
 
+def render_html_batch(doc_ids: np.ndarray, texts) -> pa.Array:
+    """Vectorized :func:`render_html` — byte-identical per row (pytest-
+    asserted), built entirely from Arrow C++ string kernels so the hot fetch
+    path never loops Python per row.
+
+    ``texts`` is an Arrow string array (or ChunkedArray) aligned with
+    ``doc_ids``.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    d = doc_ids.astype(np.int64)
+    # html.escape(text, quote=False) == sequential &, <, > replacement
+    esc = pc.replace_substring(texts, pattern="&", replacement="&amp;")
+    esc = pc.replace_substring(esc, pattern="<", replacement="&lt;")
+    esc = pc.replace_substring(esc, pattern=">", replacement="&gt;")
+    d_s = pc.cast(pa.array(d), pa.string())
+    n_links = d % 4
+    exts = pa.array(LINK_EXTS, type=pa.string())
+    img_parts = []
+    for j in range(3):
+        num = (d * np.int64(31) + np.int64(j * 17)) % np.int64(IMG_LINK_BUCKETS)
+        ext = pc.take(exts, pa.array((d + j) % len(LINK_EXTS)))
+        part = pc.binary_join_element_wise(
+            '<img src="http://img.example.com/i/',
+            pc.cast(pa.array(num), pa.string()), ext, '"/>', "")
+        img_parts.append(pc.if_else(pa.array(j < n_links), part, ""))
+    page = pc.binary_join_element_wise(
+        "<html><head><title>doc ", d_s, "</title></head><body><p>", esc,
+        "</p>", img_parts[0], img_parts[1], img_parts[2],
+        "</body></html>", "")
+    body = page.cast(pa.binary())
+    mal = pa.array((d % MALFORMED_MOD) == MALFORMED_REM)
+    return pc.if_else(
+        mal, pc.binary_slice(body, 0, MALFORMED_PREFIX_LEN), body)
+
+
 def pages_batch(batch: pa.Table) -> pa.Table:
     """``documents`` Arrow batch -> ``pages`` Arrow batch (stateless map).
 
-    Vectorized except html rendering (inherently per-row byte assembly, like
-    any real WARC writer). Ground-truth ``text`` is '' for malformed pages.
+    Fully vectorized (Arrow C++ kernels incl. html rendering). Ground-truth
+    ``text`` is '' for malformed pages.
     """
     d = batch.column("doc_id").to_numpy()
-    texts = batch.column("text").to_pylist()
+    texts = batch.column("text")
     langs = batch.column("lang")
     url, host = urls_hosts_arrow(d)
     ts = pa.array(BASE_EPOCH_US + d.astype(np.int64) * 1_000_000).cast(
         pa.timestamp("us")
     )
-    html_col = pa.array(
-        [render_html(int(di), t) for di, t in zip(d, texts)], type=pa.binary()
-    )
+    import pyarrow.compute as pc
+    html_col = render_html_batch(d, texts)
     malformed = (d % MALFORMED_MOD) == MALFORMED_REM
-    gt_text = pa.array(
-        ["" if m else t for m, t in zip(malformed, texts)], type=pa.string()
-    )
+    gt_text = pc.if_else(pa.array(malformed), "",
+                         texts.combine_chunks()
+                         if isinstance(texts, pa.ChunkedArray) else texts)
     return pa.table(
         {
             "url": url,

@@ -30,7 +30,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from pixcrawler_ray.functions.minhash import simhash64
+from pixcrawler_ray.functions.minhash import simhash64_batch
 
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.S)
 _IMG_RE = re.compile(rb'<img src="([^"]*)"/>')
@@ -110,10 +110,10 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         valids.append(v)
         md5s.append(hashlib.md5(t.encode("utf-8")).digest())
         sizes.append(len(h))
-    # scalar per-doc simhash on purpose: tiny cache-resident arrays, zero
-    # large allocations — large per-batch matrices page-fault badly on this
-    # host (see _tune_allocator); values are identical to simhash64_batch
-    phashes = [simhash64(t) for t in texts]
+    # batch simhash: arrow-tokenized, vocabulary-memoized word hashing and a
+    # widening reduceat — ~2x the scalar loop per row, bit-identical
+    # (tests/test_stages.py asserts batch == scalar)
+    phashes = simhash64_batch(texts)
     drop = ["html"] + (["text"] if "text" in batch.column_names else [])
     out = batch.drop_columns(drop)
     out = out.append_column("text", pa.array(texts, type=pa.string()))

@@ -118,16 +118,35 @@ def _flat_doc_shingles(texts: list[str], k: int):
     Returns (hashes, doc_index, seg_starts, n_docs): ``hashes`` sorted by
     doc, deduplicated within doc; ``seg_starts`` indexes each doc's segment
     (empty docs excluded — their fingerprint is 0 by definition).
+
+    Tokenization + word hashing run through Arrow C++ kernels: whitespace
+    split, then dictionary-encode the flat token stream so each DISTINCT
+    word is hashed exactly once per batch (corpus vocabulary << token
+    count). Identical output to the ``str.split()`` scalar path
+    (pytest-asserted batch == scalar).
     """
-    words_per_doc = [t.split() for t in texts]
-    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                       count=len(texts))
-    flat = [w for ws in words_per_doc for w in ws]
-    if not flat:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    sp = pc.utf8_split_whitespace(arr)
+    lens0 = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    flat = pc.list_flatten(sp)
+    doc_of_word = np.repeat(np.arange(len(texts)), lens0)
+    # arrow emits empty tokens at string edges; str.split() drops them
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    if not ne_np.all():
+        flat = flat.filter(nonempty)
+        doc_of_word = doc_of_word[ne_np]
+    lens = np.bincount(doc_of_word, minlength=len(texts)).astype(np.int64)
+    if len(flat) == 0:
         return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
                 np.zeros(0, np.int64), len(texts))
-    wh = _word_hashes(flat)
-    doc_of_word = np.repeat(np.arange(len(texts)), lens)
+    dic = flat.dictionary_encode()
+    uniq_h = _word_hashes(dic.dictionary.to_pylist())
+    wh = uniq_h[dic.indices.to_numpy(zero_copy_only=False)]
     with np.errstate(over="ignore"):
         # windows of size k starting at each word (within-doc only);
         # docs shorter than k use their full length (scalar-path semantics)
@@ -175,7 +194,9 @@ def simhash64_batch(texts: list[str], k: int = 2) -> np.ndarray:
     # value == column j of the (n_shingles, 64) uint8 matrix
     bits = np.unpackbits(np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8),
                          axis=1, bitorder="little")
-    votes = np.add.reduceat(bits.astype(np.int32), seg_starts, axis=0)
+    # dtype=int32 ON the reduceat: widening via .astype first materializes a
+    # 4x temp of the whole bit matrix (measured 3x slower on this host)
+    votes = np.add.reduceat(bits, seg_starts, axis=0, dtype=np.int32)
     seg_lens = np.diff(np.append(seg_starts, len(h)))
     set_bits = (votes * 2) > seg_lens[:, None]
     vals = np.packbits(set_bits, axis=1, bitorder="little").view(

@@ -222,7 +222,11 @@ class VirtualCorpusFetcher:
     def __init__(self, texts_ref, n_base: int,
                  min_bytes: int = MIN_CONTENT_BYTES,
                  transient_mod: int = 89, transient_rem: int = 3):
-        self.texts = ray.get(texts_ref)      # list[str], base table order
+        # Arrow string array in base doc_id order — zero-copy from the
+        # object store, vectorized take per batch (no per-row list indexing)
+        t = ray.get(texts_ref)
+        self.texts = (t.combine_chunks() if isinstance(t, pa.ChunkedArray)
+                      else t)
         self.n_base = n_base
         self.min_bytes = min_bytes
         self.transient_mod = transient_mod
@@ -247,38 +251,56 @@ class VirtualCorpusFetcher:
             [transient, malformed],
             [STATUS_TRANSIENT, STATUS_CONTENT_REJECTED],
             default=STATUS_OK).astype(np.int32)
-        htmls = [
-            _corpus.render_html(int(d), self.texts[int(d) % self.n_base])
-            if k else None
-            for d, k in zip(doc, ok)
-        ]
+        base_texts = pc.take(
+            self.texts, pa.array((doc % self.n_base).astype(np.int64)))
+        rendered = _corpus.render_html_batch(doc, base_texts)
+        html_col = pc.if_else(pa.array(ok), rendered,
+                              pa.scalar(None, type=pa.binary()))
         ts = _corpus.BASE_EPOCH_US + doc.astype(np.int64) * 1_000_000
         ts_arr = pa.array(np.where(ok, ts, 0), mask=~ok).cast(
             pa.timestamp("us"))
         out = batch.append_column("status", pa.array(status, type=pa.int32()))
         out = out.append_column("warc_ts", ts_arr)
-        return out.append_column("html", pa.array(htmls, type=pa.binary()))
+        return out.append_column("html", html_col)
+
+
+# per-worker-process fetcher cache: the broadcast texts array is fetched
+# from local plasma once per (worker, corpus) instead of once per batch
+_VF_CACHE: dict = {}
+
+
+def _virtual_fetch_fn(batch: pa.Table, texts_ref=None,
+                      n_base: int = 0) -> pa.Table:
+    key = texts_ref.hex() if hasattr(texts_ref, "hex") else id(texts_ref)
+    f = _VF_CACHE.get(key)
+    if f is None:
+        if len(_VF_CACHE) > 4:
+            _VF_CACHE.clear()
+        f = VirtualCorpusFetcher(texts_ref, n_base)
+        _VF_CACHE[key] = f
+    return f(batch)
 
 
 def virtual_fetch_dataset(frontier_ds, sf_dir: str,
                           concurrency: int | None = None,
                           batch_size: int = 2048):
-    """Virtual-corpus fetch actor pool (broadcasts only the base texts)."""
-    import pyarrow.parquet as pq
+    """Virtual-corpus fetch as a stateless TASK pool.
 
-    from pixcrawler_ray.sources.readers import pool_size
+    The base texts are broadcast once via ``ray.put`` and resolved inside
+    each worker process (zero-copy plasma read, memoized per process via
+    ``_VF_CACHE``). A task pool beats an autoscaling actor pool here: no
+    actor ramp-up from 1, every CPU picks up batches immediately, and the
+    only per-task state (the texts array) is shared node-local memory.
+    """
+    import pyarrow.parquet as pq
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     order = np.argsort(docs.column("doc_id").to_numpy())
-    texts_all = docs.column("text").to_pylist()
-    texts = [texts_all[i] for i in order]
+    texts = (docs.column("text").combine_chunks()
+             .take(pa.array(order.astype(np.int64))))
     texts_ref = ray.put(texts)
-    if concurrency is None:
-        concurrency = pool_size(0.75)
     return frontier_ds.map_batches(
-        VirtualCorpusFetcher,
-        fn_constructor_kwargs={"texts_ref": texts_ref,
-                               "n_base": len(texts)},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, max(1, concurrency)), num_cpus=1)
+        _virtual_fetch_fn,
+        fn_kwargs={"texts_ref": texts_ref, "n_base": len(texts)},
+        batch_format="pyarrow", batch_size=batch_size)

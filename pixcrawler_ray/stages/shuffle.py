@@ -61,23 +61,79 @@ def _hash_shuffle_on() -> bool:
             == ShuffleStrategy.HASH_SHUFFLE)
 
 
+# a split/fuse exchange creates (blocks x partitions) intermediate objects;
+# beyond this cap fall back to Ray's built-in hash shuffle (which streams and
+# spills — the 100 TB path)
+_EXCHANGE_MAX_OBJECTS = 65536
+
+
+def _exchange_split(t: pa.Table, p: int):
+    """Map side of the exchange: sort one block by partition id, return the
+    p contiguous slices (zero-copy views of the sorted block).
+
+    ``union`` streams can carry zero-row blocks with an EMPTY schema that
+    bypass upstream map UDFs (observed from Ray's UnionOperator) — those are
+    passed through as empty slices and dropped by the fuse side."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0 or BUCKET_COL not in t.column_names:
+        return tuple(t.slice(0, 0) for _ in range(p))
+    part = pa.array((t.column(BUCKET_COL).to_numpy() % p).astype(np.int64))
+    order = pc.sort_indices(part)
+    t2 = t.take(order)
+    ps = part.take(order).to_numpy()
+    bounds = np.searchsorted(ps, np.arange(p + 1))
+    return tuple(t2.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                 for i in range(p))
+
+
+def _exchange_fuse(*parts):
+    ts = [x for x in parts if x.num_rows]
+    if not ts:
+        # keep the widest schema so an empty partition still carries the
+        # bucket-stamped schema downstream kernels expect
+        return max(parts, key=lambda x: x.num_columns)
+    return pa.concat_tables(ts).combine_chunks()
+
+
 def _partition_by_bucket(ds, num_buckets: int):
     """Hash-partition on the bucket column; every bucket lands wholly in one
-    output block, so a whole-block map_batches sees complete buckets."""
-    import math
+    output block, so a whole-block map_batches sees complete buckets.
 
+    Ray's built-in shuffle operators carry seconds of fixed overhead per
+    exchange at moderate block counts (sort shuffle AND hash shuffle both
+    measured 4-20 s for a 500k-row exchange on this host, anti-scaling with
+    CPUs). For bounded block counts we instead run the classic two-stage
+    exchange directly on the object store: per-block SPLIT tasks emit p
+    per-partition slices, per-partition FUSE tasks concat their slices, and
+    the result re-enters the Dataset API via ``from_arrow_refs`` — same
+    all-to-all movement, ~10x lower constant (measured 0.3-0.4 s for the
+    same exchange), no aggregator actor pool to spin up. Beyond
+    ``_EXCHANGE_MAX_OBJECTS`` intermediates the built-in shuffle (which
+    streams and spills) takes over.
+    """
     import ray as _ray
+    import ray.data as rd
+
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # partitions ~ cpus, not buckets: every (block x partition) pair is an
-    # actor push on the shuffle send side, so excess partitions turn a small
-    # shuffle into thousands of tiny actor calls (measured 1s/send-task at
-    # 64x64); kernels are multi-bucket-correct so fewer, larger partitions
-    # only help
+    # partitions ~ cpus, not buckets: kernels are multi-bucket-correct, so
+    # fewer, larger partitions only help
     p = max(2, min(num_buckets, cpus))
-    return ds.repartition(p, keys=[BUCKET_COL])
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        return ds
+    if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
+        return ds.repartition(p, keys=[BUCKET_COL])
+    split = _ray.remote(num_returns=p)(_exchange_split)
+    fuse = _ray.remote(_exchange_fuse)
+    srefs = [split.remote(b, p) for b in blocks]
+    if p == 1:
+        srefs = [[r] for r in srefs]
+    orefs = [fuse.remote(*[s[i] for s in srefs]) for i in range(p)]
+    return rd.from_arrow_refs(orefs)
 
 
 def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
@@ -149,6 +205,8 @@ def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.
     ds = _add_bucket(ds, key_cols, num_buckets)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
+        if BUCKET_COL not in g.columns:     # degenerate empty-stream block
+            return g
         out = kernel(g)
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
@@ -169,6 +227,8 @@ def per_bucket_take(ds, key_cols: Sequence[str], helper_cols: Sequence[str],
     helpers = list(helper_cols)
 
     def run(g: pa.Table) -> pa.Table:
+        if BUCKET_COL not in g.column_names:  # degenerate empty-stream block
+            return g
         proj = g.select(helpers).to_pandas()
         res = index_kernel(proj)
         if isinstance(res, tuple):
@@ -315,6 +375,8 @@ def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
     target_types = {**rtypes, **ltypes}
 
     def kernel(g: pd.DataFrame) -> pa.Table:
+        if tag not in g.columns:              # degenerate empty-stream block
+            return pa.Table.from_pandas(g, preserve_index=False)
         l = g[g[tag] == 0][lkeep]
         r = g[g[tag] == 1][rkeep]
         if how == "semi":
