@@ -106,7 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dd.simhash_near_pairs(sf, radius=3),  # rows-only
         "dedup_minhash": minhash_dedup,                     # rows-only
         "ngram_jaccard_pairs":
-            lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),  # rows-only
+            lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),  # oracled
         "embedding_dup_pairs":
             lambda sf: dd.embedding_dup_pairs(sf, threshold=0.4),  # oracled
         # --- text analysis ---
@@ -240,6 +240,44 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+    # n-gram Jaccard: same shingle semantics as functions/minhash.py
+    # word_shingles (whitespace split, k=3, whole-doc shingle when < k
+    # words, distinct sets) expressed over string shingles; equality holds
+    # modulo 64-bit hash collisions. Shared-shingle prejoin (`ex`) mirrors
+    # the Ray prefix-filter candidate stage; jaccard division is exact IEEE
+    # in both engines so the value hash matches bit-for-bit.
+    out["ngram_jaccard_pairs"] = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 3 THEN [array_to_string(w, chr(31))]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], chr(31)))) END AS s
+  FROM d
+), ex AS (
+  SELECT doc_id, lang, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM ex x JOIN ex y ON x.lang = y.lang AND x.g = y.g AND x.doc_id < y.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND len(a.s) = 0 AND len(b.s) = 0
+), j AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         END AS jaccard_sim
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"""
 
     # CASE guard: str.split() yields 0 tokens on empty/whitespace-only text,
     # but regexp_split_to_array(trim('')) yields [''] (1 token) — align the

@@ -190,18 +190,35 @@ def simhash64_batch(texts: list[str], k: int = 2) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if len(h) == 0:
         return out
-    # bit expansion via unpackbits on the raw little-endian bytes: bit j of
-    # value == column j of the (n_shingles, 64) uint8 matrix
-    bits = np.unpackbits(np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8),
-                         axis=1, bitorder="little")
-    # dtype=int32 ON the reduceat: widening via .astype first materializes a
-    # 4x temp of the whole bit matrix (measured 3x slower on this host)
-    votes = np.add.reduceat(bits, seg_starts, axis=0, dtype=np.int32)
-    seg_lens = np.diff(np.append(seg_starts, len(h)))
-    set_bits = (votes * 2) > seg_lens[:, None]
-    vals = np.packbits(set_bits, axis=1, bitorder="little").view(
-        np.uint64).ravel()
-    out[np.unique(doc)] = vals
+    seg_ends = np.append(seg_starts[1:], len(h)).astype(np.int64)
+    seg_lens = seg_ends - seg_starts
+    docs_with = np.unique(doc)
+    # CHUNKED bit expansion: the whole-batch (n_shingles, 64) uint8 matrix
+    # is tens of MB per call — on this host the FIRST touch of that much
+    # fresh heap per worker costs seconds (hypervisor demand-paging;
+    # see pixcrawler_ray._tune_allocator), turning worker cold-start into
+    # the scaling bottleneck. ~32k shingles/chunk keeps the working set
+    # ~2 MB (cache-resident, allocator-reused) at vector speed.
+    CHUNK = 32768
+    vals = np.empty((len(seg_starts), 8), dtype=np.uint8)
+    s = 0
+    while s < len(seg_starts):
+        e = s
+        while e < len(seg_starts) and seg_ends[e] - seg_starts[s] <= CHUNK:
+            e += 1
+        e = max(e, s + 1)          # a single giant doc still goes through
+        lo, hi = seg_starts[s], seg_ends[e - 1]
+        bits = np.unpackbits(
+            np.ascontiguousarray(h[lo:hi]).view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little")
+        # dtype=int32 ON the reduceat: widening via .astype first would
+        # materialize a 4x temp (measured 3x slower on this host)
+        votes = np.add.reduceat(bits, seg_starts[s:e] - lo, axis=0,
+                                dtype=np.int32)
+        set_bits = (votes * 2) > seg_lens[s:e, None]
+        vals[s:e] = np.packbits(set_bits, axis=1, bitorder="little")
+        s = e
+    out[docs_with] = vals.view(np.uint64).ravel()
     return out
 
 

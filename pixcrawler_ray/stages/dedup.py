@@ -208,23 +208,21 @@ def _shingle_dataset(sf_dir: str, ids: np.ndarray, shingle_k: int):
                           concurrency=(1, pool_size(0.5)))
 
 
-def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8,
-                           num_perms: int = 128, shingle_k: int = 3,
-                           bands: int = 16, amplify: int = 1):
-    """Candidate pairs -> DISTRIBUTED exact-Jaccard verification.
+def exact_jaccard_verify(sf_dir: str, pairs, threshold: float,
+                         shingle_k: int = 3, num_buckets: int = 16):
+    """Candidate (doc_a, doc_b) pairs -> DISTRIBUTED exact-Jaccard verify.
 
     pairs ⨝ shingles on doc_a, then on doc_b (bucketed hash joins — the
-    100 TB join shape), then a vectorized per-row Jaccard over the uint64
-    shingle lists. No text or shingle data ever reaches the driver.
+    100 TB join shape), then a per-row Jaccard over the uint64 shingle
+    lists. No text or shingle data ever reaches the driver. Shared by the
+    MinHash and prefix-filter n-gram paths.
     """
     from pixcrawler_ray.stages.shuffle import bucketed_join
 
-    pairs = minhash_candidate_pairs(sf_dir, num_perms, shingle_k, bands,
-                                    amplify=amplify).materialize()
     ids = _pair_doc_ids(pairs)
     if len(ids) == 0:
         return pairs.map_batches(
-            lambda t: t.append_column(
+            lambda t: t.select(["doc_a", "doc_b"]).append_column(
                 "jaccard_sim", pa.array([], type=pa.float64())),
             batch_format="pyarrow")
     shingled = _shingle_dataset(sf_dir, ids, shingle_k)
@@ -233,8 +231,9 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8,
         lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
     sh_b = shingled.map_batches(
         lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow")
-    j1 = bucketed_join(pairs, sh_a, on="doc_a", num_buckets=16)
-    j2 = bucketed_join(j1, sh_b, on="doc_b", num_buckets=16)
+    j1 = bucketed_join(pairs.select_columns(["doc_a", "doc_b"]), sh_a,
+                       on="doc_a", num_buckets=num_buckets)
+    j2 = bucketed_join(j1, sh_b, on="doc_b", num_buckets=num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -254,6 +253,15 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8,
         return out.filter(pa.array(keep))
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8,
+                           num_perms: int = 128, shingle_k: int = 3,
+                           bands: int = 16, amplify: int = 1):
+    """MinHash-LSH candidates -> distributed exact-Jaccard verification."""
+    pairs = minhash_candidate_pairs(sf_dir, num_perms, shingle_k, bands,
+                                    amplify=amplify).materialize()
+    return exact_jaccard_verify(sf_dir, pairs, threshold, shingle_k)
 
 
 def min_label_components(pairs_ds, num_buckets: int = 16,
@@ -438,33 +446,78 @@ def simhash_near_pairs(sf_dir: str, radius: int = 3, k: int = 2):
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                         shingle_k: int = 3, block_key: str = "lang"):
-    """Exact n-gram Jaccard near-dup pairs within ``block_key`` blocks.
+    """EXACT n-gram Jaccard near-dup pairs within ``block_key`` blocks —
+    prefix-filtered inverted index, fully distributed (no all-pairs scan).
 
-    Blocking assumption (documented): near-dups share the block key. Each
-    block is scanned all-pairs with vectorized set ops — the brute-force
-    baseline that MinHash approximates; usable at scale only inside small
-    blocks.
+    Prefix filtering (the PPJoin/AllPairs family, Xiao et al. WWW'08): with
+    each doc's distinct shingle hashes in a fixed global order (ascending
+    hash), any pair with J >= t must collide on one of each side's first
+    ``n - ceil(t*n) + 1`` shingles. So only those PREFIX shingles are
+    exploded to the (block, shingle) inverted-index shuffle; candidate pairs
+    are deduped and verified exactly by the same distributed pairs ⨝
+    shingles join as MinHash. Empty docs pair through a sentinel bucket
+    (jaccard(∅, ∅) = 1 by definition — all-pairs-path semantics).
+
+    Blocking assumption (documented): near-dups share ``block_key``. Output
+    is identical to the all-pairs scan (pytest-asserted).
     """
+    from pixcrawler_ray.functions.minhash import _flat_doc_shingles
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", block_key])
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for _, grp in g.groupby(block_key, sort=False):
-            ids = grp["doc_id"].to_numpy()
-            sh = [np.sort(word_shingles(t or "", shingle_k))
-                  for t in grp["text"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    jj = jaccard(sh[i], sh[j])
-                    if jj >= threshold:
-                        a, b = sorted((int(ids[i]), int(ids[j])))
-                        out_a.append(a); out_b.append(b); out_j.append(jj)
-        return pd.DataFrame({"doc_a": np.array(out_a, dtype=np.int64),
-                             "doc_b": np.array(out_b, dtype=np.int64),
-                             "jaccard_sim": np.array(out_j,
-                                                     dtype=np.float64)})
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        blk = t.column(block_key)
+        h, doc, seg_starts, _n = _flat_doc_shingles(texts, shingle_k)
+        if len(h):
+            lens = np.diff(np.append(seg_starts, len(h)))
+            pos = np.arange(len(h)) - np.repeat(seg_starts, lens)
+            seg_len = np.repeat(lens, lens)
+            p = np.minimum(
+                np.floor((1.0 - threshold) * seg_len).astype(np.int64) + 1,
+                seg_len)
+            keep = pos < p
+            sh, di = h[keep], doc[keep]
+        else:
+            sh = np.zeros(0, np.uint64)
+            di = np.zeros(0, np.int64)
+        # sentinel rows so empty docs still meet in one bucket per block
+        has = np.zeros(len(texts), dtype=bool)
+        has[doc] = True
+        empt = np.flatnonzero(~has)
+        sh = np.concatenate([sh.view(np.int64),
+                             np.full(len(empt), -1, dtype=np.int64)])
+        di = np.concatenate([di, empt])
+        return pa.table({
+            "shingle": pa.array(sh, type=pa.int64()),
+            "doc_id": pa.array(ids[di], type=pa.int64()),
+            block_key: blk.take(pa.array(di)),
+        })
 
-    return per_bucket(ds, [block_key], kernel, num_buckets=8)
+    rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby([block_key, "shingle"], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) > 1:
+                i, j = np.triu_indices(len(ids), 1)
+                outs_a.append(ids[i])
+                outs_b.append(ids[j])
+        a = (np.concatenate(outs_a) if outs_a
+             else np.zeros(0, dtype=np.int64))
+        b = (np.concatenate(outs_b) if outs_b
+             else np.zeros(0, dtype=np.int64))
+        return pd.DataFrame({"doc_a": a, "doc_b": b,
+                             "pair_key": a * (1 << 32) + b})
+
+    cands = per_bucket(rows, [block_key, "shingle"], cand_kernel,
+                       num_buckets=32)
+    cands = keep_first_by(cands, ["pair_key"], "pair_key",
+                          num_buckets=16).drop_columns(["pair_key"])
+    return exact_jaccard_verify(sf_dir, cands.materialize(), threshold,
+                                shingle_k)
 
 
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98):

@@ -264,6 +264,19 @@ class VirtualCorpusFetcher:
         return out.append_column("html", html_col)
 
 
+@ray.remote
+def _load_base_texts(sf_dir: str) -> pa.Array:
+    """Base texts in doc_id order, stored straight into the object store
+    (task return) — never materialized on the driver."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    order = np.argsort(docs.column("doc_id").to_numpy())
+    return (docs.column("text").combine_chunks()
+            .take(pa.array(order.astype(np.int64))))
+
+
 # per-worker-process fetcher cache: the broadcast texts array is fetched
 # from local plasma once per (worker, corpus) instead of once per batch
 _VF_CACHE: dict = {}
@@ -294,13 +307,13 @@ def virtual_fetch_dataset(frontier_ds, sf_dir: str,
     """
     import pyarrow.parquet as pq
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    order = np.argsort(docs.column("doc_id").to_numpy())
-    texts = (docs.column("text").combine_chunks()
-             .take(pa.array(order.astype(np.int64))))
-    texts_ref = ray.put(texts)
+    # read+sort+broadcast the base texts in a REMOTE task: the driver only
+    # reads parquet metadata (row count), so the ~serial load overlaps with
+    # upstream frontier stages instead of sitting on the critical path
+    n_base = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    texts_ref = _load_base_texts.remote(sf_dir)
     return frontier_ds.map_batches(
         _virtual_fetch_fn,
-        fn_kwargs={"texts_ref": texts_ref, "n_base": len(texts)},
+        fn_kwargs={"texts_ref": texts_ref, "n_base": n_base},
         batch_format="pyarrow", batch_size=batch_size)

@@ -71,11 +71,16 @@ def _exchange_split(t: pa.Table, p: int):
     """Map side of the exchange: sort one block by partition id, return the
     p contiguous slices (zero-copy views of the sorted block).
 
-    ``union`` streams can carry zero-row blocks with an EMPTY schema that
-    bypass upstream map UDFs (observed from Ray's UnionOperator) — those are
-    passed through as empty slices and dropped by the fuse side."""
+    ``union`` / empty-partition streams can carry zero-row blocks (sometimes
+    with an EMPTY schema, sometimes still in pandas format) that BYPASS
+    upstream map UDFs entirely (observed from Ray's UnionOperator and from
+    empty exchange partitions flowing through pandas-format map stages) —
+    coerce to Arrow here and pass through as empty slices, dropped by the
+    fuse side."""
     import pyarrow.compute as pc
 
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
     if t.num_rows == 0 or BUCKET_COL not in t.column_names:
         return tuple(t.slice(0, 0) for _ in range(p))
     part = pa.array((t.column(BUCKET_COL).to_numpy() % p).astype(np.int64))
@@ -119,9 +124,14 @@ def _partition_by_bucket(ds, num_buckets: int):
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # partitions ~ cpus, not buckets: kernels are multi-bucket-correct, so
-    # fewer, larger partitions only help
-    p = max(2, min(num_buckets, cpus))
+    # partitions ~ 2x cpus, capped by buckets: kernels are multi-bucket-
+    # correct, so partition count trades kernel fixed cost against downstream
+    # task granularity — the exchange output blocks ARE the task units of the
+    # next fused stage, and exactly-one-task-per-cpu leaves block-size skew
+    # (~±20%) as pure straggler wall time with no work stealing
+    import os as _os
+    ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
+    p = max(2, min(num_buckets, cpus * ppc))
     blocks = ds.to_arrow_refs()
     if not blocks:
         return ds
