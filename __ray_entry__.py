@@ -64,6 +64,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = ss.topk_ivf(sf_dir, query_vec_ids=[0, 1, 2], k=10)
         return df[["query_vec_id", "vec_id", "rank"]]
 
+    def simsearch_ivf_partitioned(sf_dir: str):
+        # build the cell-partitioned layout under /tmp, then probe with
+        # path-level partition pruning (the 100 TB IVF shape)
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        idx = os.path.join(tempfile.gettempdir(), f"pxr_ivf_{tag}")
+        shutil.rmtree(idx, ignore_errors=True)
+        ss.build_ivf_index(sf_dir, idx, n_cells=16, sample_rows=4096)
+        df = ss.topk_ivf_partitioned(idx, sf_dir, query_vec_ids=[0, 1, 2],
+                                     k=10, nprobe=4)
+        return df[["query_vec_id", "vec_id", "rank"]]
+
     def multimodal_features(sf_dir: str):
         from pixcrawler_ray import corpus
         from pixcrawler_ray.stages import multimodal as mm
@@ -109,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),  # oracled
         "embedding_dup_pairs":
             lambda sf: dd.embedding_dup_pairs(sf, threshold=0.4),  # oracled
+        "embedding_srp_pairs":                               # rows-only (LSH
+            lambda sf: dd.embedding_srp_pairs(sf, threshold=0.35),  # recall)
         # --- text analysis ---
         "token_counts": ts.token_counts,                    # oracled
         "quality_scores": ts.quality_scores,                # oracled
@@ -117,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
+        "simsearch_ivf_partitioned": simsearch_ivf_partitioned,  # rows-only
         # --- multimodal plumbing (rows-only; decode is stubbed) ---
         "multimodal_features": multimodal_features,
         # --- flagship e2e (rows-only; pytest-oracled) ---

@@ -23,6 +23,8 @@ the driver (SURVEY §7.5.7), each generation a pure Dataset pipeline.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -45,7 +47,18 @@ from pixcrawler_ray.stages.fetch import (
 from pixcrawler_ray.stages.politeness import assign_rounds
 from pixcrawler_ray.stages.robots import apply_robots
 from pixcrawler_ray.stages.seen import SeenAntiJoin, dedup_frontier
-from pixcrawler_ray.stages.shuffle import keep_first_by, keep_first_n
+from pixcrawler_ray.stages.shuffle import (
+    keep_first_by,
+    keep_first_caps,
+    keep_first_n,
+)
+
+
+# past this compressed-corpus size the broadcast fetch index no longer fits
+# comfortably in a node's object store; fetch switches to the bucketed
+# url-hash shuffle join (env-tunable for tests)
+BROADCAST_INDEX_MAX_BYTES = int(os.environ.get(
+    "GRAFT_BROADCAST_INDEX_MAX_BYTES", str(4 << 30)))
 
 
 def n_documents(sf_dir: str) -> int:
@@ -130,7 +143,10 @@ def admit_frontier_salted(frontier_ds, budget_per_round: int = 8,
     import pandas as pd
 
     from pixcrawler_ray import corpus as _corpus
-    from pixcrawler_ray.stages.politeness import assign_rounds_salted
+    from pixcrawler_ray.stages.politeness import (
+        admit_salted_fused,
+        assign_rounds_salted,
+    )
     from pixcrawler_ray.stages.shuffle import per_bucket_take
 
     def dedup_robots_kernel(df: pd.DataFrame):
@@ -142,12 +158,18 @@ def admit_frontier_salted(frontier_ds, budget_per_round: int = 8,
                    == _corpus.PRIVATE_REM)
         return df[~(disallow & private)].index.to_numpy()
 
+    fused = admit_salted_fused(frontier_ds, dedup_robots_kernel,
+                               budget_per_round=budget_per_round,
+                               num_buckets=num_buckets,
+                               num_salts=num_salts, max_seq=max_seq,
+                               stats=stats)
+    if fused is not None:
+        return fused
     admitted = per_bucket_take(frontier_ds, ["doc_id"],
                                ["doc_id", "host_id", "seq"],
                                dedup_robots_kernel, num_buckets=num_buckets)
-    # pin the admitted set: the salted ranker reads it twice (counts + rank);
-    # at cluster scale this fork point is the checkpointed frontier parquet
-    admitted = admitted.materialize()
+    # no materialize: the salted ranker now reads the admitted set exactly
+    # once (group counts ride the rank exchange as a side aggregation)
     return assign_rounds_salted(admitted, budget_per_round=budget_per_round,
                                 num_buckets=num_buckets, num_salts=num_salts,
                                 max_seq=max_seq, stats=stats)
@@ -157,13 +179,42 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
                    page_size: int = PAGE_SIZE, seen_shards=None,
                    budget_per_round: int = 8, seen_concurrency: int = 4,
                    fused: bool = True, corpus_factor: int = 1,
-                   salted: bool = False, stats: dict | None = None):
+                   salted: bool = False, stats: dict | None = None,
+                   lean: bool = False):
     """Expansion -> url-dedup -> (resume anti-join) -> robots -> politeness.
 
     ``salted=True`` uses the hot-host-safe admission (doc-keyed dedup shuffle
     + range-salted rank shuffle) — identical output, no per-host straggler
     kernel; the default fused single-shuffle path wins at low skew/scale.
+
+    ``lean=True`` (salted path only) runs the admission shuffles over the
+    integer-only frontier and hydrates the string columns AFTER admission
+    (fused with the next map stage) — identical output schema/rows, ~7x
+    fewer exchange bytes.
     """
+    if lean:
+        if not salted or seen_shards:
+            raise ValueError("lean admission requires salted=True and no "
+                             "seen filter (seen anti-join keys on url)")
+        import ray as _ray
+
+        from pixcrawler_ray.stages.expand import (
+            hydrate_frontier_batch,
+            work_unit_grid,
+        )
+        nd = n_documents(sf_dir) * corpus_factor
+        grid = work_unit_grid(config, depth=depth)
+        fr = frontier_dataset(config, nd, depth=depth, page_size=page_size,
+                              lean=True)
+        max_seq = grid.num_rows * page_size
+        adm = admit_frontier_salted(fr, budget_per_round=budget_per_round,
+                                    max_seq=max_seq, stats=stats)
+        grid_ref = _ray.put(grid.select(
+            ["category", "keyword", "variation", "engine"]))
+        return adm.map_batches(
+            hydrate_frontier_batch,
+            fn_kwargs={"grid_ref": grid_ref, "page_size": page_size},
+            batch_format="pyarrow")
     nd = n_documents(sf_dir) * corpus_factor
     fr = frontier_dataset(config, nd, depth=depth, page_size=page_size)
     if seen_shards:
@@ -310,6 +361,16 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
         from pixcrawler_ray.stages.fetch import virtual_fetch_dataset
         index_ref = lambda fr: virtual_fetch_dataset(
             fr, sf_dir, concurrency=fetch_concurrency)
+    elif (os.path.getsize(f"{sf_dir}/documents.parquet")
+          > BROADCAST_INDEX_MAX_BYTES):
+        # size-based switch (round-1 scale finding #6): the broadcast index
+        # must fit every node's object store; past the cap, fetch becomes the
+        # bucketed url-hash shuffle join (same output schema — the 100 TB
+        # join shape). Threshold on the COMPRESSED corpus size: conservative,
+        # metadata-only.
+        from pixcrawler_ray.stages.fetch import fetch_via_join
+        pages_ds, _ = corpus.amplified_pages_dataset(sf_dir, 1)
+        index_ref = lambda fr: fetch_via_join(fr, pages_ds)
     else:
         index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
     res = crawl_generation(
@@ -406,13 +467,10 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
     outputs = [base]
 
     def counts_of(ds) -> dict[str, int]:
-        agg = {}
-        for b in ds.select_columns(["keyword"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"):
-            for k, c in zip(*np.unique(np.asarray(b.column("keyword")),
-                                       return_counts=True)):
-                agg[str(k)] = agg.get(str(k), 0) + int(c)
-        return agg
+        # distributed per-keyword count; result is one small row per keyword
+        t = ds.select_columns(["keyword"]).groupby("keyword").count() \
+            .to_pandas()
+        return dict(zip(t["keyword"], t["count()"].astype(int)))
 
     counts = counts_of(base)
     for retry in range(1, config.max_retries + 1):
@@ -434,12 +492,17 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
                             budget_per_round=budget_per_round,
                             corpus_factor=corpus_factor)
 
-        def reattribute(t: pa.Table, amap=dict(alt_map), r=retry) -> pa.Table:
-            kws = [amap.get(k, k) for k in t.column("keyword").to_pylist()]
+        _alt_keys = pa.array(list(alt_map.keys()), type=pa.string())
+        _alt_vals = pa.array(list(alt_map.values()), type=pa.string())
+
+        def reattribute(t: pa.Table, r=retry) -> pa.Table:
+            # dict-encoded remap: index_in + take, null -> keep original
+            idx = pc.index_in(t.column("keyword"), _alt_keys)
+            kws = pc.coalesce(pc.take(_alt_vals, idx), t.column("keyword"))
             seq = pc.add(t.column("seq"),
                          pa.scalar(r * SEQ_STRIDE, pa.int64()))
             t = t.set_column(t.schema.get_field_index("keyword"), "keyword",
-                             pa.array(kws, type=pa.string()))
+                             pc.cast(kws, pa.string()))
             return t.set_column(t.schema.get_field_index("seq"), "seq", seq)
 
         fr = fr.map_batches(reattribute, batch_format="pyarrow")
@@ -451,15 +514,41 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
         ex = extracted_dataset(ok)
         ex = ex.map_batches(lambda t: t.filter(t.column("valid")),
                             batch_format="pyarrow")
-        # cumulative budget + dedup vs everything gathered so far
-        merged = outputs[0]
-        for ds in outputs[1:]:
-            merged = merged.union(ds)
-        merged = merged.union(ex)
-        merged = keep_first_by(merged, ["content_md5"], "seq")
-        merged = keep_first_by(merged, ["phash"], "seq")
-        merged = keep_first_n(merged, ["keyword"], "seq",
-                              config.max_images).materialize()
-        outputs = [merged]
-        counts = counts_of(merged)
-    return outputs[0]
+        # INCREMENTAL cumulative dedup + budget (round-1 finding #8: the old
+        # path re-unioned and re-shuffled ALL survivors every round —
+        # O(rounds × full shuffle)). Equivalent because survivors are
+        # dedup-closed and always sort before retry rows (seq offsets grow
+        # with round): keep-first over (S ∪ E) = S ∪ (E deduped within
+        # itself, anti-joined against S's keys, capped at each keyword's
+        # REMAINING budget). Only the new rows shuffle.
+        ex = keep_first_by(ex, ["content_md5"], "seq")
+        ex = keep_first_by(ex, ["phash"], "seq")
+        # survivors are post-budget => bounded by keywords × max_images, so
+        # their dedup keys broadcast (a labels-scale set, not corpus-scale)
+        md5s: set = set()
+        phashes: set = set()
+        for prev in outputs:
+            for b in prev.select_columns(["content_md5", "phash"]) \
+                    .iter_batches(batch_size=65536, batch_format="pyarrow"):
+                md5s.update(b.column("content_md5").to_pylist())
+                phashes.update(b.column("phash").to_pylist())
+        if md5s:
+            md5_arr = pa.array(sorted(md5s))
+            ph_arr = pa.array(sorted(phashes))
+
+            def anti_seen(t: pa.Table) -> pa.Table:
+                dup = pc.or_(pc.is_in(t.column("content_md5"),
+                                      value_set=md5_arr),
+                             pc.is_in(t.column("phash"),
+                                      value_set=ph_arr))
+                return t.filter(pc.invert(dup))
+
+            ex = ex.map_batches(anti_seen, batch_format="pyarrow")
+        ex = keep_first_caps(ex, "keyword", "seq", dict(need)).materialize()
+        outputs.append(ex)
+        for kw, c in counts_of(ex).items():
+            counts[kw] = counts.get(kw, 0) + c
+    merged = outputs[0]
+    for ds in outputs[1:]:
+        merged = merged.union(ds)
+    return merged

@@ -42,11 +42,15 @@ def label_projection(extracted_ds):
 
 def write_labels(labels_ds, out_dir: str,
                  formats: tuple[str, ...] = ("parquet", "json", "csv",
-                                             "yaml")):
+                                             "yaml", "txt")):
     """Multi-format label sink — all four reference formats
-    (``builder/_generator.py:896-1040``): parquet/json/csv via the native
-    Ray sinks, yaml as a distributed per-block writer (one yaml document
-    list per block file; gated on PyYAML availability)."""
+    (txt/json/csv/yaml, ``builder/_generator.py:896-1040``) plus parquet:
+    parquet/json/csv via the native Ray sinks, yaml as a distributed
+    per-block writer (one yaml document list per block file; gated on PyYAML
+    availability), txt as the reference's per-image label file (one
+    ``<category>_<keyword>_<seq_name>.txt`` per row, written distributed per
+    block — fine at label scale, since labels are the post-budget survivors,
+    not the raw frontier)."""
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for fmt in formats:
@@ -77,6 +81,22 @@ def write_labels(labels_ds, out_dir: str,
                                                      type=pa.int64())})
 
             labels_ds.map_batches(dump_block, batch_format="pyarrow").count()
+        elif fmt == "txt":
+            os.makedirs(path, exist_ok=True)
+
+            def dump_txt(t: pa.Table, _path=path) -> pa.Table:
+                for r in t.to_pylist():
+                    fname = os.path.join(
+                        _path,
+                        f"{r['category']}_{r['keyword']}_{r['seq_name']}.txt")
+                    with open(fname, "w") as f:
+                        for k in ("category", "keyword", "url", "seq_name",
+                                  "size", "valid"):
+                            f.write(f"{k}: {r[k]}\n")
+                return pa.table({"written": pa.array([t.num_rows],
+                                                     type=pa.int64())})
+
+            labels_ds.map_batches(dump_txt, batch_format="pyarrow").count()
         written.append(path)
     return written
 
@@ -103,15 +123,15 @@ def dataset_metadata(labels_ds, dataset_name: str, label_format: str) -> dict:
 def hot_cold_split(labels_ds, hot_threshold: int):
     """S10 — first ``hot_threshold`` rows per keyword -> hot, rest -> cold
     (rank-based split: seq_name IS the per-keyword rank, zero-padded)."""
+    import pyarrow.compute as pc
+
     def is_hot(t: pa.Table, hot=hot_threshold) -> pa.Table:
-        ranks = [int(x) for x in t.column("seq_name").to_pylist()]
-        mask = pa.array([r <= hot for r in ranks])
-        return t.filter(mask)
+        ranks = pc.cast(t.column("seq_name"), pa.int64())
+        return t.filter(pc.less_equal(ranks, hot))
 
     def is_cold(t: pa.Table, hot=hot_threshold) -> pa.Table:
-        ranks = [int(x) for x in t.column("seq_name").to_pylist()]
-        mask = pa.array([r > hot for r in ranks])
-        return t.filter(mask)
+        ranks = pc.cast(t.column("seq_name"), pa.int64())
+        return t.filter(pc.greater(ranks, hot))
 
     return (labels_ds.map_batches(is_hot, batch_format="pyarrow"),
             labels_ds.map_batches(is_cold, batch_format="pyarrow"))

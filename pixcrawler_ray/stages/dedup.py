@@ -548,3 +548,93 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98):
                              "vec_b": np.array(out_b, dtype=np.int64)})
 
     return per_bucket(ds, ["label"], kernel, num_buckets=8)
+
+
+# seeded hyperplanes, cached per worker process (tiny: n_bits x dim floats)
+_SRP_PLANES: dict = {}
+
+
+def _srp_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    key = (dim, n_bits, seed)
+    p = _SRP_PLANES.get(key)
+    if p is None:
+        p = np.random.default_rng(seed).standard_normal((n_bits, dim))
+        _SRP_PLANES[key] = p
+    return p
+
+
+def embedding_srp_pairs(sf_dir: str, threshold: float = 0.98,
+                        n_bits: int = 64, bands: int = 8, seed: int = 11):
+    """Embedding near-dup pairs via sign-random-projection LSH — the
+    UNBLOCKED scale path for :func:`embedding_dup_pairs` (no label blocking,
+    no O(n²) block: candidate buckets shrink as 1/2^(n_bits/bands)).
+
+    Charikar SRP: bit_i = sign(v . r_i) with seeded Gaussian hyperplanes;
+    P[bit match] = 1 - angle/pi, so banding the 64 bits into 8 bands of 8
+    gives >0.999 recall at cosine 0.98. Pairs are cosine-VERIFIED inside
+    their bucket (exact embeddings ride the band shuffle — a x``bands`` byte
+    amplification; at extreme dims switch to the pairs⨝embeddings bucketed
+    join demonstrated in :func:`exact_jaccard_verify`), so precision is 1.0
+    and only recall is probabilistic.
+    """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bpb = n_bits // bands
+    weights = (1 << np.arange(bpb, dtype=np.int64))
+
+    def add_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "band": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "embedding": t.column("embedding")})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t.column("embedding").to_pylist()])
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        mat = mat / norm
+        planes = _srp_planes(mat.shape[1], n_bits, seed)
+        bits = (mat @ planes.T) >= 0                    # (n, n_bits)
+        band_vals = bits.reshape(n, bands, bpb) @ weights   # (n, bands)
+        ids = t.column("vec_id").to_numpy()
+        idx = np.repeat(np.arange(n), bands)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+            "bucket": pa.array(band_vals.reshape(-1).astype(np.int64)),
+            "embedding": t.column("embedding").take(pa.array(idx)),
+        })
+
+    bandrows = ds.map_batches(add_bands, batch_format="pyarrow",
+                              batch_size=2048)
+
+    def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for (_, _), grp in g.groupby(["band", "bucket"], sort=False):
+            grp = grp.drop_duplicates("vec_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in grp["embedding"]])
+            norm = np.linalg.norm(mat, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            mat = mat / norm
+            sims = mat @ mat.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ai):
+                outs_a.append(np.minimum(ids[ai], ids[bi]))
+                outs_b.append(np.maximum(ids[ai], ids[bi]))
+        if not outs_a:
+            return pd.DataFrame({"vec_a": np.array([], dtype=np.int64),
+                                 "vec_b": np.array([], dtype=np.int64),
+                                 "pair_key": np.array([], dtype=np.int64)})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        return pd.DataFrame({"vec_a": a, "vec_b": b,
+                             "pair_key": a * (1 << 32) + b})
+
+    pairs = per_bucket(bandrows, ["band", "bucket"], pairs_kernel,
+                       num_buckets=32)
+    deduped = keep_first_by(pairs, ["pair_key"], "pair_key", num_buckets=16)
+    return deduped.drop_columns(["pair_key"])

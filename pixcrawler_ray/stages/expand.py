@@ -291,29 +291,123 @@ def expand_units_batch(batch: pa.Table, n_docs: int,
     )
 
 
+def expand_units_lean_batch(batch: pa.Table, n_docs: int,
+                            page_size: int = PAGE_SIZE) -> pa.Table:
+    """Integer-only frontier expansion (late materialization).
+
+    Emits ONLY the 5 int64/int32 columns the admission shuffles consume
+    (depth, priority, seq, doc_id, host_id); the 6 string columns of the
+    full frontier schema (url, host, category, keyword, variation, engine)
+    are pure functions of (doc_id, seq) and are re-attached AFTER admission
+    by :func:`hydrate_frontier_batch`. At the bench scale this cuts the
+    two admission exchanges from ~300 to ~40 bytes/row and removes the
+    per-candidate url/host string rendering from the pre-shuffle hot path.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            "depth": pa.array([], type=pa.int32()),
+            "priority": pa.array([], type=pa.int64()),
+            "seq": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "host_id": pa.array([], type=pa.int64()),
+        })
+    cols = {c: batch.column(c).to_numpy() for c in
+            ("cat_i", "kw_i", "eng_i", "var_i", "offset", "priority",
+             "unit_seq")}
+    depth = batch.column("depth").to_numpy()
+    slots = np.arange(page_size, dtype=np.int64)
+    rep = np.repeat(np.arange(n), page_size)
+    slot = np.tile(slots, n)
+    doc = candidate_doc_ids(
+        cols["cat_i"][rep], cols["kw_i"][rep], cols["eng_i"][rep],
+        cols["var_i"][rep], cols["offset"][rep], slot, n_docs,
+    )
+    return pa.table({
+        "depth": pa.array(depth[rep], type=pa.int32()),
+        "priority": pa.array(cols["priority"][rep], type=pa.int64()),
+        "seq": pa.array(cols["unit_seq"][rep] * page_size + slot,
+                        type=pa.int64()),
+        "doc_id": pa.array(doc, type=pa.int64()),
+        "host_id": pa.array(corpus.host_ids(doc), type=pa.int64()),
+    })
+
+
+# per-worker grid cache for hydration (same pattern as fetch._VF_CACHE)
+_GRID_CACHE: dict = {}
+
+
+def hydrate_frontier_batch(t: pa.Table, grid_ref=None,
+                           page_size: int = PAGE_SIZE) -> pa.Table:
+    """Re-attach the derivable string columns to a lean (admitted) frontier.
+
+    url/host come from ``doc_id`` (corpus derivation); category / keyword /
+    variation / engine come from the broadcast work-unit grid row at
+    ``seq // page_size``. Output column order matches the full frontier
+    schema, with any admission columns (host_rank, round) appended after.
+    Runs fused with the downstream fetch stage — no extra pass.
+    """
+    import ray as _ray
+
+    key = grid_ref.hex() if hasattr(grid_ref, "hex") else id(grid_ref)
+    grid = _GRID_CACHE.get(key)
+    if grid is None:
+        if len(_GRID_CACHE) > 4:
+            _GRID_CACHE.clear()
+        g = _ray.get(grid_ref) if hasattr(grid_ref, "hex") else grid_ref
+        grid = g.combine_chunks()
+        _GRID_CACHE[key] = grid
+    if t.num_rows == 0 or "seq" not in t.column_names:
+        out = {name: pa.array([], type=pa.string())
+               for name in ("url", "host", "category", "keyword",
+                            "variation", "engine")}
+        for name in t.column_names:
+            out[name] = t.column(name)
+        return pa.table(out)
+    doc = t.column("doc_id").to_numpy()
+    unit = pa.array(t.column("seq").to_numpy() // page_size)
+    url, host = corpus.urls_hosts_arrow(doc)
+    cols = {"url": url, "host": host}
+    for name in ("category", "keyword", "variation", "engine"):
+        cols[name] = grid.column(name).take(unit)
+    order = ["url", "host", "category", "keyword", "variation", "engine",
+             "depth", "priority", "seq", "doc_id", "host_id"]
+    extras = [c for c in t.column_names if c not in order]
+    for name in ("depth", "priority", "seq", "doc_id", "host_id"):
+        cols[name] = t.column(name)
+    for name in extras:
+        cols[name] = t.column(name)
+    return pa.table({name: cols[name] for name in order + extras})
+
+
 def frontier_dataset(config: CrawlConfig, n_docs: int, depth: int = 0,
                      page_size: int = PAGE_SIZE,
-                     fixed_templates: list[str] | None = None):
-    """Config -> lazy candidate-frontier Dataset (the distributed expansion)."""
+                     fixed_templates: list[str] | None = None,
+                     lean: bool = False):
+    """Config -> lazy candidate-frontier Dataset (the distributed expansion).
+
+    ``lean=True`` emits only the integer columns (late materialization);
+    callers re-attach strings post-shuffle via :func:`hydrate_frontier_batch`
+    with the grid broadcast by ref."""
     import ray.data as rd
 
     grid = work_unit_grid(config, depth=depth, fixed_templates=fixed_templates)
     ds = rd.from_arrow(grid)
     # Spread the grid so the flat-map parallelizes, sized to the OUTPUT
-    # (grid rows x page_size candidates), ~32k candidate rows per block,
-    # capped by cluster CPUs — same formula as sources.readers.
+    # (grid rows x page_size candidates), ~32k candidate rows per block.
+    # Block size is fixed by ROWS, never by cluster CPUs: capping block count
+    # at ~cpus makes each task's working set grow as 1/cpus, and on this
+    # host's slow-demand-paging hypervisor a 4x bigger fresh working set
+    # costs far more than 4x (measured: the same expansion ran 12x slower at
+    # 2 cpus than 8 under a 2*cpus cap). Many small blocks also work-steal.
     import math
 
-    import ray as _ray
-    try:
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
     out_rows = grid.num_rows * page_size
-    nblocks = max(1, min(math.ceil(out_rows / 16384), 2 * cpus))
+    nblocks = max(1, min(math.ceil(out_rows / 32768), 512, grid.num_rows))
     if nblocks > 1:
         ds = ds.repartition(nblocks)
+    fn = expand_units_lean_batch if lean else expand_units_batch
     return ds.map_batches(
-        lambda b: expand_units_batch(b, n_docs=n_docs, page_size=page_size),
+        lambda b: fn(b, n_docs=n_docs, page_size=page_size),
         batch_format="pyarrow",
     )

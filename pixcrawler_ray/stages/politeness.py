@@ -87,10 +87,17 @@ def assign_rounds_salted(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER
     import pandas as pd
 
     from pixcrawler_ray.functions.hashing import fnv1a64_ints
-    from pixcrawler_ray.stages.shuffle import per_bucket_take
+    from pixcrawler_ray.stages.shuffle import (
+        _add_bucket,
+        _hash_shuffle_on,
+        _partition_by_bucket,
+        BUCKET_COL,
+        per_bucket_take,
+    )
 
     if max_seq is None:
         import ray.data.aggregate as agg
+        frontier_ds = frontier_ds.materialize()
         max_seq = int(frontier_ds.aggregate(agg.Max("seq"))["max(seq)"])
     shift = max(0, int(max_seq).bit_length() - int(num_salts - 1).bit_length())
 
@@ -104,20 +111,92 @@ def assign_rounds_salted(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER
         return pa.Table.from_pandas(g, preserve_index=False)
 
     import ray as _ray
-    parts = frontier_ds.map_batches(partial_counts, batch_format="pyarrow")
-    counts = pa.concat_tables(
-        [t for t in _ray.get(parts.to_arrow_refs()) if t.num_rows],
-        promote_options="default").to_pandas()
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        s = t.column("seq").to_numpy() >> shift
+        return t.append_column("salt", pa.array(s, type=pa.int64()))
+
+    key_cols = ["host_id", "priority", "salt"]
+    parts_ds = None
+    if _hash_shuffle_on():
+        # ONE pass: the group counts ride along as a side aggregation of the
+        # rank exchange's split tasks — no separate counts pass, no
+        # materialize barrier between counting and shuffling.
+        salted = frontier_ds.map_batches(add_salt, batch_format="pyarrow")
+        stamped = _add_bucket(salted, key_cols, num_buckets)
+        parts_ds, agg_refs = _partition_by_bucket(
+            stamped, num_buckets, side_agg=partial_counts)
+        agg_tables = [t for t in _ray.get(agg_refs)
+                      if t is not None and t.num_rows]
+        if agg_tables:
+            counts = pa.concat_tables(
+                agg_tables, promote_options="default").to_pandas()
+        else:
+            counts = pd.DataFrame({"host_id": [], "priority": [],
+                                   "salt": [], "n": []})
+    else:
+        parts = frontier_ds.map_batches(partial_counts,
+                                        batch_format="pyarrow")
+        counts = pa.concat_tables(
+            [t for t in _ray.get(parts.to_arrow_refs()) if t.num_rows],
+            promote_options="default").to_pandas()
+    offsets = _count_offsets(counts, stats, num_buckets, num_salts, shift)
+
+    def kernel(df: pd.DataFrame):
+        s = df.sort_values(["host_id", "priority", "salt", "seq"],
+                           ascending=[True, False, True, True],
+                           kind="mergesort")
+        local = s.groupby(["host_id", "priority", "salt"],
+                          sort=False).cumcount().to_numpy()
+        m = s.merge(offsets, on=["host_id", "priority", "salt"], how="left")
+        ranks = m["offset"].to_numpy() + local
+        return s.index.to_numpy(), {
+            "host_rank": ranks.astype(np.int64),
+            "round": (ranks // budget_per_round).astype(np.int64),
+        }
+
+    if parts_ds is not None:
+        # the exchange already ran (side-agg path): apply the rank kernel to
+        # the bucket-complete partitions directly
+        helpers = ["host_id", "priority", "salt", "seq"]
+
+        def run(g: pa.Table) -> pa.Table:
+            if isinstance(g, pd.DataFrame):     # empty passthrough block
+                g = pa.Table.from_pandas(g, preserve_index=False)
+            if BUCKET_COL not in g.column_names:
+                return g
+            proj = g.select(helpers).to_pandas()
+            keep, extra = kernel(proj)
+            out = g.take(pa.array(np.asarray(keep, dtype=np.int64)))
+            for name, values in extra.items():
+                out = out.append_column(name, pa.array(values))
+            return out.drop_columns([BUCKET_COL, "salt"])
+
+        return parts_ds.map_batches(run, batch_format="pyarrow",
+                                    batch_size=None)
+    salted = frontier_ds.map_batches(add_salt, batch_format="pyarrow")
+    out = per_bucket_take(salted, ["host_id", "priority", "salt"],
+                          ["host_id", "priority", "salt", "seq"], kernel,
+                          num_buckets=num_buckets)
+    return out.map_batches(lambda t: t.drop_columns(["salt"]),
+                           batch_format="pyarrow")
+
+
+def _count_offsets(counts: pd.DataFrame, stats: dict | None,
+                   num_buckets: int, num_salts: int,
+                   shift: int) -> pd.DataFrame:
+    """(host_id, priority, salt) group counts -> per-group global rank
+    offsets in per-host admission order; also fills the ``stats`` histogram
+    (shared by the fused and two-exchange admission paths)."""
+    from pixcrawler_ray.functions.hashing import fnv1a64_ints
+
     counts = (counts.groupby(["host_id", "priority", "salt"], sort=False)
               ["n"].sum().reset_index())
-    # prefix offsets in per-host admission order: (priority DESC, salt ASC)
     counts = counts.sort_values(["host_id", "priority", "salt"],
                                 ascending=[True, False, True],
                                 kind="mergesort")
     counts["offset"] = (counts.groupby("host_id", sort=False)["n"]
                         .cumsum() - counts["n"])
-    offsets = counts[["host_id", "priority", "salt", "offset"]]
-
     if stats is not None:
         h_unsalted = fnv1a64_ints(
             counts["host_id"].to_numpy().astype(np.uint64))
@@ -134,35 +213,140 @@ def assign_rounds_salted(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER
         stats["bucket_rows_salted"] = (
             df_h.groupby("b_salted")["n"].sum().to_dict())
         stats["max_bucket_unsalted"] = int(
-            max(stats["bucket_rows_unsalted"].values()))
+            max(stats["bucket_rows_unsalted"].values()) if len(df_h) else 0)
         stats["max_bucket_salted"] = int(
-            max(stats["bucket_rows_salted"].values()))
+            max(stats["bucket_rows_salted"].values()) if len(df_h) else 0)
         stats["num_salts"] = num_salts
         stats["seq_shift"] = shift
+    return counts[["host_id", "priority", "salt", "offset"]]
 
-    def kernel(df: pd.DataFrame):
-        s = df.sort_values(["host_id", "priority", "salt", "seq"],
-                           ascending=[True, False, True, True],
-                           kind="mergesort")
-        local = s.groupby(["host_id", "priority", "salt"],
-                          sort=False).cumcount().to_numpy()
-        m = s.merge(offsets, on=["host_id", "priority", "salt"], how="left")
-        ranks = m["offset"].to_numpy() + local
-        return s.index.to_numpy(), {
-            "host_rank": ranks.astype(np.int64),
-            "round": (ranks // budget_per_round).astype(np.int64),
-        }
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        s = t.column("seq").to_numpy() >> shift
-        return t.append_column("salt", pa.array(s, type=pa.int64()))
+def admit_salted_fused(frontier_ds, dedup_kernel,
+                       budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
+                       num_buckets: int = 64, num_salts: int = 16,
+                       max_seq: int | None = None,
+                       stats: dict | None = None):
+    """Fused two-hop admission exchange: split(doc-hash) → ONE mid task per
+    partition doing fuse + dedup/robots kernel + salt + re-split(host-hash)
+    → fuse + rank. Row-identical to ``per_bucket_take(dedup)`` followed by
+    :func:`assign_rounds_salted`, but the intermediate admitted set never
+    round-trips through the object store as a Dataset: 3 object-store passes
+    instead of 6, no inter-exchange barrier. Group counts ride the mid tasks
+    (side aggregation) exactly as in the unfused path.
 
-    salted = frontier_ds.map_batches(add_salt, batch_format="pyarrow")
-    out = per_bucket_take(salted, ["host_id", "priority", "salt"],
-                          ["host_id", "priority", "salt", "seq"], kernel,
-                          num_buckets=num_buckets)
-    return out.map_batches(lambda t: t.drop_columns(["salt"]),
-                           batch_format="pyarrow")
+    Returns None when inapplicable (hash-shuffle off, unknown max_seq, or
+    object-count cap exceeded) — the caller falls back to the two-exchange
+    path.
+    """
+    import os as _os
+
+    import ray as _ray
+    import ray.data as rd
+
+    from pixcrawler_ray.functions.hashing import fnv1a64_ints
+    from pixcrawler_ray.stages.shuffle import (
+        BUCKET_COL,
+        _add_bucket,
+        _exchange_fuse,
+        _exchange_split,
+        _EXCHANGE_MAX_OBJECTS,
+        _hash_shuffle_on,
+    )
+
+    if max_seq is None or not _hash_shuffle_on():
+        return None
+    shift = max(0, int(max_seq).bit_length()
+                - int(num_salts - 1).bit_length())
+    stamped = _add_bucket(frontier_ds, ["doc_id"], num_buckets)
+    blocks = stamped.to_arrow_refs()
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
+    p = max(2, min(num_buckets, cpus * ppc))
+    if not blocks or len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
+        return None
+
+    def mid_fn(*parts):
+        t = _exchange_fuse(*parts)
+        if t.num_rows == 0 or BUCKET_COL not in t.column_names:
+            empty = t.slice(0, 0)
+            return tuple([empty] * p) + (None,)
+        proj = t.select(["doc_id", "host_id", "seq"]).to_pandas()
+        keep = dedup_kernel(proj)
+        t = t.take(pa.array(np.asarray(keep, dtype=np.int64)))
+        salt = (t.column("seq").to_numpy() >> shift).astype(np.int64)
+        t = t.drop_columns([BUCKET_COL]).append_column(
+            "salt", pa.array(salt, type=pa.int64()))
+        h = t.column("host_id").to_numpy().astype(np.uint64)
+        for arr in (t.column("priority").to_numpy().astype(np.uint64),
+                    salt.astype(np.uint64)):
+            h = fnv1a64_ints(arr ^ h)
+        b2 = (h % np.uint64(num_buckets)).astype(np.int64)
+        t = t.append_column(BUCKET_COL, pa.array(b2, type=pa.int64()))
+        g = (pd.DataFrame({"host_id": t.column("host_id").to_numpy(),
+                           "priority": t.column("priority").to_numpy(),
+                           "salt": salt})
+             .groupby(["host_id", "priority", "salt"], sort=False)
+             .size().reset_index(name="n"))
+        return _exchange_split(t, p) \
+            + (pa.Table.from_pandas(g, preserve_index=False),)
+
+    split = _ray.remote(num_returns=p)(_exchange_split)
+    srefs = [split.remote(b, p) for b in blocks]
+    if p == 1:
+        srefs = [[r] for r in srefs]
+    mid = _ray.remote(num_returns=p + 1)(mid_fn)
+    midres = [mid.remote(*[s[i] for s in srefs]) for i in range(p)]
+    count_refs = [m[p] for m in midres]
+    agg_tables = [t for t in _ray.get(count_refs)
+                  if t is not None and t.num_rows]
+    if agg_tables:
+        counts = pa.concat_tables(
+            agg_tables, promote_options="default").to_pandas()
+    else:
+        counts = pd.DataFrame({"host_id": [], "priority": [], "salt": [],
+                               "n": []})
+    offsets = _count_offsets(counts, stats, num_buckets, num_salts, shift)
+    offsets_ref = _ray.put(offsets)
+
+    k = max(1, min(int(_os.environ.get("GRAFT_EXCHANGE_FUSE_SLICES", "8")),
+                   8))
+
+    def rank_fn(offs, *parts):
+        t = _exchange_fuse(*parts)
+        empty_pad = None
+        if BUCKET_COL in t.column_names:
+            proj = t.select(["host_id", "priority", "salt",
+                             "seq"]).to_pandas()
+            s = proj.sort_values(["host_id", "priority", "salt", "seq"],
+                                 ascending=[True, False, True, True],
+                                 kind="mergesort")
+            local = s.groupby(["host_id", "priority", "salt"],
+                              sort=False).cumcount().to_numpy()
+            m = s.merge(offs, on=["host_id", "priority", "salt"],
+                        how="left")
+            ranks = (m["offset"].to_numpy() + local).astype(np.int64)
+            t = t.take(pa.array(s.index.to_numpy().astype(np.int64)))
+            t = t.append_column("host_rank", pa.array(ranks))
+            t = t.append_column("round",
+                                pa.array(ranks // budget_per_round))
+            t = t.drop_columns([BUCKET_COL, "salt"])
+        if k == 1:
+            return t
+        n = t.num_rows
+        cuts = [int(i * n / k) for i in range(k + 1)]
+        out = [t.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(k)]
+        return tuple(out)
+
+    fuse = _ray.remote(num_returns=k)(rank_fn) if k > 1 \
+        else _ray.remote(rank_fn)
+    orefs = []
+    for i in range(p):
+        r = fuse.remote(offsets_ref, *[m[i] for m in midres])
+        orefs.extend(r if k > 1 else [r])
+    return rd.from_arrow_refs(orefs)
 
 
 def admission_order_key(table: pa.Table) -> np.ndarray:

@@ -22,27 +22,30 @@ import pyarrow as pa
 from pixcrawler_ray import corpus
 
 
-def _host_ids_from_urls(urls: np.ndarray) -> np.ndarray:
-    """Parse ``h{k}.example.com`` back to k. Vectorized string slice."""
+def _host_ids_from_urls(urls: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Parse ``h{k}.example.com`` back to k — one Arrow regex kernel."""
+    import pyarrow.compute as pc
+
     # urls look like http://h123.example.com/doc/45
-    out = np.empty(len(urls), dtype=np.int64)
-    for i, u in enumerate(urls):
-        start = u.index("//h") + 3
-        end = u.index(".", start)
-        out[i] = int(u[start:end])
-    return out
+    m = pc.extract_regex(urls, r"//h(?P<hid>\d+)\.")
+    return pc.cast(pc.struct_field(m, "hid"), pa.int64()).to_numpy()
 
 
 def robots_mask_batch(batch: pa.Table) -> pa.Table:
     """Append ``robots_allowed: bool`` to a frontier batch."""
+    import pyarrow.compute as pc
+
     if batch.num_rows == 0:
         return batch.append_column("robots_allowed",
                                    pa.array([], type=pa.bool_()))
-    urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
-    hid = _host_ids_from_urls(urls)
+    if "host_id" in batch.column_names:      # frontier carries the int key
+        hid = batch.column("host_id").to_numpy()
+    else:
+        hid = _host_ids_from_urls(batch.column("url"))
     disallow_host = corpus.robots_disallowed_host(hid)
-    is_private = np.array(["/private/" in u for u in urls])
-    allowed = ~(disallow_host & is_private)
+    is_private = pc.match_substring(batch.column("url"), "/private/")
+    allowed = ~(disallow_host
+                & is_private.to_numpy(zero_copy_only=False))
     return batch.append_column("robots_allowed", pa.array(allowed))
 
 

@@ -101,7 +101,58 @@ def _exchange_fuse(*parts):
     return pa.concat_tables(ts).combine_chunks()
 
 
-def _partition_by_bucket(ds, num_buckets: int):
+def _exchange_fuse_sliced(k, *parts):
+    """Fuse one partition, then emit up to ``k`` row-balanced slices cut at
+    BUCKET boundaries (kernels are per-bucket, so any bucket-aligned slice is
+    a correct kernel input).
+
+    Why: the fused exchange partitions are the TASK units of the downstream
+    (kernel+fetch+extract) fused map stage; hash partitioning leaves +-50%
+    row skew across partitions, which surfaces as pure straggler wall time
+    at high parallelism. Bucket-aligned sub-slices restore work stealing
+    without breaking bucket completeness. Short partitions pad with empty
+    slices (dropped downstream)."""
+    import pyarrow.compute as pc
+
+    t = _exchange_fuse(*parts)
+    if k == 1:
+        return t
+    empty = t.slice(0, 0)
+    if t.num_rows == 0 or BUCKET_COL not in t.column_names:
+        return tuple([t] + [empty] * (k - 1))
+    b = t.column(BUCKET_COL).to_numpy()
+    order = pc.sort_indices(pa.array(b))
+    t = t.take(order)
+    bs = b[order.to_numpy()]
+    # bucket boundary row indices (start of each bucket run), incl. 0 and n
+    bounds = np.flatnonzero(np.diff(bs)) + 1
+    bounds = np.concatenate([[0], bounds, [len(bs)]])
+    # pick the boundary nearest each even cut target
+    targets = (np.arange(1, k) * len(bs)) / k
+    cuts = bounds[np.searchsorted(bounds, targets)]
+    cuts = np.unique(np.concatenate([[0], cuts, [len(bs)]]))
+    out = [t.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
+           for i in range(len(cuts) - 1)]
+    out += [empty] * (k - len(out))
+    return tuple(out)
+
+
+def _exchange_split_agg(t, p: int, agg_fn):
+    """Split variant with a SIDE AGGREGATION: returns the p partition slices
+    plus ``agg_fn(block)`` (a tiny Arrow table) as return value p+1.
+
+    Lets a caller piggyback a per-block partial aggregate (e.g. group counts
+    for rank offsets) on the exchange scan instead of paying a separate full
+    pass + barrier over the input."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    parts = _exchange_split(t, p)
+    if t.num_rows == 0 or BUCKET_COL not in t.column_names:
+        return tuple(parts) + (None,)
+    return tuple(parts) + (agg_fn(t),)
+
+
+def _partition_by_bucket(ds, num_buckets: int, side_agg=None):
     """Hash-partition on the bucket column; every bucket lands wholly in one
     output block, so a whole-block map_batches sees complete buckets.
 
@@ -134,16 +185,42 @@ def _partition_by_bucket(ds, num_buckets: int):
     p = max(2, min(num_buckets, cpus * ppc))
     blocks = ds.to_arrow_refs()
     if not blocks:
-        return ds
+        return (ds, []) if side_agg is not None else ds
     if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
-        return ds.repartition(p, keys=[BUCKET_COL])
-    split = _ray.remote(num_returns=p)(_exchange_split)
-    fuse = _ray.remote(_exchange_fuse)
-    srefs = [split.remote(b, p) for b in blocks]
-    if p == 1:
-        srefs = [[r] for r in srefs]
-    orefs = [fuse.remote(*[s[i] for s in srefs]) for i in range(p)]
-    return rd.from_arrow_refs(orefs)
+        out = ds.repartition(p, keys=[BUCKET_COL])
+        if side_agg is None:
+            return out
+        # fallback path has no split tasks to piggyback on: run the partial
+        # aggregation as its own (streaming) pass over the input blocks
+        agg_task = _ray.remote(lambda b: side_agg(
+            pa.Table.from_pandas(b, preserve_index=False)
+            if isinstance(b, pd.DataFrame) else b))
+        return out, [agg_task.remote(b) for b in blocks]
+    agg_refs = []
+    if side_agg is not None:
+        split = _ray.remote(num_returns=p + 1)(_exchange_split_agg)
+        full = [split.remote(b, p, side_agg) for b in blocks]
+        srefs = [f[:p] for f in full]
+        agg_refs = [f[p] for f in full]
+    else:
+        split = _ray.remote(num_returns=p)(_exchange_split)
+        srefs = [split.remote(b, p) for b in blocks]
+        if p == 1:
+            srefs = [[r] for r in srefs]
+    # 8 slices/partition: bucket-aligned sub-blocks of the fused partition,
+    # so downstream kernel tasks stay small (fault-storm-safe working sets on
+    # this host) and work-steal; short partitions pad with empty slices
+    k = int(_os.environ.get("GRAFT_EXCHANGE_FUSE_SLICES", "8"))
+    k = max(1, min(k, 8))
+    if k == 1:
+        fuse = _ray.remote(_exchange_fuse)
+        orefs = [fuse.remote(*[s[i] for s in srefs]) for i in range(p)]
+    else:
+        fuse = _ray.remote(num_returns=k)(_exchange_fuse_sliced)
+        orefs = [r for i in range(p)
+                 for r in fuse.remote(k, *[s[i] for s in srefs])]
+    out = rd.from_arrow_refs(orefs)
+    return (out, agg_refs) if side_agg is not None else out
 
 
 def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
@@ -291,6 +368,21 @@ def keep_first_n(ds, key_cols: Sequence[str], order_col: str, n: int,
 
     helpers = list(dict.fromkeys(keys + [order_col]))
     return per_bucket_take(ds, keys, helpers, kernel, num_buckets)
+
+
+def keep_first_caps(ds, key_col: str, order_col: str, caps: dict,
+                    num_buckets: int = DEFAULT_BUCKETS):
+    """Per-key head-cap(key) by order_col — :func:`keep_first_n` with a
+    PER-KEY budget (broadcast dict; small by construction: one entry per
+    keyword). Keys absent from ``caps`` keep nothing."""
+    def kernel(df: pd.DataFrame) -> np.ndarray:
+        s = df.sort_values(order_col, kind="mergesort")
+        r = s.groupby(key_col, sort=False).cumcount()
+        cap = s[key_col].map(caps).fillna(0)
+        return s.index.to_numpy()[(r < cap).to_numpy()]
+
+    helpers = list(dict.fromkeys([key_col, order_col]))
+    return per_bucket_take(ds, [key_col], helpers, kernel, num_buckets)
 
 
 def window_rank(ds, key_cols: Sequence[str], order_by: Sequence[tuple[str, bool]],

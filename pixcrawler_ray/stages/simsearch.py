@@ -10,8 +10,6 @@ cells only. Recall vs the exact baseline is asserted in tests.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,10 +27,27 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def load_query_vectors(sf_dir: str, query_vec_ids: list[int]) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    t = t.set_index("vec_id")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(query_vec_ids))]
+                      ).to_pandas().set_index("vec_id")
     return np.stack([np.asarray(t.loc[q, "embedding"], dtype=np.float64)
                      for q in query_vec_ids])
+
+
+def _sample_embeddings(sf_dir: str, sample_rows: int) -> np.ndarray:
+    """Fit sample from the FIRST row group(s) only — never the full table."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    parts, got = [], 0
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(rg, columns=["embedding"])
+        parts.append(t)
+        got += t.num_rows
+        if got >= sample_rows:
+            break
+    col = pa.concat_tables(parts).column("embedding")
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in col.to_pylist()[:sample_rows]])
 
 
 class BruteForceScorer:
@@ -79,18 +94,7 @@ def topk_bruteforce(sf_dir: str, query_vec_ids: list[int], k: int = 10,
         fn_constructor_kwargs={"query_ref": query_ref, "k": k + 1},
         batch_format="pandas", batch_size=4096,
         concurrency=(1, max(1, pool_size(0.25))), num_cpus=1).to_pandas()
-    out_rows = []
-    for qi, qid in enumerate(query_vec_ids):
-        part = partials[partials.query_idx == qi]
-        if exclude_self:
-            part = part[part.vec_id != qid]
-        part = part.sort_values(["cosine", "vec_id"],
-                                ascending=[False, True], kind="mergesort")
-        top = part.head(k).reset_index(drop=True)
-        for rank, r in top.iterrows():
-            out_rows.append({"query_vec_id": qid, "vec_id": int(r.vec_id),
-                             "rank": rank + 1, "cosine": float(r.cosine)})
-    return pd.DataFrame(out_rows)
+    return _merge_topk(partials, query_vec_ids, k, exclude_self=exclude_self)
 
 
 class IVFIndex:
@@ -130,9 +134,7 @@ def topk_ivf(sf_dir: str, query_vec_ids: list[int], k: int = 10,
     distributed. At 256 nodes the cell id becomes the partition key of a
     bucketed layout so a probe touches nprobe/n_cells of the data.
     """
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64)
-                       for v in emb["embedding"].head(sample_rows)])
+    sample = _sample_embeddings(sf_dir, sample_rows)
     index = IVFIndex.fit(sample, n_cells)
     q = load_query_vectors(sf_dir, query_vec_ids)
     qn = _normalize(q)
@@ -166,13 +168,122 @@ def topk_ivf(sf_dir: str, query_vec_ids: list[int], k: int = 10,
                               batch_size=4096,
                               concurrency=(1, max(1, pool_size(0.25))),
                               num_cpus=1).to_pandas()
+    return _merge_topk(partials, query_vec_ids, k)
+
+
+def _merge_topk(partials: pd.DataFrame, query_vec_ids: list[int], k: int,
+                exclude_self: bool = True) -> pd.DataFrame:
+    """Tiny driver reduce over per-batch top-k partials (k x nq x nblocks
+    rows — small by construction regardless of corpus size)."""
     out_rows = []
     for qi, qid in enumerate(query_vec_ids):
-        part = partials[(partials.query_idx == qi)
-                        & (partials.vec_id != qid)]
+        part = partials[partials.query_idx == qi]
+        if exclude_self:
+            part = part[part.vec_id != qid]
         part = part.sort_values(["cosine", "vec_id"],
                                 ascending=[False, True], kind="mergesort")
         for rank, r in part.head(k).reset_index(drop=True).iterrows():
             out_rows.append({"query_vec_id": qid, "vec_id": int(r.vec_id),
                              "rank": rank + 1, "cosine": float(r.cosine)})
     return pd.DataFrame(out_rows)
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_cells: int = 16,
+                    sample_rows: int = 4096) -> np.ndarray:
+    """Build the cell-PARTITIONED IVF layout: assign every vector to its
+    coarse cell (distributed, one matmul per batch vs the broadcast
+    centroids) and write parquet hive-partitioned by ``cell``.
+
+    This is the 100 TB shape round 1 flagged as missing: a probe then reads
+    ONLY the ``nprobe`` cell directories (partition pruning at the read),
+    touching ~nprobe/n_cells of the bytes instead of scanning every row.
+    Returns the centroid matrix (also persisted as ``centroids.npy``).
+    """
+    import os
+
+    sample = _sample_embeddings(sf_dir, sample_rows)
+    index = IVFIndex.fit(sample, n_cells)
+    cent_ref = ray.put(index.centroids)
+
+    class CellAssigner:
+        def __init__(self):
+            self.cent = _normalize(ray.get(cent_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                       for v in t.column("embedding")
+                                       .to_pylist()]))
+            cells = np.argmax(mat @ self.cent.T, axis=1).astype(np.int64)
+            return t.append_column("cell", pa.array(cells))
+
+    ds = read_table(sf_dir, "embeddings")
+    ds.map_batches(CellAssigner, batch_format="pyarrow",
+                   concurrency=(1, max(1, pool_size(0.25))),
+                   num_cpus=1).write_parquet(index_dir,
+                                             partition_cols=["cell"])
+    os.makedirs(index_dir, exist_ok=True)
+    # underscore prefix: parquet dataset discovery ignores "_"-prefixed
+    # files, so the sidecar does not break read_parquet over the index dir
+    np.save(os.path.join(index_dir, "_centroids.npy"), index.centroids)
+    return index.centroids
+
+
+def topk_ivf_partitioned(index_dir: str, sf_dir: str,
+                         query_vec_ids: list[int], k: int = 10,
+                         nprobe: int = 4) -> pd.DataFrame:
+    """Probe a :func:`build_ivf_index` layout — reads ONLY the probed cell
+    partitions (hive partition pruning pushed into the parquet read), then
+    scores each surviving batch against just the queries probing its cells.
+    """
+    import os
+
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+    )
+
+    cent = _normalize(np.load(os.path.join(index_dir, "_centroids.npy")))
+    q = load_query_vectors(sf_dir, query_vec_ids)
+    qn = _normalize(q)
+    probe_cells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    wanted = [set(int(c) for c in row) for row in probe_cells]
+    union = set().union(*wanted)
+    query_ref = ray.put(qn)
+
+    # path-level pruning: non-probed cell directories are dropped at file
+    # discovery — their bytes are never opened, the IVF point
+    ds = rd.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["cell"]) in union if "cell" in kv
+            else False, style="hive"),   # sidecar files have no partition dir
+        partitioning=Partitioning("hive", field_types={"cell": int}))
+
+    class PrunedScorer:
+        def __init__(self):
+            self.q = ray.get(query_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy()
+            cells = df["cell"].to_numpy().astype(np.int64)
+            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                       for v in df["embedding"]]))
+            sims = mat @ self.q.T
+            out = {"query_idx": [], "vec_id": [], "cosine": []}
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(cells, list(wanted[qi]))
+                col = sims[mask, qi]
+                sel = np.nonzero(mask)[0]
+                if len(col) > k + 1:        # per-batch partial top-k
+                    keep = np.argpartition(-col, k + 1)[: k + 1]
+                    sel, col = sel[keep], col[keep]
+                out["query_idx"].extend([qi] * len(sel))
+                out["vec_id"].extend(int(ids[t]) for t in sel)
+                out["cosine"].extend(float(c) for c in col)
+            return pd.DataFrame(out)
+
+    partials = ds.map_batches(PrunedScorer, batch_format="pandas",
+                              batch_size=4096,
+                              concurrency=(1, max(1, pool_size(0.25))),
+                              num_cpus=1).to_pandas()
+    return _merge_topk(partials, query_vec_ids, k)

@@ -30,21 +30,44 @@ _STOPWORDS = frozenset(
 )
 
 
+def _split_words(col) -> tuple[pa.ListArray, np.ndarray, np.ndarray]:
+    """utf8_split_whitespace + (offsets, word-length) arrays for segment
+    aggregation. Arrow's split yields [''] for ''/null-adjacent cases where
+    Python's str.split() yields [] — callers count only NON-empty words,
+    which makes the two semantics identical (asserted in tests)."""
+    words = pc.utf8_split_whitespace(col)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = np.asarray(words.offsets)
+    # null rows have offs[i+1] == offs[i] (zero-width segment) — a cumsum
+    # difference then yields 0, matching the Python (x or "") guard
+    lens = pc.utf8_length(pc.list_flatten(words)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return words, offs, lens
+
+
+def _segment_sum(vals: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
 def token_stats_batch(t: pa.Table) -> pa.Table:
     """n_tokens (whitespace), n_bpe_tokens (regex), n_chars per doc.
 
     Whitespace count is SQL-mirrorable (len(string_split)); the BPE-ish regex
-    count is the engine-side token estimator.
+    count is the engine-side token estimator. All Arrow/numpy kernels — no
+    per-row Python (the re2 regex count is value-identical to the former
+    ``re.findall`` on ASCII-whitespace corpora; asserted in tests).
     """
-    texts = t.column("text").to_pylist()
-    ws = np.fromiter((len((x or "").split()) for x in texts), dtype=np.int64,
-                     count=len(texts))
-    bpe = np.fromiter((len(_TOKEN_RE.findall(x or "")) for x in texts),
-                      dtype=np.int64, count=len(texts))
+    _, offs, lens = _split_words(t.column("text"))
+    ws = _segment_sum((lens > 0).astype(np.int64), offs)
+    bpe = pc.fill_null(
+        pc.count_substring_regex(t.column("text"), _TOKEN_RE.pattern),
+        0).cast(pa.int64())
     chars = pc.utf8_length(t.column("text")).cast(pa.int64())
     out = t.drop_columns(["text"])
     out = out.append_column("n_tokens", pa.array(ws))
-    out = out.append_column("n_bpe_tokens", pa.array(bpe))
+    out = out.append_column("n_bpe_tokens", bpe)
     return out.append_column("n_chars_computed", chars)
 
 
@@ -66,18 +89,22 @@ def quality_score_batch(t: pa.Table) -> pa.Table:
     - max_word_len
     - quality_ok: 5 <= n_tokens and mean word len in [2, 12] (scaled int cmp)
     """
-    texts = t.column("text").to_pylist()
-    n = len(texts)
-    n_tok = np.zeros(n, dtype=np.int64)
-    stop_hits = np.zeros(n, dtype=np.int64)
+    words, offs, lens = _split_words(t.column("text"))
+    n = t.num_rows
+    nonempty = (lens > 0).astype(np.int64)
+    n_tok = _segment_sum(nonempty, offs)
+    stops = pc.is_in(pc.list_flatten(words),
+                     value_set=pa.array(sorted(_STOPWORDS))).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    stop_hits = _segment_sum(stops, offs)
+    sum_w = _segment_sum(lens, offs)
+    # per-row max word length: contiguous segments -> one reduceat over the
+    # starts of non-empty rows (empty rows contribute nothing in between)
+    counts = offs[1:] - offs[:-1]
     max_w = np.zeros(n, dtype=np.int64)
-    sum_w = np.zeros(n, dtype=np.int64)
-    for i, x in enumerate(texts):
-        words = (x or "").split()
-        n_tok[i] = len(words)
-        stop_hits[i] = sum(1 for w in words if w in _STOPWORDS)
-        max_w[i] = max((len(w) for w in words), default=0)
-        sum_w[i] = sum(len(w) for w in words)
+    ne = counts > 0
+    if ne.any():
+        max_w[ne] = np.maximum.reduceat(lens, offs[:-1][ne])
     ok = (n_tok >= 5) & (2 * n_tok <= sum_w) & (sum_w <= 12 * n_tok)
     out = t.drop_columns(["text"])
     out = out.append_column("n_tokens", pa.array(n_tok))
@@ -113,18 +140,27 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for x in t.column("text").to_pylist():
-            words = set((x or "").lower().split())
-            best, score = "und", 0
-            for lang, prof in self.profiles.items():
-                s = len(words & prof)
-                if s > score:
-                    best, score = lang, s
-            preds.append(best)
+        # vectorized: one pc.equal over the flattened lowercased words per
+        # profile cue (~12 total), segment-any per row, argmax in profile
+        # order (first max wins == the scalar strict-`>` rule; score 0 ->
+        # "und"). Distinct-word semantics: presence per cue word, not count.
+        n = t.num_rows
+        words, offs, _ = _split_words(pc.utf8_lower(t.column("text")))
+        flat = pc.list_flatten(words)
+        langs = list(self.profiles)
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for w in sorted(self.profiles[lang]):
+                hit = pc.equal(flat, w).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                scores[:, li] += (_segment_sum(hit, offs) > 0)
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n), best] if n else np.zeros(0)
+        arr = np.array(langs, dtype=object)
+        preds = np.where(best_score > 0, arr[best], "und")
         out = t.drop_columns(["text"])
-        return out.append_column("lang_pred", pa.array(preds,
-                                                       type=pa.string()))
+        return out.append_column("lang_pred",
+                                 pa.array(preds, type=pa.string()))
 
 
 def lang_id(sf_dir: str):

@@ -105,6 +105,19 @@ def test_salted_admission_matches_fused(config, sf_tiny):
     assert sum(stats["bucket_rows_salted"].values()) == len(s)
 
 
+def test_lean_admission_matches_full(config, sf_tiny):
+    """Late-materialized (integer-shuffle + post-admission hydration)
+    admission must be row- and schema-identical to the full salted path."""
+    full = crawl.build_frontier(config, sf_tiny, budget_per_round=8,
+                                salted=True)
+    lean = crawl.build_frontier(config, sf_tiny, budget_per_round=8,
+                                salted=True, lean=True)
+    ft, lt = full.take_all(), lean.take_all()
+    assert lt and {tuple(sorted(r.items())) for r in ft} \
+        == {tuple(sorted(r.items())) for r in lt}
+    assert list(lean.schema().names) == list(full.schema().names)
+
+
 def test_quarantine_reconciles(config, sf_tiny):
     """Audit-trail conservation: every admitted frontier row is exactly one
     of {extracted-valid, still-transient, quarantined} (frontier = ok +
@@ -155,3 +168,24 @@ def test_virtual_fetch_equals_broadcast_amplified(config, sf_tiny):
     b = sorted((r["url"], r["seq"], r["text"], r["valid"])
                for r in bcast.select_columns(cols).take_all())
     assert v == b and len(b) > 0
+
+
+def test_fetch_via_join_equals_broadcast(config, sf_tiny):
+    """The bucketed url-hash shuffle join fetch (the beyond-broadcast-cap
+    path run_crawl switches to on large corpora) must yield exactly the
+    broadcast-index rows: same statuses, same payload bytes."""
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.stages.fetch import fetch_dataset, fetch_via_join
+
+    admitted = crawl.build_frontier(config, sf_tiny, budget_per_round=8)
+    admitted = admitted.materialize()
+    idx = crawl.pages_index_ref(sf_tiny)
+    pages_ds, _ = corpus.amplified_pages_dataset(sf_tiny, 1)
+    cols = ["url", "seq", "status", "html"]
+    b = sorted((r["url"], r["seq"], r["status"], r["html"])
+               for r in fetch_dataset(admitted, idx)
+               .select_columns(cols).take_all())
+    j = sorted((r["url"], r["seq"], r["status"], r["html"])
+               for r in fetch_via_join(admitted, pages_ds)
+               .select_columns(cols).take_all())
+    assert j == b and len(b) > 0

@@ -46,8 +46,14 @@ def test_labels_and_category_index(extracted, tmp_path):
     assert meta["images_count"] == len(rows)
     paths = labels.write_labels(labels.label_projection(extracted),
                                 str(tmp_path),
-                                formats=("parquet", "csv", "yaml"))
+                                formats=("parquet", "csv", "yaml", "txt"))
     assert all(os.path.exists(p) for p in paths)
+    # txt sink: one per-image label file per row, reference naming
+    import glob as _glob
+    tdir = [p for p in paths if p.endswith("labels_txt")][0]
+    tfiles = _glob.glob(os.path.join(tdir, "*.txt"))
+    assert len(tfiles) == len(rows)
+    assert open(sorted(tfiles)[0]).read().startswith("category: ")
     # yaml sink round-trips: every label row present across the block files
     import glob
 
@@ -123,3 +129,10 @@ def test_retry_rounds_fill_budget(sf_tiny):
     for r in full.select_columns(["keyword"]).take_all():
         counts[r["keyword"]] = counts.get(r["keyword"], 0) + 1
     assert all(v <= 60 for v in counts.values())
+    # cumulative dedup closure: the incremental merge must leave no
+    # duplicate content_md5 or phash across rounds
+    rows = full.select_columns(["content_md5", "phash"]).take_all()
+    md5s = [r["content_md5"] for r in rows]
+    phs = [r["phash"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    assert len(phs) == len(set(phs))

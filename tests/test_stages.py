@@ -181,6 +181,97 @@ def test_simsearch_ivf_recall(sf_tiny):
         assert len(e & a) / len(e) >= 0.5   # recall@10 with half the cells
 
 
+def test_textstats_vectorized_matches_python_semantics():
+    """The Arrow-kernel token/quality stats must equal the Python
+    str.split()/re.findall reference on every edge case the oracle SQL
+    guards (empty, whitespace-only, null, unicode, leading/trailing)."""
+    import re
+
+    import pyarrow as pa
+
+    from pixcrawler_ray.stages import textstats as ts
+
+    texts = ["", " ", "a  b", "a\tb\ncc", "héllo wörld!",
+             "the cat and the hat x", None, "one", "the the the the the",
+             "  leading", "trailing  ", "a" * 30 + " b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = ts.token_stats_batch(t)
+    q = ts.quality_score_batch(t)
+    tok_re = re.compile(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]")
+    for i, x in enumerate(texts):
+        words = (x or "").split()
+        assert out.column("n_tokens")[i].as_py() == len(words)
+        assert out.column("n_bpe_tokens")[i].as_py() \
+            == len(tok_re.findall(x or ""))
+        assert q.column("n_tokens")[i].as_py() == len(words)
+        assert q.column("stop_hits")[i].as_py() \
+            == sum(1 for w in words if w in ts._STOPWORDS)
+        assert q.column("max_word_len")[i].as_py() \
+            == max((len(w) for w in words), default=0)
+        assert q.column("sum_word_len")[i].as_py() \
+            == sum(len(w) for w in words)
+
+
+def test_embedding_srp_pairs_planted(tmp_path):
+    """SRP-LSH must recover planted near-duplicates with exact precision.
+
+    The shipped testdata has no high-cosine pairs (max pairwise cosine
+    ~0.48), so plant them: 200 seeded Gaussian vectors plus 20 noisy copies
+    at cosine > 0.99. Every planted pair must surface (recall 1.0 at this
+    threshold by the Charikar band bound) and nothing else may (pairs are
+    cosine-verified in-bucket, so precision is exact, not probabilistic)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.dedup import embedding_srp_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 32))
+    dups = base[:20] + 0.02 * rng.standard_normal((20, 32))
+    mat = np.concatenate([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    pq.write_table(
+        pa.table({"vec_id": ids,
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        type=pa.list_(pa.float32())),
+                  "label": pa.array(np.zeros(len(mat), dtype=np.int32))}),
+        str(tmp_path / "embeddings.parquet"))
+    got = {(r["vec_a"], r["vec_b"])
+           for r in embedding_srp_pairs(str(tmp_path),
+                                        threshold=0.98).take_all()}
+    # exact ground truth on the tiny planted table (through the same
+    # float32 storage rounding the pipeline reads)
+    mat = mat.astype(np.float32).astype(np.float64)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ai, bi = np.nonzero(np.triu(n @ n.T >= 0.98, k=1))
+    exact = {(int(min(a, b)), int(max(a, b))) for a, b in zip(ai, bi)}
+    planted = {(i, 200 + i) for i in range(20)}
+    assert planted <= exact          # sanity: the plant actually worked
+    assert got == exact
+
+
+def test_simsearch_ivf_partitioned_matches_scan(sf_tiny, tmp_path):
+    """The cell-partitioned layout (build once, prune at read) must return
+    EXACTLY the scan-based IVF's neighbors for the same fit parameters —
+    partition pruning changes which bytes are read, never the math."""
+    from pixcrawler_ray.stages.simsearch import (
+        build_ivf_index,
+        topk_ivf,
+        topk_ivf_partitioned,
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(sf_tiny, idx, n_cells=8, sample_rows=4096)
+    part = topk_ivf_partitioned(idx, sf_tiny, [0, 5], k=10, nprobe=4)
+    scan = topk_ivf(sf_tiny, [0, 5], k=10, n_cells=8, nprobe=4,
+                    sample_rows=4096)
+    cols = ["query_vec_id", "vec_id", "rank"]
+    assert sorted(map(tuple, part[cols].to_numpy())) \
+        == sorted(map(tuple, scan[cols].to_numpy()))
+    assert len(part) == 20
+
+
 def test_multimodal_plumbing(sf_tiny):
     from pixcrawler_ray import corpus
     from pixcrawler_ray.stages import multimodal as mm
