@@ -129,7 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_counts": ts.token_counts,                    # oracled
         "quality_scores": ts.quality_scores,                # oracled
-        "lang_id": ts.lang_id,                              # rows-only
+        "lang_id": ts.lang_id,                              # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
@@ -346,5 +346,33 @@ SELECT q.query_vec_id, e.vec_id,
 FROM embeddings e CROSS JOIN q
 WHERE e.vec_id <> q.query_vec_id
 QUALIFY rank <= 10"""
+
+    # profile scoring mirror of stages/textstats.LangId: distinct lowercased
+    # whitespace words intersected with each 3-word profile; first max in
+    # (en, de, fr, es) order wins, score 0 -> 'und' (strict-`>` rule)
+    out["lang_id"] = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         len(list_intersect(words, ['the', 'and', 'of'])) AS s_en,
+         len(list_intersect(words, ['der', 'und', 'die'])) AS s_de,
+         len(list_intersect(words, ['le', 'et', 'la'])) AS s_fr,
+         len(list_intersect(words, ['el', 'y', 'de'])) AS s_es
+  FROM w
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred
+FROM s"""
 
     return out

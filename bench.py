@@ -63,10 +63,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    # co-tenant CPU steal on this host swings single-shot walls 2-4x
+    # (crawl_e2e measured 4.97 s solo and 21.7 s in a noisy window, same
+    # code) — each query runs REPEATS times and reports the MINIMUM
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+
     def bench(name: str, fn):
-        t0 = time.perf_counter()
-        counts[name] = consume(fn())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            counts[name] = consume(fn())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     from pixcrawler_ray import corpus as corpus_mod
     from pixcrawler_ray.extract import extracted_dataset

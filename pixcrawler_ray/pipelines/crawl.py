@@ -126,7 +126,7 @@ def admit_frontier(frontier_ds, budget_per_round: int = 8,
 
     return per_bucket_take(frontier_ds, ["host_id"],
                            ["doc_id", "host_id", "priority", "seq"], kernel,
-                           num_buckets=num_buckets)
+                           num_buckets=num_buckets, fuse_slices=8)
 
 
 def admit_frontier_salted(frontier_ds, budget_per_round: int = 8,

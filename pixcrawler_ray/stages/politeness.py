@@ -125,7 +125,7 @@ def assign_rounds_salted(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER
         salted = frontier_ds.map_batches(add_salt, batch_format="pyarrow")
         stamped = _add_bucket(salted, key_cols, num_buckets)
         parts_ds, agg_refs = _partition_by_bucket(
-            stamped, num_buckets, side_agg=partial_counts)
+            stamped, num_buckets, side_agg=partial_counts, fuse_slices=8)
         agg_tables = [t for t in _ray.get(agg_refs)
                       if t is not None and t.num_rows]
         if agg_tables:
@@ -177,7 +177,7 @@ def assign_rounds_salted(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER
     salted = frontier_ds.map_batches(add_salt, batch_format="pyarrow")
     out = per_bucket_take(salted, ["host_id", "priority", "salt"],
                           ["host_id", "priority", "salt", "seq"], kernel,
-                          num_buckets=num_buckets)
+                          num_buckets=num_buckets, fuse_slices=8)
     return out.map_batches(lambda t: t.drop_columns(["salt"]),
                            batch_format="pyarrow")
 
@@ -251,6 +251,7 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
         _exchange_split,
         _EXCHANGE_MAX_OBJECTS,
         _hash_shuffle_on,
+        _nonempty_block_refs,
     )
 
     if max_seq is None or not _hash_shuffle_on():
@@ -258,14 +259,18 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
     shift = max(0, int(max_seq).bit_length()
                 - int(num_salts - 1).bit_length())
     stamped = _add_bucket(frontier_ds, ["doc_id"], num_buckets)
-    blocks = stamped.to_arrow_refs()
+    blocks = _nonempty_block_refs(stamped)
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
-    p = max(2, min(num_buckets, cpus * ppc))
-    if not blocks or len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
+    if not blocks:
+        return None
+    # same block-count cap as _partition_by_bucket: tiny frontiers must not
+    # pay a 64-partition exchange's task overhead
+    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks)))
+    if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
         return None
 
     def mid_fn(*parts):

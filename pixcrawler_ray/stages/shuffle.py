@@ -152,7 +152,26 @@ def _exchange_split_agg(t, p: int, agg_fn):
     return tuple(parts) + (agg_fn(t),)
 
 
-def _partition_by_bucket(ds, num_buckets: int, side_agg=None):
+def _nonempty_block_refs(ds):
+    """Executed block refs whose metadata says rows > 0 — no ray.get.
+
+    Exchange outputs and unions carry many zero-row padding blocks (fuse
+    slices, empty partitions); feeding them to the next split multiplies
+    task/object count by the EMPTY block count (measured: a 1k-row union
+    with 768 mostly-empty blocks cost 18 s in a 64-partition split)."""
+    try:
+        refs = []
+        for rb in ds.iter_internal_ref_bundles():
+            for ref, meta in rb.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    refs.append(ref)
+        return refs
+    except Exception:
+        return ds.to_arrow_refs()
+
+
+def _partition_by_bucket(ds, num_buckets: int, side_agg=None,
+                         fuse_slices: int = 1):
     """Hash-partition on the bucket column; every bucket lands wholly in one
     output block, so a whole-block map_batches sees complete buckets.
 
@@ -182,10 +201,15 @@ def _partition_by_bucket(ds, num_buckets: int, side_agg=None):
     # (~±20%) as pure straggler wall time with no work stealing
     import os as _os
     ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
-    p = max(2, min(num_buckets, cpus * ppc))
-    blocks = ds.to_arrow_refs()
+    blocks = _nonempty_block_refs(ds)
     if not blocks:
         return (ds, []) if side_agg is not None else ds
+    # cap partitions by input block count: upstream reads/expansions are
+    # row-sized (~32k rows/block), so few blocks == small data, and a tiny
+    # exchange at p=64 pays ~2-3 s of pure task/object overhead per hop
+    # (measured: a 23k-row generation spent 13 s across 4 such exchanges at
+    # 32 cpus). More partitions than 2x blocks cannot add parallelism anyway.
+    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks)))
     if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
         out = ds.repartition(p, keys=[BUCKET_COL])
         if side_agg is None:
@@ -207,10 +231,13 @@ def _partition_by_bucket(ds, num_buckets: int, side_agg=None):
         srefs = [split.remote(b, p) for b in blocks]
         if p == 1:
             srefs = [[r] for r in srefs]
-    # 8 slices/partition: bucket-aligned sub-blocks of the fused partition,
-    # so downstream kernel tasks stay small (fault-storm-safe working sets on
-    # this host) and work-steal; short partitions pad with empty slices
-    k = int(_os.environ.get("GRAFT_EXCHANGE_FUSE_SLICES", "8"))
+    # fuse_slices > 1: bucket-aligned sub-blocks of the fused partition, so
+    # downstream kernel tasks stay small (fault-storm-safe working sets on
+    # this host) and work-steal. Only worth it when the output feeds a HEAVY
+    # fused map (fetch/extract); exchanges feeding another exchange keep 1 —
+    # padding empties would multiply the next split's task count instead.
+    k = int(_os.environ.get("GRAFT_EXCHANGE_FUSE_SLICES",
+                            str(fuse_slices)))
     k = max(1, min(k, 8))
     if k == 1:
         fuse = _ray.remote(_exchange_fuse)
@@ -281,7 +308,7 @@ def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
 
 
 def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.DataFrame],
-               num_buckets: int = DEFAULT_BUCKETS):
+               num_buckets: int = DEFAULT_BUCKETS, fuse_slices: int = 1):
     """Shuffle on hash(key) % B, run a vectorized pandas kernel per bucket.
 
     Kernels must be correct over a UNION of buckets (they all group by their
@@ -298,13 +325,15 @@ def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
     if _hash_shuffle_on():
-        return _partition_by_bucket(ds, num_buckets).map_batches(
+        return _partition_by_bucket(
+            ds, num_buckets, fuse_slices=fuse_slices).map_batches(
             run, batch_format="pandas", batch_size=None)
     return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
 
 
 def per_bucket_take(ds, key_cols: Sequence[str], helper_cols: Sequence[str],
-                    index_kernel, num_buckets: int = DEFAULT_BUCKETS):
+                    index_kernel, num_buckets: int = DEFAULT_BUCKETS,
+                    fuse_slices: int = 1):
     """Arrow-native per-bucket filter: the kernel sees only a primitive-column
     pandas projection and returns row POSITIONS to keep (optionally plus new
     columns); rows are then ``take``-n from the Arrow group, so list/binary
@@ -328,7 +357,8 @@ def per_bucket_take(ds, key_cols: Sequence[str], helper_cols: Sequence[str],
         return out.drop_columns([BUCKET_COL])
 
     if _hash_shuffle_on():
-        return _partition_by_bucket(ds, num_buckets).map_batches(
+        return _partition_by_bucket(
+            ds, num_buckets, fuse_slices=fuse_slices).map_batches(
             run, batch_format="pyarrow", batch_size=None)
     return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
 
