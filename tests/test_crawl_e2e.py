@@ -118,6 +118,24 @@ def test_lean_admission_matches_full(config, sf_tiny):
     assert list(lean.schema().names) == list(full.schema().names)
 
 
+def test_keep_first_caps_per_key_budget():
+    """keep_first_caps: per-key head-cap(key) by order; absent keys keep 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pixcrawler_ray.stages.shuffle import keep_first_caps
+
+    t = pa.table({
+        "keyword": pa.array(["a"] * 5 + ["b"] * 3 + ["c"] * 2),
+        "seq": pa.array(list(range(5)) + list(range(10, 13))
+                        + list(range(20, 22)), type=pa.int64()),
+    })
+    out = keep_first_caps(rd.from_arrow(t), "keyword", "seq",
+                          {"a": 2, "b": 5}).take_all()
+    got = sorted((r["keyword"], r["seq"]) for r in out)
+    assert got == [("a", 0), ("a", 1), ("b", 10), ("b", 11), ("b", 12)]
+
+
 def test_quarantine_reconciles(config, sf_tiny):
     """Audit-trail conservation: every admitted frontier row is exactly one
     of {extracted-valid, still-transient, quarantined} (frontier = ok +
