@@ -87,6 +87,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "media_type", "declared_bytes", "width", "height",
              "decode_ok"])
 
+    def multimodal_resize(sf_dir: str):
+        from pixcrawler_ray import corpus
+        from pixcrawler_ray.stages import multimodal as mm
+        media = mm.media_from_pages(corpus.pages_dataset(sf_dir))
+        return mm.resize_media(media, dst_size=8).select_columns(
+            ["media_id", "media_type", "resized_dim", "decode_ok"])
+
+    def multimodal_frames(sf_dir: str):
+        from pixcrawler_ray import corpus
+        from pixcrawler_ray.stages import multimodal as mm
+        media = mm.media_from_pages(corpus.pages_dataset(sf_dir))
+        frames = mm.sample_frames(media, frame_bytes=1024, stride=4,
+                                  max_frames=8)
+        import pyarrow.compute as _pc
+
+        def sizes(t):
+            t = t.append_column(
+                "frame_bytes",
+                _pc.binary_length(t.column("frame_payload")).cast("int64"))
+            t = t.set_column(t.schema.get_field_index("frame_idx"),
+                             "frame_idx",
+                             t.column("frame_idx").cast("int64"))
+            return t.drop_columns(["frame_payload"])
+
+        return frames.map_batches(sizes, batch_format="pyarrow")
+
     return {
         # --- relational / engine ops (oracled) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -137,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_ivf_partitioned": simsearch_ivf_partitioned,  # rows-only
         # --- multimodal plumbing (rows-only; decode is stubbed) ---
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,             # rows-only (stub)
+        "multimodal_frames": multimodal_frames,             # oracled
         # --- flagship e2e (rows-only; pytest-oracled) ---
         "crawl_e2e": crawl_e2e,
     }
@@ -346,6 +374,52 @@ SELECT q.query_vec_id, e.vec_id,
 FROM embeddings e CROSS JOIN q
 WHERE e.vec_id <> q.query_vec_id
 QUALIFY rank <= 10"""
+
+    # frame sampling is a pure function of the SQL-replayable page render
+    # (corpus.render_html): rebuild the html string, take its byte length,
+    # and enumerate every stride-th 1024-byte chunk (<= 8 frames) for the
+    # video rows (doc_id % 3 == 0). Malformed pages truncate to 40 bytes
+    # BEFORE chunking, exactly as the engine's payload does. All-ASCII
+    # corpus => substr(chars) == bytes for the truncation prefix.
+    out["multimodal_frames"] = r"""
+WITH full_html AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+    || '</title></head><body><p>'
+    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+               '>', '&gt;') || '</p>'
+    || CASE WHEN doc_id % 4 > 0 THEN
+         '<img src="http://img.example.com/i/'
+         || CAST((doc_id * 31) % 1000 AS VARCHAR)
+         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
+              '.html'])[(doc_id % 8) + 1] || '"/>' ELSE '' END
+    || CASE WHEN doc_id % 4 > 1 THEN
+         '<img src="http://img.example.com/i/'
+         || CAST((doc_id * 31 + 17) % 1000 AS VARCHAR)
+         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
+              '.html'])[((doc_id + 1) % 8) + 1] || '"/>' ELSE '' END
+    || CASE WHEN doc_id % 4 > 2 THEN
+         '<img src="http://img.example.com/i/'
+         || CAST((doc_id * 31 + 34) % 1000 AS VARCHAR)
+         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
+              '.html'])[((doc_id + 2) % 8) + 1] || '"/>' ELSE '' END
+    || '</body></html>' AS h
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 13 THEN substr(h, 1, 40) ELSE h END AS h
+  FROM full_html
+), v AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(h)) AS plen,
+         greatest(1, CAST(ceil(octet_length(encode(h)) / 1024.0) AS BIGINT))
+           AS nch
+  FROM pages WHERE doc_id % 3 = 0
+)
+SELECT media_id, fi AS frame_idx,
+       least(1024, plen - fi * 4 * 1024) AS frame_bytes
+FROM v, (SELECT unnest(range(0, 8)) AS fi) t
+WHERE fi * 4 < nch"""
 
     # profile scoring mirror of stages/textstats.LangId: distinct lowercased
     # whitespace words intersected with each 3-word profile; first max in

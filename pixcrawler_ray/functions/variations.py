@@ -99,10 +99,10 @@ def sanitize_keyword(kw: str) -> str:
 def alternative_term(keyword: str, retry_count: int) -> str:
     """M3 — deterministic retry-term generator (builder/_keywords.py:293-697).
 
-    The reference combines 18 term families under 8 strategies chosen
+    The reference combines 18 term families under strategies chosen
     progressively by retry count; this rebuild keeps the *shape* (progressive
-    strategy by retry index, seeded per (keyword, retry)) with its own small
-    modifier families.
+    strategy by retry index, seeded per (keyword, retry)) with its own 18
+    modifier families — none copied from the reference's literal lists.
     """
     strategies = [
         lambda k: f"{k} stock",
@@ -113,6 +113,16 @@ def alternative_term(keyword: str, retry_count: int) -> str:
         lambda k: f"{k} examples",
         lambda k: f"top {k}",
         lambda k: f"{k} archive",
+        lambda k: f"{k} catalogue",
+        lambda k: f"curated {k}",
+        lambda k: f"{k} showcase",
+        lambda k: f"{k} portfolio",
+        lambda k: f"assorted {k}",
+        lambda k: f"{k} library",
+        lambda k: f"{k} selection",
+        lambda k: f"premium {k}",
+        lambda k: f"{k} compilation",
+        lambda k: f"popular {k}",
     ]
     idx = (retry_count + hash64(f"{keyword}\x00{retry_count}")) % len(strategies)
     return strategies[int(idx)](keyword)

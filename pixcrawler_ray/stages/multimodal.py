@@ -31,9 +31,10 @@ def media_from_pages(pages_ds):
         n = t.num_rows
         payload = t.column("html")
         sizes = pa.compute.binary_length(payload).cast(pa.int64())
+        kinds = ("video", "image", "audio")
         mtypes = pa.array(
-            ["image" if d % 3 else "audio"
-             for d in t.column("doc_id").to_pylist()], type=pa.string())
+            [kinds[d % 3] for d in t.column("doc_id").to_pylist()],
+            type=pa.string())
         return pa.table({
             "media_id": t.column("doc_id"),
             "payload": payload,
@@ -103,3 +104,84 @@ def decode_features(media_ds, concurrency: int = 4, batch_size: int = 256):
     return media_ds.map_batches(
         FakeDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency), num_cpus=0.5)
+
+
+class FakeResizer(FakeDecoder):
+    """Resize stage: stubbed byte->pixel decode, REAL resize arithmetic
+    (block-mean downsample, the arithmetic a PIL/cv2 swap-in would keep).
+    Emits the resized luminance row-major as ``list<float>`` plus dims."""
+
+    def __init__(self, src_size: int = 32, dst_size: int = 8,
+                 strict: bool = False):
+        super().__init__(target_size=src_size, strict=strict)
+        if src_size % dst_size:
+            raise ValueError("dst_size must divide src_size")
+        self.dst = dst_size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = self.target // self.dst
+        resized, ok = [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                img = self._decode(payload).astype(np.float64)
+                small = img.reshape(self.dst, s, self.dst, s).mean((1, 3))
+                resized.append([float(x) for x in small.ravel()])
+                ok.append(True)
+            except NotImplementedError:
+                raise
+            except Exception:
+                resized.append([0.0] * (self.dst * self.dst))
+                ok.append(False)
+        out = t.drop_columns(["payload"])
+        out = out.append_column(
+            "resized", pa.array(resized, type=pa.list_(pa.float64())))
+        out = out.append_column(
+            "resized_dim", pa.array([self.dst] * t.num_rows,
+                                    type=pa.int32()))
+        return out.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
+
+
+def resize_media(media_ds, dst_size: int = 8, concurrency: int = 4,
+                 batch_size: int = 256):
+    """Actor-pool resize stage (blobs dropped on the way out)."""
+    return media_ds.map_batches(
+        FakeResizer, fn_constructor_kwargs={"dst_size": dst_size},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=0.5)
+
+
+def sample_frames(media_ds, frame_bytes: int = 1024, stride: int = 4,
+                  max_frames: int = 8, concurrency: int = 4):
+    """``video`` rows -> frame rows (media_id, frame_idx, frame_payload).
+
+    Deterministic chunk sampling stands in for ffmpeg keyframe extraction:
+    the payload is treated as a stream of ``frame_bytes`` chunks and every
+    ``stride``-th chunk (up to ``max_frames``) becomes one output row — the
+    flat-map row-explosion shape a real video pipeline needs (one media row
+    fans out to many frame rows; frame payloads stay binary and bounded).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        mask = pa.compute.equal(t.column("media_type"), "video")
+        t = t.filter(mask)
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            payload = payload or b""
+            n_chunks = max(1, (len(payload) + frame_bytes - 1)
+                           // frame_bytes)
+            for fi, chunk in enumerate(range(0, n_chunks, stride)):
+                if fi >= max_frames:
+                    break
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(
+                    payload[chunk * frame_bytes:(chunk + 1) * frame_bytes])
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(idxs, type=pa.int32()),
+            "frame_payload": pa.array(frames, type=pa.binary()),
+        })
+
+    return media_ds.map_batches(explode, batch_format="pyarrow",
+                                batch_size=256)

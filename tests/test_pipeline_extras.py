@@ -104,6 +104,38 @@ def test_report_rendering(extracted, tmp_path):
     assert "extract" in md and "| 0 |" in md
 
 
+def test_keyword_plan_modes_and_stats():
+    """M6/D1/A5 — reference union semantics (builder/_keywords.py:36-89)
+    under each keyword_generation mode, plus the generation statistics."""
+    from pixcrawler_ray.functions.variations import generate_keywords
+    from pixcrawler_ray.stages.expand import keyword_generation_stats
+
+    def cfg(mode, kws):
+        return CrawlConfig.from_dict({
+            "dataset_name": "kg", "categories": {"cats": kws},
+            "options": {"max_images": 5, "keyword_generation": mode}})
+
+    gen = generate_keywords("cats")
+    # no keywords + auto/enabled -> generated; disabled -> [category]
+    assert cfg("auto", []).keyword_plan()["cats"]["keywords"] == gen
+    assert cfg("disabled", []).keyword_plan()["cats"]["keywords"] == ["cats"]
+    # keywords + enabled -> user first, then generated not already present
+    plan = cfg("enabled", ["tabby", gen[0]]).keyword_plan()["cats"]
+    assert plan["keywords"][:2] == ["tabby", gen[0]]
+    assert plan["keywords"][2:] == [g for g in gen if g != gen[0]]
+    assert plan["generation_occurred"]
+    # keywords + auto/disabled -> unchanged
+    assert cfg("auto", ["tabby"]).keyword_plan()["cats"]["keywords"] \
+        == ["tabby"]
+    # A5 stats reconcile with the plan
+    st = keyword_generation_stats(cfg("enabled", ["tabby"]))
+    assert st["total_categories"] == 1
+    assert st["categories_with_generation"] == 1
+    assert st["total_original_keywords"] == 1
+    assert st["total_generated_keywords"] == len(gen)
+    assert st["total_final_keywords"] == 1 + len(gen)
+
+
 def test_keyword_generator_protocol():
     gen = base.PredefinedKeywordGenerator()
     assert isinstance(gen, base.KeywordGenerator)

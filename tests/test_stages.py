@@ -283,6 +283,38 @@ def test_multimodal_plumbing(sf_tiny):
         mm.FakeDecoder(strict=True)._decode(b"payload")
 
 
+def test_multimodal_resize_and_frame_sample(sf_tiny):
+    """Resize emits dst×dst block means (arithmetic checked against numpy);
+    frame sampling explodes video rows deterministically and only those."""
+    import numpy as np
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.stages import multimodal as mm
+
+    media = mm.media_from_pages(corpus.pages_dataset(sf_tiny)).materialize()
+    rows = media.take(30)
+    rz = mm.resize_media(media, dst_size=8).take(30)
+    by_id = {r["media_id"]: r for r in rz}
+    dec = mm.FakeDecoder(target_size=32)
+    for r in rows[:5]:
+        img = dec._decode(r["payload"]).astype(np.float64)
+        want = img.reshape(8, 4, 8, 4).mean((1, 3)).ravel()
+        got = np.array(by_id[r["media_id"]]["resized"])
+        assert np.allclose(got, want)
+        assert by_id[r["media_id"]]["resized_dim"] == 8
+
+    frames = mm.sample_frames(media, frame_bytes=256, stride=2,
+                              max_frames=3).take_all()
+    vids = {r["media_id"]: r["payload"] for r in media.take_all()
+            if r["media_type"] == "video"}
+    assert {f["media_id"] for f in frames} == set(vids)
+    for f in frames:
+        payload = vids[f["media_id"]]
+        chunk = f["frame_idx"] * 2          # stride 2
+        assert f["frame_payload"] == payload[chunk * 256:(chunk + 1) * 256]
+        assert f["frame_idx"] < 3
+
+
 def test_politeness_shard_actor_matches_batch_rule():
     import ray
     from pixcrawler_ray.stages.politeness import PolitenessShard
