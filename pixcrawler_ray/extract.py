@@ -86,14 +86,113 @@ def ahash64(html: bytes) -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
+def _extract_columns_vectorized(batch: pa.Table):
+    """Arrow-kernel extraction core — value-identical to the scalar
+    :func:`extract_one` loop on the closed corpus-html world (pytest-asserted
+    batch == scalar), ~5x faster per batch.
+
+    Returns (texts, links_arr, raw_counts, valid, sizes) or None when the
+    payload is not valid utf-8 (the scalar loop then handles it row by row).
+    The entity unescape is the exact inverse of ``corpus.render_html``'s
+    ``html.escape(text, quote=False)`` (&amp;/&lt;/&gt; only — escape
+    guarantees every raw '&' became '&amp;', so the three sequential
+    replacements in reverse order ARE html.unescape on this input set).
+    """
+    import pyarrow.compute as pc
+
+    html_bin = batch.column("html")
+    if html_bin.null_count:
+        html_bin = pc.fill_null(html_bin, b"")
+    try:
+        s = pc.cast(html_bin, pa.string())
+    except Exception:
+        return None
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = batch.num_rows
+    has_end = pc.match_substring(s, "</body></html>")
+    m = pc.extract_regex(s, r"(?s)<p>(?P<t>.*?)</p>")
+    t_raw = pc.struct_field(m, "t")
+    valid = pc.fill_null(pc.and_kleene(has_end, pc.is_valid(t_raw)), False)
+    txt = pc.replace_substring(pc.fill_null(t_raw, ""),
+                               pattern="&lt;", replacement="<")
+    txt = pc.replace_substring(txt, pattern="&gt;", replacement=">")
+    txt = pc.replace_substring(txt, pattern="&amp;", replacement="&")
+    texts = pc.if_else(valid, txt, "")
+
+    # multi-match '<img src="..."/>': split on the literal prefix, then the
+    # piece must START with url + '"/>' (anchored regex == the scalar regex)
+    parts = pc.split_pattern(s, pattern='<img src="')
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offs = np.asarray(parts.offsets)
+    flat = pc.list_flatten(parts)
+    nf = len(flat)
+    keep = np.ones(nf, dtype=bool)
+    keep[offs[:-1]] = False                 # first piece per row is pre-text
+    cand_idx = np.flatnonzero(keep)
+    row_of = np.repeat(np.arange(n), np.diff(offs))
+    vmask = valid.to_numpy(zero_copy_only=False)
+    if len(cand_idx):
+        cand = flat.take(pa.array(cand_idx))
+        um = pc.extract_regex(cand, r'^(?P<u>[^"]*)"/>')
+        urls = pc.struct_field(um, "u")
+        uvalid = pc.is_valid(um).to_numpy(zero_copy_only=False)
+        rowc = row_of[cand_idx]
+        link_ok = uvalid & vmask[rowc]
+        raw_counts = np.bincount(rowc[link_ok], minlength=n)
+        low = pc.utf8_lower(pc.fill_null(urls, ""))
+        extm = None
+        for ext in sorted(IMAGE_EXTENSIONS):    # M9 gate, 7 suffix kernels
+            e = pc.ends_with(low, pattern=ext)
+            extm = e if extm is None else pc.or_(extm, e)
+        keep_l = link_ok & extm.to_numpy(zero_copy_only=False)
+        kept_idx = np.flatnonzero(keep_l)
+        kept_urls = pc.cast(urls.take(pa.array(kept_idx)), pa.string())
+        if isinstance(kept_urls, pa.ChunkedArray):
+            kept_urls = kept_urls.combine_chunks()
+        counts_kept = np.bincount(rowc[kept_idx], minlength=n)
+    else:
+        raw_counts = np.zeros(n, dtype=np.int64)
+        counts_kept = np.zeros(n, dtype=np.int64)
+        kept_urls = pa.array([], type=pa.string())
+    loffs = np.concatenate([[0], np.cumsum(counts_kept)]).astype(np.int32)
+    links_arr = pa.ListArray.from_arrays(
+        pa.array(loffs, type=pa.int32()), kept_urls)
+    sizes = pc.binary_length(html_bin).cast(pa.int64())
+    return (pc.cast(texts, pa.string()),
+            links_arr,
+            pa.array(raw_counts.astype(np.int64)),
+            pc.cast(valid, pa.bool_()),
+            sizes)
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """pages batch -> extracted batch. Stateless ``map_batches`` stage.
 
     Keeps lineage columns present in the input (url, doc_id, plus frontier
     attribution columns when run post-fetch) and DROPS the html column on the
     way out — wide binary payloads must not travel further than extraction
-    (SURVEY §7.5 item 5).
+    (SURVEY §7.5 item 5). Hot path is the Arrow-kernel core; the scalar
+    :func:`extract_one` loop is the reference spec and the non-utf8 fallback.
     """
+    vec = _extract_columns_vectorized(batch)
+    if vec is not None:
+        texts_a, links_arr, raw_arr, valid_a, sizes_a = vec
+        texts = texts_a.to_pylist()
+        md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+        phashes = simhash64_batch(texts)
+        drop = ["html"] + (["text"] if "text" in batch.column_names else [])
+        out = batch.drop_columns(drop)
+        out = out.append_column("text", texts_a)
+        out = out.append_column("image_links", links_arr)
+        out = out.append_column("n_links_raw", raw_arr)
+        out = out.append_column("valid", valid_a)
+        out = out.append_column("content_md5",
+                                pa.array(md5s, type=pa.binary(16)))
+        out = out.append_column("phash",
+                                pa.array(phashes, type=pa.uint64()))
+        return out.append_column("html_bytes", sizes_a)
     htmls = batch.column("html").to_pylist()
     texts: list[str] = []
     links: list[list[str]] = []

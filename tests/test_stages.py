@@ -181,6 +181,51 @@ def test_simsearch_ivf_recall(sf_tiny):
         assert len(e & a) / len(e) >= 0.5   # recall@10 with half the cells
 
 
+def test_extract_vectorized_matches_scalar(sf_tiny):
+    """The Arrow-kernel extract core must equal extract_one row-for-row on
+    corpus pages AND adversarial html (entities, truncation, bad links,
+    uppercase extensions, unicode, null); non-utf8 payloads fall back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray import extract as ex
+
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet")
+    pages = corpus.pages_batch(docs.combine_chunks()).select(["html"])
+    weird = pa.table({"html": pa.array([
+        b"", None,
+        b"<html><head><title>doc 1</title></head><body>"
+        b"<p>a &amp;lt; b &amp;amp; c</p></body></html>",
+        b"<p>no end tag",
+        b'<html><head><title>x</title></head><body><p>t</p>'
+        b'<img src="a.jpg"/><img src="b.txt"/><img src="noquote/>'
+        b'</body></html>',
+        b"<html><head><title>doc 13</title></head><bo",
+        '<html><head><title>u</title></head><body><p>é café '
+        '&lt;tag&gt;</p></body></html>'.encode(),
+        b'<html><head><title>q</title></head><body><p>x</p>'
+        b'<img src="A.JPG"/><img src="z.webp"/></body></html>',
+    ], type=pa.binary())})
+    for tbl in (pages, weird):
+        vec = ex._extract_columns_vectorized(tbl)
+        assert vec is not None
+        texts_a, links_arr, raw_arr, valid_a, sizes_a = vec
+        for i, h in enumerate(tbl.column("html").to_pylist()):
+            h = h or b""
+            t, ln, v = ex.extract_one(h)
+            assert texts_a[i].as_py() == t
+            assert raw_arr[i].as_py() == len(ln)
+            assert links_arr[i].as_py() == ex.filter_image_links(ln)
+            assert valid_a[i].as_py() == v
+            assert sizes_a[i].as_py() == len(h)
+    bad = pa.table({"html": pa.array([b"\xff\xfe<html>", b"ok"],
+                                     type=pa.binary())})
+    assert ex._extract_columns_vectorized(bad) is None
+    assert ex.extract_batch(bad).column("valid").to_pylist() == [False,
+                                                                 False]
+
+
 def test_textstats_vectorized_matches_python_semantics():
     """The Arrow-kernel token/quality stats must equal the Python
     str.split()/re.findall reference on every edge case the oracle SQL
