@@ -183,11 +183,13 @@ def run_scaling_worker(sf_dir: str, ncpu: int) -> dict:
 
     rd.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
         _warm, batch_size=1).count()
-    # workload sized so compute dominates fixed costs (~2.7M extracted rows;
-    # at the prior 200x/100-page setting the low-cpu run finished in ~5 s and
-    # measured mostly constant overhead, not scaling)
+    # workload sized so compute dominates fixed costs (~4.7M extracted rows;
+    # page_size — not amplify — governs the frontier row count. Resized up
+    # once after the fused admission + signature-memo speedups: at 3000
+    # pages the 8-cpu run fell to ~13 s and the measurement drifted back
+    # toward constant overhead.
     amp = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "2000"))
-    page_size = int(os.environ.get("GRAFT_PAGE_SIZE", "3000"))
+    page_size = int(os.environ.get("GRAFT_PAGE_SIZE", "6000"))
     scaling_pipeline(sf_dir, 1, page_size)
     out = scaling_pipeline(sf_dir, amp, page_size)
     out["num_cpus"] = ncpu

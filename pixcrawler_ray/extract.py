@@ -167,6 +167,34 @@ def _extract_columns_vectorized(batch: pa.Table):
             sizes)
 
 
+# content-keyed signature memo, per worker process: md5 and simhash are pure
+# functions of the text, and crawl corpora carry heavy exact duplication
+# (boilerplate, mirrors, re-fetches) — recomputing the signature per COPY is
+# wasted CPU that grows with the duplication factor. Bounded; cleared when
+# full (vocabulary-of-contents, not rows).
+_SIG_CACHE: dict[str, tuple[bytes, int]] = {}
+_SIG_CACHE_MAX = 65536
+
+
+def _signatures(texts: list[str]) -> tuple[list[bytes], list[int]]:
+    cache = _SIG_CACHE
+    miss = [i for i, t in enumerate(texts) if t not in cache]
+    if miss:
+        miss_ph = simhash64_batch([texts[i] for i in miss])
+        if len(cache) + len(miss) > _SIG_CACHE_MAX:
+            cache.clear()
+        for j, i in enumerate(miss):
+            t = texts[i]
+            cache[t] = (hashlib.md5(t.encode("utf-8")).digest(),
+                        int(miss_ph[j]))
+    md5s, phashes = [], []
+    for t in texts:
+        d, p = cache[t]
+        md5s.append(d)
+        phashes.append(p)
+    return md5s, phashes
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """pages batch -> extracted batch. Stateless ``map_batches`` stage.
 
@@ -180,8 +208,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     if vec is not None:
         texts_a, links_arr, raw_arr, valid_a, sizes_a = vec
         texts = texts_a.to_pylist()
-        md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
-        phashes = simhash64_batch(texts)
+        md5s, phashes = _signatures(texts)
         drop = ["html"] + (["text"] if "text" in batch.column_names else [])
         out = batch.drop_columns(drop)
         out = out.append_column("text", texts_a)
@@ -198,7 +225,6 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     links: list[list[str]] = []
     raw_counts: list[int] = []
     valids: list[bool] = []
-    md5s: list[bytes] = []
     sizes: list[int] = []
     for h in htmls:
         h = h or b""
@@ -207,12 +233,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         raw_counts.append(len(ln))
         links.append(filter_image_links(ln))   # M9 extension gate
         valids.append(v)
-        md5s.append(hashlib.md5(t.encode("utf-8")).digest())
         sizes.append(len(h))
-    # batch simhash: arrow-tokenized, vocabulary-memoized word hashing and a
-    # widening reduceat — ~2x the scalar loop per row, bit-identical
-    # (tests/test_stages.py asserts batch == scalar)
-    phashes = simhash64_batch(texts)
+    md5s, phashes = _signatures(texts)
     drop = ["html"] + (["text"] if "text" in batch.column_names else [])
     out = batch.drop_columns(drop)
     out = out.append_column("text", pa.array(texts, type=pa.string()))
