@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": ts.quality_scores,                # oracled
         "lang_id": ts.lang_id,                              # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
+        "fingerprint_containment":                          # rows-only
+            lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)

@@ -169,6 +169,112 @@ def lang_id(sf_dir: str):
                           concurrency=(1, 4), num_cpus=0.5)
 
 
+def fingerprint_containment(sf_dir: str, threshold: float = 0.8,
+                            window: int = 8, max_fp_group: int = 64,
+                            num_buckets: int = 32):
+    """MOSS-style containment pairs over winnowed fingerprints
+    (Schleimer/Wilkerson/Aiken 2003 shape): doc pairs whose shared
+    fingerprint count is >= ``threshold`` x the smaller doc's fingerprint
+    count — catches A-contained-in-B even when Jaccard is low.
+
+    Distributed shape: explode (doc, fp) -> fp-bucket groupby emits pairs
+    (fingerprints shared by > ``max_fp_group`` docs are dropped as
+    stop-fingerprints, standard MOSS practice and the hot-key guard) ->
+    pair-bucket count -> two bucketed joins against per-doc fingerprint
+    totals. Returns (doc_a, doc_b, n_shared, min_fp).
+    """
+    import pandas as pd
+
+    from pixcrawler_ray.stages.shuffle import bucketed_join, per_bucket
+
+    fpm = doc_fingerprints(sf_dir, window=window).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        lists = t.column("fingerprints")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = np.asarray(lists.offsets)
+        flat = np.asarray(lists.values)
+        docs = t.column("doc_id").to_numpy()
+        reps, fps = [], []
+        for i in range(t.num_rows):          # per-doc unique fingerprints
+            u = np.unique(flat[offs[i]:offs[i + 1]])
+            reps.append(np.full(len(u), docs[i], dtype=np.int64))
+            fps.append(u)
+        if reps:
+            rep = np.concatenate(reps)
+            fp = np.concatenate(fps)
+        else:
+            rep = np.zeros(0, dtype=np.int64)
+            fp = np.zeros(0, dtype=np.uint64)
+        return pa.table({"doc_id": pa.array(rep),
+                         "fp": pa.array(fp.astype(np.int64))})
+
+    def totals(t: pa.Table) -> pa.Table:
+        lists = t.column("fingerprints")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = np.asarray(lists.offsets)
+        flat = np.asarray(lists.values)
+        n_fp = [len(np.unique(flat[offs[i]:offs[i + 1]]))
+                for i in range(t.num_rows)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_fp": pa.array(np.asarray(n_fp,
+                                                     dtype=np.int64))})
+
+    exploded = fpm.map_batches(explode, batch_format="pyarrow")
+    counts = fpm.map_batches(totals, batch_format="pyarrow")
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby("fp", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2 or len(ids) > max_fp_group:
+                continue
+            i, j = np.triu_indices(len(ids), 1)
+            outs_a.append(ids[i])
+            outs_b.append(ids[j])
+        if not outs_a:
+            return pd.DataFrame({"doc_a": np.zeros(0, dtype=np.int64),
+                                 "doc_b": np.zeros(0, dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                             "doc_b": np.concatenate(outs_b)})
+
+    pairs = per_bucket(exploded, ["fp"], pair_kernel,
+                       num_buckets=num_buckets)
+
+    def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["doc_a", "doc_b"], sort=False)
+                 .size().reset_index(name="n_shared"))
+
+    shared = per_bucket(pairs, ["doc_a", "doc_b"], count_kernel,
+                        num_buckets=num_buckets)
+    ca = counts.map_batches(
+        lambda t: t.rename_columns(["doc_a", "n_a"]),
+        batch_format="pyarrow")
+    cb = counts.map_batches(
+        lambda t: t.rename_columns(["doc_b", "n_b"]),
+        batch_format="pyarrow")
+    j = bucketed_join(shared, ca, on="doc_a", num_buckets=num_buckets)
+    j = bucketed_join(j, cb, on="doc_b", num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_a" not in t.column_names:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "n_shared": pa.array([], type=pa.int64()),
+                             "min_fp": pa.array([], type=pa.int64())})
+        mn = np.minimum(t.column("n_a").to_numpy(),
+                        t.column("n_b").to_numpy())
+        ns = t.column("n_shared").to_numpy()
+        keep = ns >= threshold * np.maximum(mn, 1)
+        t = t.append_column("min_fp", pa.array(mn.astype(np.int64)))
+        t = t.filter(pa.array(keep))
+        return t.select(["doc_a", "doc_b", "n_shared", "min_fp"])
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
 def doc_fingerprints(sf_dir: str, window: int = 8):
     """Winnowed rolling-hash fingerprints per doc (containment queries)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])

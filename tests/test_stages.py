@@ -181,6 +181,30 @@ def test_simsearch_ivf_recall(sf_tiny):
         assert len(e & a) / len(e) >= 0.5   # recall@10 with half the cells
 
 
+def test_fingerprint_containment_planted(tmp_path):
+    """MOSS-style containment: a doc built as 7's text + 3's text + 11's
+    text must pair with exactly those three at threshold 0.8 — Jaccard
+    would miss these (the big doc's fingerprint set is 3x larger)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.textstats import fingerprint_containment
+
+    rng = np.random.default_rng(5)
+    words = [f"w{int(x)}" for x in rng.integers(0, 5000, size=6000)]
+    docs = [" ".join(words[i * 140:i * 140 + 120]) for i in range(40)]
+    docs.append(docs[7] + " " + docs[3] + " " + docs[11])    # doc 40
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs),
+                  "lang": pa.array(["en"] * len(docs))}),
+        str(tmp_path / "documents.parquet"))
+    out = fingerprint_containment(str(tmp_path), threshold=0.8).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} \
+        == {(3, 40), (7, 40), (11, 40)}
+
+
 def test_extract_vectorized_matches_scalar(sf_tiny):
     """The Arrow-kernel extract core must equal extract_one row-for-row on
     corpus pages AND adversarial html (entities, truncation, bad links,
