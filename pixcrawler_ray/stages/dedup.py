@@ -125,15 +125,22 @@ def minhash_candidate_pairs(sf_dir: str, num_perms: int = 128,
         cpus = 8
     nblocks = max(1, min(2 * cpus, math.ceil(total / 256)))
     ds = ds.repartition(nblocks)
-    bandrows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perms": num_perms, "shingle_k": shingle_k,
-                               "bands": bands},
-        batch_format="pyarrow", batch_size=512,
-        concurrency=(1, max(1, pool_size(0.75))), num_cpus=1)
+    # TASK pool, not an actor pool: the signature stage is stateless (the
+    # permutation tables are module constants) and the whole sf0.1 signature
+    # pass is ~0.5 core-seconds — a dedicated actor pool paid seconds of
+    # process spawn per call for milliseconds of per-actor setup savings.
+    # Tasks run on Ray's prestarted (already-warm) workers instead.
+    hasher = MinHasher(num_perms=num_perms, shingle_k=shingle_k,
+                       bands=bands)
+    bandrows = ds.map_batches(hasher, batch_format="pyarrow",
+                              batch_size=512)
 
     def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
+        # singleton buckets are the overwhelming majority — drop them with
+        # ONE vectorized duplicated() pass so the Python group loop only
+        # ever sees actual collisions
+        g = g[g.duplicated(["band", "bucket"], keep=False)]
         for (_, _), grp in g.groupby(["band", "bucket"], sort=False):
             ids = np.sort(grp["doc_id"].unique())
             m = len(ids)
@@ -610,6 +617,7 @@ def embedding_srp_pairs(sf_dir: str, threshold: float = 0.98,
 
     def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
+        g = g[g.duplicated(["band", "bucket"], keep=False)]   # collisions only
         for (_, _), grp in g.groupby(["band", "bucket"], sort=False):
             grp = grp.drop_duplicates("vec_id")
             if len(grp) < 2:

@@ -259,7 +259,7 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
     shift = max(0, int(max_seq).bit_length()
                 - int(num_salts - 1).bit_length())
     stamped = _add_bucket(frontier_ds, ["doc_id"], num_buckets)
-    blocks = _nonempty_block_refs(stamped)
+    blocks, total_rows = _nonempty_block_refs(stamped)
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -267,9 +267,12 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
     ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
     if not blocks:
         return None
-    # same block-count cap as _partition_by_bucket: tiny frontiers must not
-    # pay a 64-partition exchange's task overhead
-    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks)))
+    # same size caps as _partition_by_bucket: tiny frontiers must not pay a
+    # 64-partition exchange's task overhead
+    rpp = int(_os.environ.get("GRAFT_EXCHANGE_ROWS_PER_PART", "4096"))
+    rows_cap = (num_buckets if total_rows is None
+                else max(1, -(-total_rows // rpp)))
+    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks), rows_cap))
     if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
         return None
 

@@ -158,16 +158,31 @@ def _nonempty_block_refs(ds):
     Exchange outputs and unions carry many zero-row padding blocks (fuse
     slices, empty partitions); feeding them to the next split multiplies
     task/object count by the EMPTY block count (measured: a 1k-row union
-    with 768 mostly-empty blocks cost 18 s in a 64-partition split)."""
+    with 768 mostly-empty blocks cost 18 s in a 64-partition split).
+
+    Returns (refs, total_rows); total_rows is None when any block's
+    metadata lacks a row count.
+
+    MATERIALIZE first: iterating ref bundles of a LAZY dataset executes it
+    under the iterator's read-ahead backpressure, which throttles a wide
+    upstream (measured 5x slower on the 4.7M-row admission input);
+    materialize() runs the plan at full parallelism and bundle iteration of
+    the result is metadata-only."""
     try:
-        refs = []
-        for rb in ds.iter_internal_ref_bundles():
+        mat = ds.materialize()
+        refs, total = [], 0
+        for rb in mat.iter_internal_ref_bundles():
             for ref, meta in rb.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
+                if meta.num_rows is None:
+                    total = None
                     refs.append(ref)
-        return refs
+                elif meta.num_rows > 0:
+                    refs.append(ref)
+                    if total is not None:
+                        total += meta.num_rows
+        return refs, total
     except Exception:
-        return ds.to_arrow_refs()
+        return ds.to_arrow_refs(), None
 
 
 def _partition_by_bucket(ds, num_buckets: int, side_agg=None,
@@ -201,15 +216,18 @@ def _partition_by_bucket(ds, num_buckets: int, side_agg=None,
     # (~±20%) as pure straggler wall time with no work stealing
     import os as _os
     ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
-    blocks = _nonempty_block_refs(ds)
+    blocks, total_rows = _nonempty_block_refs(ds)
     if not blocks:
         return (ds, []) if side_agg is not None else ds
-    # cap partitions by input block count: upstream reads/expansions are
-    # row-sized (~32k rows/block), so few blocks == small data, and a tiny
-    # exchange at p=64 pays ~2-3 s of pure task/object overhead per hop
-    # (measured: a 23k-row generation spent 13 s across 4 such exchanges at
-    # 32 cpus). More partitions than 2x blocks cannot add parallelism anyway.
-    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks)))
+    # cap partitions by input size: a tiny exchange at p=64 pays ~2-3 s of
+    # pure task/object overhead per hop (measured: a 23k-row generation
+    # spent 13 s across 4 such exchanges at 32 cpus; a 255-row pair dedup
+    # paid a 64-partition exchange). Rows-aware when block metadata knows
+    # row counts; block-count bound otherwise (row-sized upstream blocks).
+    rpp = int(_os.environ.get("GRAFT_EXCHANGE_ROWS_PER_PART", "4096"))
+    rows_cap = (num_buckets if total_rows is None
+                else max(1, -(-total_rows // rpp)))
+    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks), rows_cap))
     if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
         out = ds.repartition(p, keys=[BUCKET_COL])
         if side_agg is None:

@@ -227,6 +227,7 @@ def fingerprint_containment(sf_dir: str, threshold: float = 0.8,
 
     def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
+        g = g[g.duplicated("fp", keep=False)]     # shared fingerprints only
         for _, grp in g.groupby("fp", sort=False):
             ids = np.unique(grp["doc_id"].to_numpy())
             if len(ids) < 2 or len(ids) > max_fp_group:
