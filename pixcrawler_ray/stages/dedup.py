@@ -418,7 +418,7 @@ def simhash_near_pairs(sf_dir: str, radius: int = 3, k: int = 2):
 
     def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
-        sim_of: dict[int, int] = {}
+        g = g[g.duplicated(["seg_i", "seg_v"], keep=False)]  # collisions only
         for (_, _), grp in g.groupby(["seg_i", "seg_v"], sort=False):
             ids = grp["doc_id"].to_numpy()
             sims = grp["simhash"].to_numpy()
