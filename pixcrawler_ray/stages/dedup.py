@@ -506,6 +506,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
     def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
+        g = g[g.duplicated([block_key, "shingle"], keep=False)]
         for _, grp in g.groupby([block_key, "shingle"], sort=False):
             ids = np.unique(grp["doc_id"].to_numpy())
             if len(ids) > 1:
