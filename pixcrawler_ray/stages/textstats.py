@@ -165,8 +165,9 @@ class LangId:
 
 def lang_id(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=(1, 4), num_cpus=0.5)
+    # task pool: the profile table is a dozen constant strings — an actor
+    # pool would pay process spawn for no per-actor state worth keeping
+    return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 def fingerprint_containment(sf_dir: str, threshold: float = 0.8,
