@@ -28,7 +28,6 @@ from pixcrawler_ray.stages.expand import (
 from pixcrawler_ray.stages.fetch import (
     MIN_CONTENT_BYTES,
     STATUS_CONTENT_REJECTED,
-    STATUS_NOT_FOUND,
     STATUS_OK,
     STATUS_TRANSIENT,
 )

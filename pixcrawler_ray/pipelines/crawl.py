@@ -40,7 +40,6 @@ from pixcrawler_ray.stages.expand import (
 from pixcrawler_ray.stages.fetch import (
     STATUS_OK,
     STATUS_TRANSIENT,
-    Fetcher,
     build_pages_index,
     fetch_dataset,
 )

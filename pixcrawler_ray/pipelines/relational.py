@@ -21,10 +21,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from pixcrawler_ray.sources.readers import read_table
-from pixcrawler_ray.stages.shuffle import per_bucket, per_bucket_take
+from pixcrawler_ray.stages.shuffle import per_bucket
 
 
 def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
