@@ -340,6 +340,33 @@ def _requeue(t: pa.Table) -> pa.Table:
     return t.set_column(t.schema.get_field_index("priority"), "priority", prio)
 
 
+def select_fetcher(sf_dir: str, corpus_factor: int = 1,
+                   fetch_concurrency: int | None = None):
+    """Pick the fetch implementation by corpus size/shape (round-1 scale
+    finding #6). Returns either a broadcast index ref (small corpora) or a
+    callable ``fr -> fetched_ds`` (virtual render / bucketed join).
+
+    - amplified corpora are a pure function of the base documents table:
+      fetch renders the page server-side from the broadcast BASE texts
+      (O(base) memory) instead of materializing + broadcasting the factor-x
+      corpus through the driver.
+    - past ``BROADCAST_INDEX_MAX_BYTES`` (compressed size, metadata-only —
+      conservative) the broadcast index no longer fits every node's object
+      store and fetch becomes the bucketed doc-id shuffle join (same output
+      schema — the 100 TB join shape).
+    """
+    if corpus_factor > 1:
+        from pixcrawler_ray.stages.fetch import virtual_fetch_dataset
+        return lambda fr: virtual_fetch_dataset(
+            fr, sf_dir, concurrency=fetch_concurrency)
+    if (os.path.getsize(f"{sf_dir}/documents.parquet")
+            > BROADCAST_INDEX_MAX_BYTES):
+        from pixcrawler_ray.stages.fetch import fetch_via_join
+        pages_ds, _ = corpus.amplified_pages_dataset(sf_dir, 1)
+        return lambda fr: fetch_via_join(fr, pages_ds)
+    return pages_index_ref(sf_dir)
+
+
 def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
               budget_per_round: int = 8, max_generations: int | None = None,
               fetch_concurrency: int | None = None, seen_shards=None,
@@ -352,26 +379,8 @@ def run_crawl(config: CrawlConfig, sf_dir: str, page_size: int = PAGE_SIZE,
     ``builder/_generator.py:282-341``) with generation index == retry count.
     """
     gens = (config.max_retries if max_generations is None else max_generations)
-    if corpus_factor > 1:
-        # amplified corpora are a pure function of the base documents table:
-        # fetch renders the page server-side from the broadcast BASE texts
-        # (O(base) memory) instead of materializing + broadcasting the
-        # factor-x corpus through the driver (round-1 scale finding #6)
-        from pixcrawler_ray.stages.fetch import virtual_fetch_dataset
-        index_ref = lambda fr: virtual_fetch_dataset(
-            fr, sf_dir, concurrency=fetch_concurrency)
-    elif (os.path.getsize(f"{sf_dir}/documents.parquet")
-          > BROADCAST_INDEX_MAX_BYTES):
-        # size-based switch (round-1 scale finding #6): the broadcast index
-        # must fit every node's object store; past the cap, fetch becomes the
-        # bucketed url-hash shuffle join (same output schema — the 100 TB
-        # join shape). Threshold on the COMPRESSED corpus size: conservative,
-        # metadata-only.
-        from pixcrawler_ray.stages.fetch import fetch_via_join
-        pages_ds, _ = corpus.amplified_pages_dataset(sf_dir, 1)
-        index_ref = lambda fr: fetch_via_join(fr, pages_ds)
-    else:
-        index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
+    index_ref = select_fetcher(sf_dir, corpus_factor=corpus_factor,
+                               fetch_concurrency=fetch_concurrency)
     res = crawl_generation(
         config, sf_dir, index_ref, depth=0, page_size=page_size,
         budget_per_round=budget_per_round, seen_shards=seen_shards,
@@ -461,7 +470,12 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
                      budget_per_round=budget_per_round,
                      corpus_factor=corpus_factor,
                      fetch_concurrency=fetch_concurrency).materialize()
-    index_ref = pages_index_ref(sf_dir, corpus_factor=corpus_factor)
+    # retry rounds fetch exactly like run_crawl — virtual render for
+    # amplified corpora, bucketed join past the broadcast cap (round-2
+    # finding #1: the old pages_index_ref(corpus_factor) pinned the
+    # factor-x corpus in driver RAM)
+    index_ref = select_fetcher(sf_dir, corpus_factor=corpus_factor,
+                               fetch_concurrency=fetch_concurrency)
     kw_cat = {kw: cat for cat, kw in config.prepared_keywords()}
     outputs = [base]
 
@@ -505,8 +519,11 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
             return t.set_column(t.schema.get_field_index("seq"), "seq", seq)
 
         fr = fr.map_batches(reattribute, batch_format="pyarrow")
-        fetched = fetch_dataset(fr, index_ref,
-                                concurrency=fetch_concurrency)
+        if callable(index_ref):
+            fetched = index_ref(fr)      # virtual / join fetcher
+        else:
+            fetched = fetch_dataset(fr, index_ref,
+                                    concurrency=fetch_concurrency)
         ok = fetched.map_batches(
             lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
             batch_format="pyarrow")

@@ -117,25 +117,47 @@ def resumable_crawl(config: CrawlConfig, sf_dir: str, out_dir: str,
     finally:
         kill_seen_shards(shards)
 
+    manifest = checkpoint.read_manifest(out_dir)
+    # lazy dataset over the committed partitions — the driver never holds
+    # row data (round-2 finding #2: checkpoint.read_output concatenated
+    # every partition into one driver pa.Table, twice)
+    part_files = sorted({
+        os.path.join(out_dir, f"part={m['partition']}", "data.parquet")
+        for m in manifest if m.get("stage") == "extracted"})
+    part_files = [p for p in part_files if os.path.exists(p)]
+
     label_paths: list[str] = []
     meta: dict = {}
-    if write_labels and config.generate_labels:
-        t2 = time.time()
-        out_table = checkpoint.read_output(out_dir)
-        if out_table is not None and out_table.num_rows:
-            import ray.data as rd
-            lab = labels_mod.label_projection(rd.from_arrow(out_table))
+    kw_downloads: dict[str, int] = {}
+    if part_files:
+        import ray.data as rd
+        out_ds = rd.read_parquet(part_files)
+        # per-keyword downloads for the report (A1 analog): distributed
+        # groupby, one small row per keyword reaches the driver
+        kt = out_ds.select_columns(["keyword"]).groupby("keyword") \
+            .count().to_pandas()
+        kw_downloads = dict(zip(kt["keyword"], kt["count()"].astype(int)))
+        if write_labels and config.generate_labels:
+            t2 = time.time()
+            # ONE label projection, pinned in the object store (post-budget,
+            # bounded by keywords x max_images) and reused by every format
+            # sink + the metadata pass
+            lab = labels_mod.label_projection(out_ds).materialize()
             label_paths = labels_mod.write_labels(
                 lab, os.path.join(out_dir, "labels"),
                 formats=("parquet", "csv"))
             meta = labels_mod.dataset_metadata(
-                labels_mod.label_projection(rd.from_arrow(out_table)),
-                config.dataset_name, "parquet")
-        mc.record("labels", total_rows, total_rows,
-                  wall_s=round(time.time() - t2, 4), epoch=epoch)
+                lab, config.dataset_name, "parquet")
+            mc.record("labels", total_rows, total_rows,
+                      wall_s=round(time.time() - t2, 4), epoch=epoch)
 
-    manifest = checkpoint.read_manifest(out_dir)
-    report = metrics.render_report(mc.table(), manifest, config.dataset_name)
+    # per-keyword failure breakdown from the quarantine trail (the
+    # reference report's keywords/errors sections,
+    # utility/report_generator.py:29-352) — the quarantine table is tiny
+    qt = checkpoint.read_quarantine(out_dir)
+    report = metrics.render_report(mc.table(), manifest, config.dataset_name,
+                                   kw_downloads=kw_downloads,
+                                   quarantine=qt)
     with open(os.path.join(out_dir, "REPORT.md"), "w") as f:
         f.write(report)
     # A8 quality score (dataset_processing_pipeline.py:536-559):

@@ -20,14 +20,14 @@ Ray-Data-first:
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
 
-from pixcrawler_ray.sources.readers import pool_size, read_table
+from pixcrawler_ray.sources.readers import read_table
 from pixcrawler_ray.functions.minhash import (
     jaccard,
     lsh_band_keys,
@@ -39,14 +39,36 @@ from pixcrawler_ray.stages.shuffle import keep_first_by, per_bucket
 
 _WS_RE = re.compile(r"\s+")
 
+# content-keyed md5 memo, per worker process (the extract-stage _SIG_CACHE
+# pattern): no Arrow md5 kernel exists, and the texts a dedup pass rehashes
+# most are exactly the duplicated ones — memoizing by content skips the
+# recomputation that grows with the duplication factor. Bounded; cleared
+# when full.
+_MD5_CACHE: dict[str, str] = {}
+_MD5_CACHE_MAX = 65536
+
+
+def _md5_hexdigests(texts: list[str]) -> list[str]:
+    cache = _MD5_CACHE
+    out = []
+    for t in texts:
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _MD5_CACHE_MAX:
+                cache.clear()
+            h = hashlib.md5(t.encode()).hexdigest()
+            cache[t] = h
+        out.append(h)
+    return out
+
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: keep min-doc_id per md5(text). Oracle-checked vs DuckDB."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_md5(t: pa.Table) -> pa.Table:
-        md5 = [hashlib.md5((x or "").encode()).hexdigest()
-               for x in t.column("text").to_pylist()]
+        md5 = _md5_hexdigests([x or ""
+                               for x in t.column("text").to_pylist()])
         return pa.table({"doc_id": t.column("doc_id"),
                          "text_md5": pa.array(md5, type=pa.string())})
 
@@ -60,8 +82,8 @@ def dedup_normalized(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_norm(t: pa.Table) -> pa.Table:
-        md5 = [hashlib.md5(_WS_RE.sub(" ", (x or "").lower()).strip().encode())
-               .hexdigest() for x in t.column("text").to_pylist()]
+        md5 = _md5_hexdigests([_WS_RE.sub(" ", (x or "").lower()).strip()
+                               for x in t.column("text").to_pylist()])
         return pa.table({"doc_id": t.column("doc_id"),
                          "norm_md5": pa.array(md5, type=pa.string())})
 
@@ -165,54 +187,87 @@ def minhash_candidate_pairs(sf_dir: str, num_perms: int = 128,
     return deduped.drop_columns(["pair_key"])
 
 
-def _pair_doc_ids(pairs_ds) -> np.ndarray:
-    """Distinct doc ids referenced by a (doc_a, doc_b) pair Dataset.
+# past this many distinct candidate/dropped doc ids the broadcast filter
+# (sorted int64 array in the object store, searchsorted probe per batch)
+# gives way to a bucketed distributed semi/anti join — bounded driver +
+# object-store memory even under adversarial dup fractions (round-2
+# finding #3). Env-tunable so tests exercise the join path.
+_BROADCAST_IDS_MAX = int(os.environ.get(
+    "GRAFT_BROADCAST_IDS_MAX", str(4_000_000)))
 
-    Only INTEGER ids reach the driver — candidate-pair counts are O(dups),
-    orders of magnitude below corpus size (logged if that assumption is
-    violated); row data never leaves the cluster.
+
+def _pair_id_dataset(pairs_ds):
+    """Distinct doc ids referenced by a (doc_a, doc_b) pair Dataset — as a
+    DATASET (per-block unique + one hash-bucketed dedup shuffle); ids never
+    transit the driver."""
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        u = np.unique(np.concatenate([a, b]))
+        return pa.table({"doc_id": pa.array(u, type=pa.int64())})
+
+    ids = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    return keep_first_by(ids, ["doc_id"], "doc_id", num_buckets=16)
+
+
+def _filter_by_ids(ds, ids_ds, n_ids: int, keep: bool,
+                   num_buckets: int = 16):
+    """Filter ``ds`` rows whose doc_id is (keep=True) / is not (keep=False)
+    in ``ids_ds`` — broadcast searchsorted below ``_BROADCAST_IDS_MAX`` ids,
+    bucketed semi/anti join (``stages.shuffle.bucketed_join``) beyond.
+
+    The broadcast path ships ONE sorted int64 array through the object store
+    (ray.put once, zero-copy read per task) and probes with binary search —
+    no shuffle of the corpus side. The join path shuffles both sides once on
+    hash(doc_id) and never materializes the id set anywhere.
     """
-    ids: set[int] = set()
-    for b in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        ids.update(b.column("doc_a").to_pylist())
-        ids.update(b.column("doc_b").to_pylist())
-    return np.array(sorted(ids), dtype=np.int64)
+    from pixcrawler_ray.stages.shuffle import bucketed_join
 
+    if n_ids <= _BROADCAST_IDS_MAX:
+        import ray as _ray
+        parts = [b.column("doc_id").to_numpy()
+                 for b in ids_ds.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")]
+        ids = np.sort(np.concatenate(parts)) if parts else \
+            np.zeros(0, dtype=np.int64)
+        ids_ref = _ray.put(ids)
 
-def _shingle_dataset(sf_dir: str, ids: np.ndarray, shingle_k: int):
-    """(doc_id, shingles:list<uint64>) for the needed docs only — a streaming
-    broadcast-filtered scan of the corpus (no shuffle), shingles computed
-    ONCE per doc regardless of how many pairs reference it."""
-    import ray as _ray
-
-    ids_ref = _ray.put(ids)
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    class Shingler:
-        def __init__(self, ids_ref, k):
-            self.ids = _ray.get(ids_ref)
-            self.k = k
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+        def flt(t: pa.Table, _keep=keep) -> pa.Table:
+            arr = _ray.get(ids_ref)
             d = t.column("doc_id").to_numpy()
-            mask = np.isin(d, self.ids)
-            t = t.filter(pa.array(mask))
-            # shingle sets travel as raw uint64 LE bytes: binary columns pass
-            # through the join's pandas kernel losslessly (list columns are
-            # rejected by acero and mangled by pandas)
-            sh = [word_shingles(x or "", self.k).tobytes()
-                  for x in t.column("text").to_pylist()]
-            return pa.table({
-                "doc_id": t.column("doc_id"),
-                "shingles": pa.array(sh, type=pa.large_binary()),
-            })
+            pos = np.searchsorted(arr, d)
+            hit = np.zeros(len(d), dtype=bool)
+            if len(arr):
+                inb = pos < len(arr)
+                hit[inb] = arr[pos[inb]] == d[inb]
+            return t.filter(pa.array(hit if _keep else ~hit))
 
-    return ds.map_batches(Shingler,
-                          fn_constructor_kwargs={"ids_ref": ids_ref,
-                                                 "k": shingle_k},
-                          batch_format="pyarrow",
-                          concurrency=(1, pool_size(0.5)))
+        return ds.map_batches(flt, batch_format="pyarrow")
+    return bucketed_join(ds, ids_ds, on="doc_id",
+                         how=("semi" if keep else "anti"),
+                         num_buckets=num_buckets)
+
+
+def _shingle_dataset(sf_dir: str, ids_ds, n_ids: int, shingle_k: int):
+    """(doc_id, shingles:list<uint64>) for the needed docs only — an
+    id-filtered scan of the corpus, shingles computed ONCE per doc
+    regardless of how many pairs reference it. Shingling itself is a
+    stateless task-pool stage."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    wanted = _filter_by_ids(ds, ids_ds, n_ids, keep=True)
+
+    def shingle(t: pa.Table, k=shingle_k) -> pa.Table:
+        # shingle sets travel as raw uint64 LE bytes: binary columns pass
+        # through the join's pandas kernel losslessly (list columns are
+        # rejected by acero and mangled by pandas)
+        sh = [word_shingles(x or "", k).tobytes()
+              for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "shingles": pa.array(sh, type=pa.large_binary()),
+        })
+
+    return wanted.map_batches(shingle, batch_format="pyarrow")
 
 
 def exact_jaccard_verify(sf_dir: str, pairs, threshold: float,
@@ -221,18 +276,21 @@ def exact_jaccard_verify(sf_dir: str, pairs, threshold: float,
 
     pairs ⨝ shingles on doc_a, then on doc_b (bucketed hash joins — the
     100 TB join shape), then a per-row Jaccard over the uint64 shingle
-    lists. No text or shingle data ever reaches the driver. Shared by the
-    MinHash and prefix-filter n-gram paths.
+    lists. No text, shingle data, or id set ever reaches the driver (the
+    candidate-id filter broadcasts a sorted array only below
+    ``_BROADCAST_IDS_MAX``; beyond that it is a bucketed semi-join). Shared
+    by the MinHash and prefix-filter n-gram paths.
     """
     from pixcrawler_ray.stages.shuffle import bucketed_join
 
-    ids = _pair_doc_ids(pairs)
-    if len(ids) == 0:
+    ids_ds = _pair_id_dataset(pairs).materialize()
+    n_ids = ids_ds.count()
+    if n_ids == 0:
         return pairs.map_batches(
             lambda t: t.select(["doc_a", "doc_b"]).append_column(
                 "jaccard_sim", pa.array([], type=pa.float64())),
             batch_format="pyarrow")
-    shingled = _shingle_dataset(sf_dir, ids, shingle_k)
+    shingled = _shingle_dataset(sf_dir, ids_ds, n_ids, shingle_k)
 
     sh_a = shingled.map_batches(
         lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
@@ -344,27 +402,19 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 128,
     if verified.count() == 0:
         return docs, verified
     labels = min_label_components(verified)
-    # dropped = non-root cluster members; only their INTEGER ids transit the
-    # driver for the broadcast anti-filter (O(dups) ids)
-    dropped: list[int] = []
-    for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        d = b.column("doc").to_numpy()
-        l = b.column("label").to_numpy()
-        dropped.extend(d[d != l].tolist())
-    import ray as _ray
-    dropped_ref = _ray.put(np.array(sorted(dropped), dtype=np.int64))
-
-    class DropFilter:
-        def __init__(self, dropped_ref):
-            self.dropped = _ray.get(dropped_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            d = t.column("doc_id").to_numpy()
-            return t.filter(pa.array(~np.isin(d, self.dropped)))
-
-    survivors = docs.map_batches(
-        DropFilter, fn_constructor_kwargs={"dropped_ref": dropped_ref},
-        batch_format="pyarrow", concurrency=(1, pool_size(0.25)))
+    # dropped = non-root cluster members, kept DISTRIBUTED: a dataset of
+    # integer ids, removed via the size-switched broadcast/anti-join filter
+    # (no O(dups) driver structure — round-2 finding #3)
+    dropped_ds = labels.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(
+            t.column("doc").to_numpy()[
+                t.column("doc").to_numpy() != t.column("label").to_numpy()],
+            type=pa.int64())}),
+        batch_format="pyarrow").materialize()
+    n_drop = dropped_ds.count()
+    if n_drop == 0:
+        return docs, verified
+    survivors = _filter_by_ids(docs, dropped_ds, n_drop, keep=False)
     return survivors, verified
 
 

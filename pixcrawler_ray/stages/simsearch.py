@@ -14,10 +14,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-import ray
 import ray.data as rd
 
-from pixcrawler_ray.sources.readers import pool_size, read_table
+from pixcrawler_ray.sources.readers import read_table
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -51,11 +50,15 @@ def _sample_embeddings(sf_dir: str, sample_rows: int) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor-pool stage: per batch, cosine of all rows vs the broadcast
-    queries; emits per-batch top-k partials (k rows per query per batch)."""
+    """TASK-pool stage: per batch, cosine of all rows vs the broadcast
+    queries; emits per-batch top-k partials (k rows per query per batch).
 
-    def __init__(self, query_ref, k: int):
-        q = ray.get(query_ref)
+    A callable INSTANCE, not an actor pool: the query matrix is tiny
+    (nq x d) and ships once as a task closure constant (ray.put under the
+    hood, zero-copy per read) — a dedicated actor pool paid seconds of
+    process spawn per call for sub-second work (round-2 bench regression)."""
+
+    def __init__(self, q: np.ndarray, k: int):
         self.q = _normalize(q)          # (nq, d)
         self.k = k
 
@@ -87,13 +90,10 @@ def topk_bruteforce(sf_dir: str, query_vec_ids: list[int], k: int = 10,
     columns to keep the driver compare float-free.
     """
     q = load_query_vectors(sf_dir, query_vec_ids)
-    query_ref = ray.put(q)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k + 1},
-        batch_format="pandas", batch_size=4096,
-        concurrency=(1, max(1, pool_size(0.25))), num_cpus=1).to_pandas()
+        BruteForceScorer(q, k + 1),
+        batch_format="pandas", batch_size=4096).to_pandas()
     return _merge_topk(partials, query_vec_ids, k, exclude_self=exclude_self)
 
 
@@ -139,14 +139,15 @@ def topk_ivf(sf_dir: str, query_vec_ids: list[int], k: int = 10,
     q = load_query_vectors(sf_dir, query_vec_ids)
     qn = _normalize(q)
     probe_cells = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]
-    index_ref = ray.put(index.centroids)
     wanted = [set(int(c) for c in row) for row in probe_cells]
-    query_ref = ray.put(qn)
 
     class ProbeScorer:
-        def __init__(self):
-            self.cent = _normalize(ray.get(index_ref))
-            self.q = ray.get(query_ref)
+        """Task-pool callable: centroids + queries are tiny closure
+        constants (shipped once), no actor spawn for sub-second scans."""
+
+        def __init__(self, cent: np.ndarray, q: np.ndarray):
+            self.cent = _normalize(cent)
+            self.q = q
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             ids = df["vec_id"].to_numpy()
@@ -164,10 +165,9 @@ def topk_ivf(sf_dir: str, query_vec_ids: list[int], k: int = 10,
             return pd.DataFrame(out)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(ProbeScorer, batch_format="pandas",
-                              batch_size=4096,
-                              concurrency=(1, max(1, pool_size(0.25))),
-                              num_cpus=1).to_pandas()
+    partials = ds.map_batches(ProbeScorer(index.centroids, qn),
+                              batch_format="pandas",
+                              batch_size=4096).to_pandas()
     return _merge_topk(partials, query_vec_ids, k)
 
 
@@ -203,11 +203,13 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_cells: int = 16,
 
     sample = _sample_embeddings(sf_dir, sample_rows)
     index = IVFIndex.fit(sample, n_cells)
-    cent_ref = ray.put(index.centroids)
 
     class CellAssigner:
-        def __init__(self):
-            self.cent = _normalize(ray.get(cent_ref))
+        """Task-pool callable: the centroid matrix is a tiny closure
+        constant, shipped to the object store once."""
+
+        def __init__(self, cent: np.ndarray):
+            self.cent = _normalize(cent)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
@@ -217,10 +219,9 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_cells: int = 16,
             return t.append_column("cell", pa.array(cells))
 
     ds = read_table(sf_dir, "embeddings")
-    ds.map_batches(CellAssigner, batch_format="pyarrow",
-                   concurrency=(1, max(1, pool_size(0.25))),
-                   num_cpus=1).write_parquet(index_dir,
-                                             partition_cols=["cell"])
+    ds.map_batches(CellAssigner(index.centroids),
+                   batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"])
     os.makedirs(index_dir, exist_ok=True)
     # underscore prefix: parquet dataset discovery ignores "_"-prefixed
     # files, so the sidecar does not break read_parquet over the index dir
@@ -248,7 +249,6 @@ def topk_ivf_partitioned(index_dir: str, sf_dir: str,
     probe_cells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
     wanted = [set(int(c) for c in row) for row in probe_cells]
     union = set().union(*wanted)
-    query_ref = ray.put(qn)
 
     # path-level pruning: non-probed cell directories are dropped at file
     # discovery — their bytes are never opened, the IVF point
@@ -260,8 +260,10 @@ def topk_ivf_partitioned(index_dir: str, sf_dir: str,
         partitioning=Partitioning("hive", field_types={"cell": int}))
 
     class PrunedScorer:
-        def __init__(self):
-            self.q = ray.get(query_ref)
+        """Task-pool callable (tiny query matrix as closure constant)."""
+
+        def __init__(self, q: np.ndarray):
+            self.q = q
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             ids = df["vec_id"].to_numpy()
@@ -282,8 +284,6 @@ def topk_ivf_partitioned(index_dir: str, sf_dir: str,
                 out["cosine"].extend(float(c) for c in col)
             return pd.DataFrame(out)
 
-    partials = ds.map_batches(PrunedScorer, batch_format="pandas",
-                              batch_size=4096,
-                              concurrency=(1, max(1, pool_size(0.25))),
-                              num_cpus=1).to_pandas()
+    partials = ds.map_batches(PrunedScorer(qn), batch_format="pandas",
+                              batch_size=4096).to_pandas()
     return _merge_topk(partials, query_vec_ids, k)

@@ -15,10 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
-from pixcrawler_ray.functions.hashing import rolling_fingerprint
 from pixcrawler_ray.sources.readers import read_table
 
 # BPE-ish token splitter: words, numbers, or single non-space symbols
@@ -72,13 +69,38 @@ def token_stats_batch(t: pa.Table) -> pa.Table:
 
 
 def token_counts(sf_dir: str):
-    """Per-lang aggregate of whitespace token counts (SQL-oracled)."""
+    """Per-lang aggregate of whitespace token counts (SQL-oracled).
+
+    Classic combiner shape: each batch pre-aggregates to one row per lang
+    (lang is low-cardinality), then ONE tiny bucket exchange merges the
+    partials — no corpus-scale shuffle and no aggregator actor-pool spin-up
+    (Ray's groupby.aggregate under hash shuffle paid ~1.5 s of fixed actor
+    cost for sub-second work — the round-2 bench regression)."""
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    stats = ds.map_batches(token_stats_batch, batch_format="pyarrow")
-    return (stats.groupby("lang")
-            .aggregate(Count(alias_name="n_docs"),
-                       Sum("n_tokens", alias_name="sum_tokens"),
-                       Sum("n_chars_computed", alias_name="sum_chars")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        stats = token_stats_batch(t)
+        df = (stats.select(["lang", "n_tokens", "n_chars_computed"])
+              .to_pandas()
+              .groupby("lang", sort=False)
+              .agg(n_docs=("n_tokens", "size"),
+                   sum_tokens=("n_tokens", "sum"),
+                   sum_chars=("n_chars_computed", "sum"))
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("lang", sort=False)
+                .agg(n_docs=("n_docs", "sum"),
+                     sum_tokens=("sum_tokens", "sum"),
+                     sum_chars=("sum_chars", "sum"))
+                .reset_index())
+
+    return per_bucket(partials, ["lang"], merge, num_buckets=4)
 
 
 def quality_score_batch(t: pa.Table) -> pa.Table:

@@ -57,9 +57,15 @@ class MetricsCollector:
 
 
 def render_report(metrics_table: pa.Table, manifest_rows: list[dict],
-                  dataset_name: str) -> str:
-    """S8 — markdown report (summary / stages / partitions sections, shape of
-    utility/report_generator.py:29-352)."""
+                  dataset_name: str, kw_downloads: dict | None = None,
+                  quarantine: pa.Table | None = None) -> str:
+    """S8 — markdown report (summary / keywords / downloads / errors /
+    partitions sections, the shape of utility/report_generator.py:29-352).
+
+    ``kw_downloads``: {keyword: committed rows} (one small row per keyword).
+    ``quarantine``: the audit-trail table (url, keyword, status, reason) —
+    rendered as the per-keyword failure breakdown + error-reason totals.
+    """
     lines = [f"# Crawl report — {dataset_name}", ""]
     lines.append("## Stage summary")
     lines.append("| stage | rows_in | rows_out | wall_s |")
@@ -69,6 +75,30 @@ def render_report(metrics_table: pa.Table, manifest_rows: list[dict],
         lines.append(f"| {r.stage} | {r.rows_in} | {r.rows_out} | "
                      f"{r.wall_s:.3f} |")
     lines.append("")
+    if kw_downloads is not None or quarantine is not None:
+        # per-keyword failures from the quarantine trail
+        kw_fail: dict[str, int] = {}
+        reason_counts: dict[str, int] = {}
+        if quarantine is not None and quarantine.num_rows:
+            qdf = quarantine.to_pandas()
+            if "keyword" in qdf.columns:
+                kw_fail = qdf.groupby("keyword").size().to_dict()
+            if "reason" in qdf.columns:
+                reason_counts = qdf.groupby("reason").size().to_dict()
+        lines.append("## Keywords")
+        lines.append("| keyword | downloads | failures |")
+        lines.append("|---|---|---|")
+        kws = sorted(set(kw_downloads or {}) | set(kw_fail))
+        for kw in kws:
+            lines.append(f"| {kw} | {(kw_downloads or {}).get(kw, 0)} | "
+                         f"{kw_fail.get(kw, 0)} |")
+        lines.append("")
+        lines.append("## Errors")
+        lines.append("| reason | count |")
+        lines.append("|---|---|")
+        for reason in sorted(reason_counts):
+            lines.append(f"| {reason} | {reason_counts[reason]} |")
+        lines.append("")
     lines.append("## Committed partitions")
     lines.append("| partition | epoch | rows | bytes | wall_s |")
     lines.append("|---|---|---|---|---|")
