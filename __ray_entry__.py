@@ -80,19 +80,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["query_vec_id", "vec_id", "rank"]]
 
     def multimodal_features(sf_dir: str):
+        # (oracled) width/height/decode_ok are constants of the fake decode;
+        # declared_bytes is the SQL-replayable page byte length
         from pixcrawler_ray import corpus
         from pixcrawler_ray.stages import multimodal as mm
+        import pyarrow.compute as _pc
         media = mm.media_from_pages(corpus.pages_dataset(sf_dir))
-        return mm.decode_features(media).select_columns(
+        feats = mm.decode_features(media).select_columns(
             ["media_id", "media_type", "declared_bytes", "width", "height",
              "decode_ok"])
 
+        def widen(t):
+            for c in ("width", "height"):
+                t = t.set_column(t.schema.get_field_index(c), c,
+                                 _pc.cast(t.column(c), "int64"))
+            return t
+
+        return feats.map_batches(widen, batch_format="pyarrow")
+
     def multimodal_resize(sf_dir: str):
+        # (oracled) the block-mean resize arithmetic is checked by an exact
+        # integer invariant: sum(resized) * 16 == sum of the 1024 tiled
+        # payload bytes (each 4x4 block mean is S_b/16, exact in fp64) —
+        # replayed in SQL from the page html bytes.
+        import numpy as _np
+        import pyarrow as _pa
         from pixcrawler_ray import corpus
         from pixcrawler_ray.stages import multimodal as mm
         media = mm.media_from_pages(corpus.pages_dataset(sf_dir))
-        return mm.resize_media(media, dst_size=8).select_columns(
-            ["media_id", "media_type", "resized_dim", "decode_ok"])
+        rs = mm.resize_media(media, dst_size=8)
+
+        def project(t):
+            lists = t.column("resized")
+            if isinstance(lists, _pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            offs = _np.asarray(lists.offsets)
+            vals = _np.asarray(lists.values)
+            cs = _np.concatenate([[0.0], _np.cumsum(vals)])
+            sums = cs[offs[1:]] - cs[offs[:-1]]
+            x16 = _np.rint(sums * 16).astype(_np.int64)
+            return _pa.table({
+                "media_id": t.column("media_id"),
+                "media_type": t.column("media_type"),
+                "resized_dim": t.column("resized_dim").cast(_pa.int64()),
+                "decode_ok": t.column("decode_ok"),
+                "resized_sum_x16": _pa.array(x16),
+            })
+
+        return rs.map_batches(project, batch_format="pyarrow")
 
     def multimodal_frames(sf_dir: str):
         from pixcrawler_ray import corpus
@@ -163,13 +198,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
         "simsearch_ivf_partitioned": simsearch_ivf_partitioned,  # rows-only
-        # --- multimodal plumbing (rows-only; decode is stubbed) ---
-        "multimodal_features": multimodal_features,
-        "multimodal_resize": multimodal_resize,             # rows-only (stub)
+        # --- multimodal plumbing (decode stubbed; oracles replay the
+        #     SQL-expressible byte arithmetic) ---
+        "multimodal_features": multimodal_features,         # oracled
+        "multimodal_resize": multimodal_resize,             # oracled (sum)
         "multimodal_frames": multimodal_frames,             # oracled
         # --- flagship e2e (rows-only; pytest-oracled) ---
         "crawl_e2e": crawl_e2e,
     }
+
+
+# SQL replay of corpus.render_html + malformed truncation (shared by the
+# multimodal oracles): rebuilds each page's html string from `documents`
+# exactly as the engine's virtual corpus does. All-ASCII corpus =>
+# length(chars) == bytes.
+_PAGES_CTE = r"""full_html AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+    || '</title></head><body><p>'
+    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+               '>', '&gt;') || '</p>'
+    || CASE WHEN doc_id % 4 > 0 THEN
+         '<img src="http://img.example.com/i/'
+         || CAST((doc_id * 31) % 1000 AS VARCHAR)
+         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
+              '.html'])[(doc_id % 8) + 1] || '"/>' ELSE '' END
+    || CASE WHEN doc_id % 4 > 1 THEN
+         '<img src="http://img.example.com/i/'
+         || CAST((doc_id * 31 + 17) % 1000 AS VARCHAR)
+         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
+              '.html'])[((doc_id + 1) % 8) + 1] || '"/>' ELSE '' END
+    || CASE WHEN doc_id % 4 > 2 THEN
+         '<img src="http://img.example.com/i/'
+         || CAST((doc_id * 31 + 34) % 1000 AS VARCHAR)
+         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
+              '.html'])[((doc_id + 2) % 8) + 1] || '"/>' ELSE '' END
+    || '</body></html>' AS h
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 13 THEN substr(h, 1, 40) ELSE h END AS h
+  FROM full_html
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -383,35 +453,8 @@ QUALIFY rank <= 10"""
     # video rows (doc_id % 3 == 0). Malformed pages truncate to 40 bytes
     # BEFORE chunking, exactly as the engine's payload does. All-ASCII
     # corpus => substr(chars) == bytes for the truncation prefix.
-    out["multimodal_frames"] = r"""
-WITH full_html AS (
-  SELECT doc_id,
-    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
-    || '</title></head><body><p>'
-    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
-               '>', '&gt;') || '</p>'
-    || CASE WHEN doc_id % 4 > 0 THEN
-         '<img src="http://img.example.com/i/'
-         || CAST((doc_id * 31) % 1000 AS VARCHAR)
-         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
-              '.html'])[(doc_id % 8) + 1] || '"/>' ELSE '' END
-    || CASE WHEN doc_id % 4 > 1 THEN
-         '<img src="http://img.example.com/i/'
-         || CAST((doc_id * 31 + 17) % 1000 AS VARCHAR)
-         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
-              '.html'])[((doc_id + 1) % 8) + 1] || '"/>' ELSE '' END
-    || CASE WHEN doc_id % 4 > 2 THEN
-         '<img src="http://img.example.com/i/'
-         || CAST((doc_id * 31 + 34) % 1000 AS VARCHAR)
-         || (['.jpg', '.jpeg', '.png', '.gif', '.webp', '.svg', '.mp4',
-              '.html'])[((doc_id + 2) % 8) + 1] || '"/>' ELSE '' END
-    || '</body></html>' AS h
-  FROM documents
-), pages AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 97 = 13 THEN substr(h, 1, 40) ELSE h END AS h
-  FROM full_html
-), v AS (
+    out["multimodal_frames"] = f"""
+WITH {_PAGES_CTE}, v AS (
   SELECT doc_id AS media_id,
          octet_length(encode(h)) AS plen,
          greatest(1, CAST(ceil(octet_length(encode(h)) / 1024.0) AS BIGINT))
@@ -422,6 +465,36 @@ SELECT media_id, fi AS frame_idx,
        least(1024, plen - fi * 4 * 1024) AS frame_bytes
 FROM v, (SELECT unnest(range(0, 8)) AS fi) t
 WHERE fi * 4 < nch"""
+
+    # fake-decode invariants: width == height == 32 and decode_ok for every
+    # page; declared_bytes is the page byte length from the same replay
+    out["multimodal_features"] = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id AS media_id,
+       (['video', 'image', 'audio'])[(doc_id % 3) + 1] AS media_type,
+       CAST(octet_length(encode(h)) AS BIGINT) AS declared_bytes,
+       CAST(32 AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       TRUE AS decode_ok
+FROM pages"""
+
+    # block-mean resize invariant: sum(resized) * 16 == sum of the first
+    # 1024 bytes of the payload tiled to length 1024 (full repeats of the
+    # byte sum + the leftover prefix) — exact integers on both sides
+    out["multimodal_resize"] = f"""
+WITH {_PAGES_CTE}, b AS (
+  SELECT doc_id, octet_length(encode(h)) AS len,
+         list_transform(range(1, length(h) + 1), i -> ascii(h[i])) AS bytes
+  FROM pages
+)
+SELECT doc_id AS media_id,
+       (['video', 'image', 'audio'])[(doc_id % 3) + 1] AS media_type,
+       CAST(8 AS BIGINT) AS resized_dim,
+       TRUE AS decode_ok,
+       CAST((1024 // len) * list_sum(bytes)
+            + COALESCE(list_sum(bytes[1:(1024 % len)]), 0) AS BIGINT)
+         AS resized_sum_x16
+FROM b"""
 
     # profile scoring mirror of stages/textstats.LangId: distinct lowercased
     # whitespace words intersected with each 3-word profile; first max in

@@ -102,6 +102,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     bench("simsearch_topk",
           lambda: ss.topk_bruteforce(sf_dir, [0, 1, 2], k=10))
 
+    # NON-headline datapoint: the exchange's built-in-shuffle fallback (the
+    # path that takes over past _EXCHANGE_MAX_OBJECTS at cluster scale) —
+    # same dedup workload, forced through ds.repartition(keys=[bucket]).
+    # Kept OUT of `queries`/`value` so headline totals stay comparable
+    # across rounds.
+    from pixcrawler_ray.stages import shuffle as shuffle_mod
+    saved_cap = shuffle_mod._EXCHANGE_MAX_OBJECTS
+    shuffle_mod._EXCHANGE_MAX_OBJECTS = 1
+    try:
+        fb_best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n_fb = consume(dd.dedup_exact(sf_dir))
+            dt = time.perf_counter() - t0
+            fb_best = dt if fb_best is None else min(fb_best, dt)
+    finally:
+        shuffle_mod._EXCHANGE_MAX_OBJECTS = saved_cap
+    assert n_fb == counts.get("dedup_exact", n_fb), \
+        "fallback shuffle changed dedup_exact row count"
+
     total = round(sum(timings.values()), 3)
     n_pages = counts.get("extract_amplified", 0)
     extract_rows_per_s = (round(n_pages / timings["extract_amplified"], 1)
@@ -115,6 +135,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "rows": counts,
         "extract_rows_per_s": extract_rows_per_s,
+        "exchange_fallback_dedup_sec": round(fb_best, 3),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

@@ -44,9 +44,38 @@ def recompress_payloads(ds, column: str = "html", level: int = 6):
     return ds.map_batches(comp, batch_format="pyarrow")
 
 
-def archive_output(out_dir: str, archive_path: str | None = None) -> str:
-    """Driver-side tar.gz of a finished output directory (export path)."""
-    archive_path = archive_path or out_dir.rstrip("/") + ".tar.gz"
-    with tarfile.open(archive_path, "w:gz") as tar:
-        tar.add(out_dir, arcname=os.path.basename(out_dir.rstrip("/")))
+def archive_output(out_dir: str, archive_path: str | None = None,
+                   fmt: str = "gz") -> str:
+    """Driver-side archive of a finished output directory (export
+    convenience only — small outputs). All three reference formats
+    (``utility/compress/formats.py:1-181``): ``gz`` -> .tar.gz,
+    ``zip`` -> .zip, ``zst`` -> .tar.zst (pyarrow zstd codec over an
+    uncompressed tar)."""
+    base = out_dir.rstrip("/")
+    arcname = os.path.basename(base)
+    if fmt == "gz":
+        archive_path = archive_path or base + ".tar.gz"
+        with tarfile.open(archive_path, "w:gz") as tar:
+            tar.add(out_dir, arcname=arcname)
+    elif fmt == "zip":
+        import zipfile
+        archive_path = archive_path or base + ".zip"
+        with zipfile.ZipFile(archive_path, "w",
+                             compression=zipfile.ZIP_DEFLATED) as zf:
+            for root, _, files in os.walk(out_dir):
+                for f in sorted(files):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(arcname,
+                                       os.path.relpath(full, out_dir))
+                    zf.write(full, rel)
+    elif fmt == "zst":
+        archive_path = archive_path or base + ".tar.zst"
+        # framed zstd stream (readable by any zstd tool /
+        # pa.CompressedInputStream) around an uncompressed tar
+        with pa.CompressedOutputStream(archive_path, "zstd") as out, \
+                tarfile.open(fileobj=out, mode="w") as tar:
+            tar.add(out_dir, arcname=arcname)
+    else:
+        raise ValueError(f"unknown archive format {fmt!r} "
+                         "(expected gz | zip | zst)")
     return archive_path

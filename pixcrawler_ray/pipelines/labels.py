@@ -40,6 +40,14 @@ def label_projection(extracted_ds):
     return ranked.map_batches(project, batch_format="pyarrow")
 
 
+# file-per-row formats (txt) refuse to fan out beyond this many files: the
+# reference writes one label file per image, which is fine for post-budget
+# survivors (keywords x max_images) but must never be pointed at an
+# unbudgeted corpus — millions of tiny files would crush any filesystem.
+MAX_FILE_PER_ROW_LABELS = int(os.environ.get(
+    "GRAFT_MAX_FILE_PER_ROW_LABELS", str(200_000)))
+
+
 def write_labels(labels_ds, out_dir: str,
                  formats: tuple[str, ...] = ("parquet", "json", "csv",
                                              "yaml", "txt")):
@@ -82,6 +90,14 @@ def write_labels(labels_ds, out_dir: str,
 
             labels_ds.map_batches(dump_block, batch_format="pyarrow").count()
         elif fmt == "txt":
+            n = labels_ds.count()
+            if n > MAX_FILE_PER_ROW_LABELS:
+                raise ValueError(
+                    f"txt labels write one file per row; {n} rows exceeds "
+                    f"MAX_FILE_PER_ROW_LABELS={MAX_FILE_PER_ROW_LABELS} "
+                    "(file-per-row formats are for post-budget survivors — "
+                    "use parquet/csv/json for unbudgeted datasets, or raise "
+                    "GRAFT_MAX_FILE_PER_ROW_LABELS explicitly)")
             os.makedirs(path, exist_ok=True)
 
             def dump_txt(t: pa.Table, _path=path) -> pa.Table:

@@ -370,13 +370,22 @@ def admission_order_key(table: pa.Table) -> np.ndarray:
 
 @ray.remote(num_cpus=0.25)
 class PolitenessShard:
-    """Streaming token-bucket scheduler for one host-hash shard.
+    """Streaming token-bucket scheduler for one host-hash shard — the
+    CLUSTER-STREAMING north star, deliberately NOT used by the batch gate.
 
-    Holds per-host virtual-time token buckets and the robots verdict cache.
-    ``admit(hosts, priorities, seqs)`` returns the round number assigned to
-    each URL — same schedule as :func:`assign_rounds` when fed in seq order
-    per host (the streaming executor feeds a host's rows through one shard,
-    guaranteed by the host-hash shuffle upstream).
+    The batch pipelines schedule with :func:`assign_rounds` /
+    ``admit_salted_fused`` (one bounded host-keyed exchange per generation —
+    strictly cheaper when the generation's frontier is already materialized
+    as a Dataset). This actor is the shape a CONTINUOUS crawler needs — an
+    unbounded url stream where rounds must be assigned as rows arrive, with
+    no generation barrier to exchange over. Equivalence with the batch rule
+    at budget boundaries is pytest-asserted (tests/test_stages.py
+    ``test_politeness_shard_actor_matches_batch_rule``): fed per-host rows in seq
+    order (guaranteed by a host-hash shuffle upstream), ``admit`` reproduces
+    the exact :func:`assign_rounds` schedule.
+
+    Holds per-host virtual-time admission counters and the robots verdict
+    cache; ``admit(hosts)`` returns each URL's round number.
     """
 
     def __init__(self, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND):

@@ -1,0 +1,159 @@
+"""Tests for the 100 TB code paths that small runs never hit by default:
+the exchange's built-in-shuffle fallback, the dedup semi/anti join path
+(vs the broadcast-id filter), the seen store at 10M keys, the labels
+file-fan-out guard, and the archive formats."""
+
+from __future__ import annotations
+
+import os
+import tarfile
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pixcrawler_ray.stages import dedup as dedup_mod
+from pixcrawler_ray.stages import shuffle as shuffle_mod
+from pixcrawler_ray.stages.shuffle import bucketed_join, keep_first_by
+
+
+def _keep_first_frame(n=5000, keys=300, seed=3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({"k": rng.integers(0, keys, n),
+                         "seq": rng.permutation(n),
+                         "v": rng.normal(size=n)})
+
+
+def test_exchange_fallback_matches_default(monkeypatch):
+    """blocks x p > _EXCHANGE_MAX_OBJECTS must route through Ray's built-in
+    hash shuffle (repartition on the bucket column) and produce identical
+    keep_first_by output — the branch the 100 TB story rests on."""
+    df = _keep_first_frame()
+    ds = rd.from_pandas(df).repartition(16)
+    want = keep_first_by(ds, ["k"], "seq", num_buckets=32).to_pandas()
+    monkeypatch.setattr(shuffle_mod, "_EXCHANGE_MAX_OBJECTS", 1)
+    got = keep_first_by(ds, ["k"], "seq", num_buckets=32).to_pandas()
+    assert dict(zip(got.k, got.seq)) == dict(zip(want.k, want.seq))
+
+
+def test_exchange_fallback_join(monkeypatch):
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1000), "lv": np.arange(1000) * 2})).repartition(8)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(0, 1000, 3), "rv": np.arange(0, 1000, 3) * 5}
+    )).repartition(8)
+    want = bucketed_join(left, right, on="k", num_buckets=16).to_pandas()
+    monkeypatch.setattr(shuffle_mod, "_EXCHANGE_MAX_OBJECTS", 1)
+    got = bucketed_join(left, right, on="k", num_buckets=16).to_pandas()
+    key = lambda d: sorted(zip(d.k, d.lv, d.rv))
+    assert key(got) == key(want)
+
+
+def test_exchange_fallback_salted_admission(sf_tiny, monkeypatch):
+    """The salted admission (side_agg exchange) under the fallback must
+    yield the identical admission schedule."""
+    from pixcrawler_ray.pipelines import crawl
+    from pixcrawler_ray.pipelines.crawl_queries import seeds_config
+
+    cfg = seeds_config(sf_tiny, max_images=10)
+
+    def schedule():
+        fr = crawl.build_frontier(cfg, sf_tiny, budget_per_round=4,
+                                  page_size=20, salted=True, lean=True)
+        t = fr.to_pandas()
+        return sorted(zip(t.doc_id, t["round"], t.host_rank))
+
+    want = schedule()
+    monkeypatch.setattr(shuffle_mod, "_EXCHANGE_MAX_OBJECTS", 1)
+    got = schedule()
+    assert got == want
+
+
+def test_minhash_join_path_matches_broadcast(sf_tiny, monkeypatch):
+    """Forcing the bucketed semi/anti-join path (broadcast cap = 0) must not
+    change the dedup survivors or the verified pairs."""
+    kwargs = dict(threshold=0.8, num_perms=64, shingle_k=3, bands=16)
+    survivors, pairs = dedup_mod.dedup_minhash(sf_tiny, **kwargs)
+    want_s = set(survivors.to_pandas().doc_id)
+    want_p = set(map(tuple, pairs.to_pandas()[["doc_a", "doc_b"]].values))
+    monkeypatch.setattr(dedup_mod, "_BROADCAST_IDS_MAX", 0)
+    survivors2, pairs2 = dedup_mod.dedup_minhash(sf_tiny, **kwargs)
+    got_s = set(survivors2.to_pandas().doc_id)
+    got_p = set(map(tuple, pairs2.to_pandas()[["doc_a", "doc_b"]].values))
+    assert got_p == want_p
+    assert got_s == want_s
+
+
+def test_seen_store_10m_keys():
+    """10M-key shard: membership exact, memory ~8 bytes/key (the 10^10
+    design budget: 10^10/1024 shards x 8 B ~ 78 MB/shard)."""
+    from pixcrawler_ray.stages.seen import SeenStore
+
+    store = SeenStore()
+    n = 10_000_000
+    keys = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+            + np.uint64(17))
+    for i in range(0, n, 1_000_000):
+        store.add(keys[i:i + 1_000_000])
+    assert len(store) == n
+    # memory: one sorted uint64 array, 8 bytes/key
+    assert store.base.nbytes == 8 * n
+    assert not store.pending
+    probe = keys[:: n // 1000]
+    assert store.contains(probe).all()
+    absent = probe + np.uint64(1)   # odd offsets of an even-stride sequence
+    hits = store.contains(absent)
+    assert hits.mean() < 0.01
+
+
+def test_labels_txt_guard(monkeypatch, tmp_path):
+    from pixcrawler_ray.pipelines import labels as labels_mod
+
+    lab = rd.from_pandas(pd.DataFrame({
+        "category": ["c"] * 10, "keyword": ["k"] * 10,
+        "url": [f"u{i}" for i in range(10)],
+        "seq_name": [f"{i:04d}" for i in range(10)],
+        "size": [1] * 10, "valid": [True] * 10}))
+    monkeypatch.setattr(labels_mod, "MAX_FILE_PER_ROW_LABELS", 5)
+    with pytest.raises(ValueError, match="one file per row"):
+        labels_mod.write_labels(lab, str(tmp_path / "labs"),
+                                formats=("txt",))
+    # columnar formats are unaffected by the guard
+    paths = labels_mod.write_labels(lab, str(tmp_path / "labs2"),
+                                    formats=("parquet",))
+    assert paths and os.path.isdir(paths[0])
+
+
+def test_archive_formats(tmp_path):
+    from pixcrawler_ray.pipelines.compress import archive_output
+
+    src = tmp_path / "out"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha")
+    sub = src / "sub"
+    sub.mkdir()
+    (sub / "b.txt").write_text("beta")
+
+    gz = archive_output(str(src), fmt="gz")
+    with tarfile.open(gz) as tar:
+        names = tar.getnames()
+    assert any(n.endswith("a.txt") for n in names)
+
+    zp = archive_output(str(src), fmt="zip")
+    with zipfile.ZipFile(zp) as zf:
+        assert sorted(os.path.basename(n) for n in zf.namelist()) == \
+            ["a.txt", "b.txt"]
+        assert zf.read("out/a.txt") == b"alpha"
+
+    zst = archive_output(str(src), fmt="zst")
+    import io
+    with pa.CompressedInputStream(zst, "zstd") as f:
+        raw = f.read()
+    with tarfile.open(fileobj=io.BytesIO(raw)) as tar:
+        assert any(n.endswith("sub/b.txt") for n in tar.getnames())
+
+    with pytest.raises(ValueError):
+        archive_output(str(src), fmt="rar")
