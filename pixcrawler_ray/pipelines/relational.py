@@ -32,6 +32,41 @@ def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
 
 
+def _combine_groupby(ds, keys: list[str], sums: dict[str, str],
+                     count_alias: str | None = None, num_buckets: int = 8):
+    """Map-side-combined groupby for LOW-cardinality keys: each batch
+    pre-aggregates with the Arrow C++ hash aggregator (one tiny partial row
+    per key per block), then ONE small bucket exchange merges the partials.
+    Replaces Ray's corpus-scale ``groupby().aggregate()`` shuffle + its
+    aggregator actor-pool spin-up (~1.5 s fixed cost measured — the
+    token_counts regression class).
+
+    ``sums``: {output_name: input_column} summed exactly (int64 inputs);
+    ``count_alias``: optional COUNT(*) output name.
+    """
+    in_cols = list(sums.values())
+    aggs = [(c, "sum") for c in in_cols]
+    rename = {f"{c}_sum": out for out, c in sums.items()}
+    if count_alias:
+        aggs.append((in_cols[0], "count"))
+        rename[f"{in_cols[0]}_count"] = count_alias
+    out_names = list(rename.values())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, keys).aggregate(aggs)
+        return g.rename_columns(
+            [rename.get(n, n) for n in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(keys, sort=False)
+                .agg(**{n: (n, "sum") for n in out_names})
+                .reset_index())
+
+    return per_bucket(partials, keys, merge, num_buckets=num_buckets)
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 analog (A1/A2 aggregate family).
 
@@ -55,13 +90,12 @@ def q1_pricing_summary(sf_dir: str):
             "disc_e4": disc_price_e4,
         })
 
-    out = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby(["l_returnflag", "l_linestatus"])
-             .aggregate(Sum("qty", alias_name="sum_qty"),
-                        Sum("base_cents", alias_name="sum_base_cents"),
-                        Sum("disc_e4", alias_name="sum_disc_e4"),
-                        Count(alias_name="count_order")))
-    return out
+    return _combine_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "qty", "sum_base_cents": "base_cents",
+              "sum_disc_e4": "disc_e4"},
+        count_alias="count_order")
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -100,11 +134,11 @@ def q_revenue_by_nation(sf_dir: str):
             })
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    return (ds.map_batches(JoinRevenue, batch_format="pyarrow",
-                           concurrency=(1, 4), num_cpus=0.5)
-              .groupby("n_name")
-              .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
-                         Count(alias_name="n_items")))
+    joined = ds.map_batches(JoinRevenue, batch_format="pyarrow",
+                            concurrency=(1, 4), num_cpus=0.5)
+    return _combine_groupby(joined, ["n_name"],
+                            sums={"revenue_e4": "rev_e4"},
+                            count_alias="n_items")
 
 
 def q_top_parts_by_qty(sf_dir: str, k: int = 10):
@@ -133,13 +167,22 @@ def q_top_parts_by_qty(sf_dir: str, k: int = 10):
 
 def q_order_priority_count(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
-    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    ones = ds.map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    return _combine_groupby(ones, ["o_orderpriority"],
+                            sums={"n_orders": "one"})
 
 
 def q_distinct_mktsegment(sf_dir: str):
     """D1 distinct: unique customer market segments."""
     ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
-    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+    ones = ds.map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    return _combine_groupby(ones, ["c_mktsegment"], sums={"n": "one"})
 
 
 def q_lineitem_topk_revenue(sf_dir: str, k: int = 20):
