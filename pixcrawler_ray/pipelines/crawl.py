@@ -483,6 +483,8 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
         # distributed per-keyword count; result is one small row per keyword
         t = ds.select_columns(["keyword"]).groupby("keyword").count() \
             .to_pandas()
+        if "keyword" not in t.columns:   # empty round -> schemaless frame
+            return {}
         return dict(zip(t["keyword"], t["count()"].astype(int)))
 
     counts = counts_of(base)
@@ -549,8 +551,10 @@ def run_crawl_with_retries(config: CrawlConfig, sf_dir: str,
                 md5s.update(b.column("content_md5").to_pylist())
                 phashes.update(b.column("phash").to_pylist())
         if md5s:
-            md5_arr = pa.array(sorted(md5s))
-            ph_arr = pa.array(sorted(phashes))
+            # explicit types: phash is uint64 (values >= 2^63 overflow the
+            # default int64 inference), content_md5 is fixed_size_binary(16)
+            md5_arr = pa.array(sorted(md5s), type=pa.binary(16))
+            ph_arr = pa.array(sorted(phashes), type=pa.uint64())
 
             def anti_seen(t: pa.Table) -> pa.Table:
                 dup = pc.or_(pc.is_in(t.column("content_md5"),

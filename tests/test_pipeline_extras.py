@@ -168,3 +168,25 @@ def test_retry_rounds_fill_budget(sf_tiny):
     phs = [r["phash"] for r in rows]
     assert len(md5s) == len(set(md5s))
     assert len(phs) == len(set(phs))
+
+
+def test_retry_rounds_with_shortfall(sf_tiny):
+    """Budget ABOVE what round 0 can deliver -> retry rounds actually run,
+    exercising the cumulative anti-seen broadcast (regression: uint64
+    phashes >= 2^63 overflowed the default pa.array int64 inference)."""
+    cfg = CrawlConfig.from_dict({
+        "dataset_name": "shortfall_fixture",
+        "categories": {"cats": ["cat"]},
+        "options": {"max_images": 500, "max_retries": 1},
+    })
+    base_out = crawl.run_crawl(cfg, sf_tiny, budget_per_round=8).materialize()
+    full = crawl.run_crawl_with_retries(cfg, sf_tiny, budget_per_round=8)
+    rows = full.select_columns(["content_md5", "phash", "keyword"]).take_all()
+    n_base = base_out.count()
+    assert n_base < 500, "fixture must leave a shortfall"
+    assert len(rows) >= n_base
+    assert any(r["phash"] >= 2 ** 63 for r in rows)   # branch is exercised
+    md5s = [r["content_md5"] for r in rows]
+    phs = [r["phash"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    assert len(phs) == len(set(phs))
