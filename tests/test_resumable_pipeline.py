@@ -31,6 +31,52 @@ def test_resumable_crawl_full_and_rerun(sf_tiny, tmp_path):
     assert again["epoch"] == summary["epoch"] + 1
 
 
+def _parse_report_table(md: str, section: str) -> list[list[str]]:
+    lines = md.splitlines()
+    i = lines.index(f"## {section}")
+    rows = []
+    for ln in lines[i + 3:]:          # skip header + separator
+        if not ln.startswith("|"):
+            break
+        rows.append([c.strip() for c in ln.strip("|").split("|")])
+    return rows
+
+
+def test_report_reconciles_with_quarantine(sf_tiny, tmp_path):
+    """The report's Keywords/Errors sections must reconcile exactly with the
+    quarantine trail and the committed row counts (reference report parity,
+    utility/report_generator.py:29-352)."""
+    from pixcrawler_ray.state import checkpoint
+
+    cfg = CrawlConfig.from_dict(CFG)
+    out = str(tmp_path / "crawl_rep")
+    summary = resumable.resumable_crawl(cfg, sf_tiny, out, num_partitions=4)
+    md = open(summary["report_path"]).read()
+
+    kw_rows = _parse_report_table(md, "Keywords")
+    downloads = {r[0]: int(r[1]) for r in kw_rows}
+    failures = {r[0]: int(r[2]) for r in kw_rows}
+    err_rows = _parse_report_table(md, "Errors")
+    reasons = {r[0]: int(r[1]) for r in err_rows}
+
+    # downloads reconcile with the committed output
+    out_t = checkpoint.read_output(out)
+    per_kw = {}
+    for kw in out_t.column("keyword").to_pylist():
+        per_kw[kw] = per_kw.get(kw, 0) + 1
+    assert downloads == per_kw
+    assert sum(downloads.values()) == summary["total_rows"]
+
+    # failures + error reasons reconcile with the quarantine trail
+    q = checkpoint.read_quarantine(out).to_pandas()
+    # keywords with zero failures render as 0 rows — compare the nonzero set
+    assert {k: v for k, v in failures.items() if v} == \
+        {k: int(v) for k, v in q.groupby("keyword").size().items()}
+    assert reasons == {k: int(v) for k, v in
+                       q.groupby("reason").size().items()}
+    assert sum(reasons.values()) == summary["quarantined"]
+
+
 def test_simhash_near_pairs_within_radius(sf_tiny):
     from pixcrawler_ray.functions.minhash import simhash64
     from pixcrawler_ray.stages.dedup import simhash_near_pairs
