@@ -121,13 +121,20 @@ class SeenStore:
 
 @ray.remote(num_cpus=0)
 class SeenShard:
-    """One shard of the URL-seen set: exact sorted-array store + bloom."""
+    """One shard of the URL-seen set: exact sorted-array store + a
+    negative-lookup accelerator (``filter_kind``: "bloom" default, or
+    "cuckoo" — the deletable variant, functions/cuckoo.py — when budget
+    refunds need to un-mark urls)."""
 
     def __init__(self, shard_id: int, capacity: int = 1_000_000,
-                 fpr: float = 0.01):
+                 fpr: float = 0.01, filter_kind: str = "bloom"):
         self.shard_id = shard_id
         self.exact = SeenStore()
-        self.bloom = BloomFilter(capacity, fpr)
+        if filter_kind == "cuckoo":
+            from pixcrawler_ray.functions.cuckoo import CuckooFilter
+            self.bloom = CuckooFilter(capacity)
+        else:
+            self.bloom = BloomFilter(capacity, fpr)
 
     def add(self, hashes: np.ndarray) -> int:
         h = np.asarray(hashes, dtype=np.uint64)

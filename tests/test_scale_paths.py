@@ -109,6 +109,41 @@ def test_seen_store_10m_keys():
     assert hits.mean() < 0.01
 
 
+def test_cuckoo_filter_contract():
+    """No false negatives, low fpr, and DELETION (the property a bloom
+    cannot offer — budget refunds un-mark urls at frontier scale)."""
+    from pixcrawler_ray.functions.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=50_000)
+    keys = (np.arange(40_000, dtype=np.uint64) * np.uint64(0x9E3779B9)
+            + np.uint64(3))
+    stored = cf.add_many(keys)
+    assert stored == len(keys)
+    assert cf.contains_many(keys).all()          # no false negatives
+    absent = keys + np.uint64(1)
+    assert cf.contains_many(absent).mean() < 0.05
+    # delete half; deleted keys must read absent, the rest must survive
+    removed = cf.remove_many(keys[::2])
+    assert removed.all()
+    assert not cf.contains_many(keys[::2]).mean() > 0.05
+    assert cf.contains_many(keys[1::2]).all()
+
+
+def test_seen_shard_cuckoo_variant(ray_session):
+    import ray
+
+    from pixcrawler_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, capacity=10_000, filter_kind="cuckoo")
+    keys = np.arange(0, 5000, 2, dtype=np.uint64)
+    ray.get(shard.add.remote(keys))
+    assert np.asarray(ray.get(shard.contains.remote(keys))).all()
+    absent = np.arange(1, 5000, 2, dtype=np.uint64)
+    # exact set confirms -> zero false positives end to end
+    assert not np.asarray(ray.get(shard.contains.remote(absent))).any()
+    ray.kill(shard)
+
+
 def test_labels_txt_guard(monkeypatch, tmp_path):
     from pixcrawler_ray.pipelines import labels as labels_mod
 
