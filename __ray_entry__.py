@@ -56,6 +56,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         survivors, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
         return survivors
 
+    def dedup_simhash_kept(sf_dir: str):
+        # project to doc_id only: the simhash VALUE is blake2b-derived and
+        # not SQL-expressible, but the GROUPS (exact-simhash equality) are
+        # exactly the distinct-shingle-SET groups (simhash is a function of
+        # the shingle set; verified collision-free on this corpus), which
+        # DuckDB can replay as a string-shingle set key.
+        return dd.dedup_simhash(sf_dir).select_columns(["doc_id"])
+
     def simsearch_topk(sf_dir: str):
         df = ss.topk_bruteforce(sf_dir, query_vec_ids=[0, 1, 2], k=10)
         return df[["query_vec_id", "vec_id", "rank"]]
@@ -177,10 +185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite ---
         "dedup_exact": dd.dedup_exact,                      # oracled
         "dedup_normalized": dd.dedup_normalized,            # oracled
-        "dedup_simhash": dd.dedup_simhash,                  # rows-only
+        "dedup_simhash": dedup_simhash_kept,                # oracled (ids)
         "simhash_near_pairs":
             lambda sf: dd.simhash_near_pairs(sf, radius=3),  # rows-only
-        "dedup_minhash": minhash_dedup,                     # rows-only
+        "dedup_minhash": minhash_dedup,                     # oracled (ids)
         "ngram_jaccard_pairs":
             lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),  # oracled
         "embedding_dup_pairs":
@@ -350,6 +358,75 @@ FROM documents
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     ORDER BY doc_id) = 1"""
+
+    # dedup_minhash: the LSH stage has verified 100% candidate recall on
+    # this corpus (every true Jaccard>=0.8 pair lands in some band bucket;
+    # asserted empirically at sf0.001/sf0.01 with the engine's own
+    # minhash_signature/lsh_band_keys), so survivors == connected
+    # components over EXACT-Jaccard>=0.8 pairs with the min doc_id kept —
+    # replayable in SQL: k=3 string shingles (same semantics as the
+    # ngram_jaccard_pairs oracle), shared-shingle candidate prejoin,
+    # recursive-CTE transitive closure for the component min-label.
+    out["dedup_minhash"] = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 3 THEN [array_to_string(w, chr(31))]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], chr(31)))) END AS s
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+), pairs AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+), e AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), lbl AS (
+  SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM lbl WHERE label < doc)"""
+
+    # dedup_simhash: exact-simhash keep-first == distinct-shingle-set
+    # keep-first (k=2 word shingles; simhash is a pure function of the
+    # shingle set, and distinct sets don't collide on this corpus —
+    # asserted empirically at sf0.001/sf0.01). Mirrors word_shingles'
+    # semantics: whitespace split, whole-doc shingle when < k words,
+    # distinct sets; empty text -> the one simhash-0 group.
+    out["dedup_simhash"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN ''
+              WHEN len(w) < 2 THEN w[1]
+              ELSE array_to_string(list_sort(list_distinct(
+                   list_transform(range(1, len(w)),
+                   i -> array_to_string(w[i:i+1], chr(31))))), chr(30))
+         END AS skey
+  FROM d
+)
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY skey ORDER BY doc_id) AS rn
+  FROM sh) WHERE rn = 1"""
 
     out["embedding_dup_pairs"] = """
 SELECT least(a.vec_id, b.vec_id) AS vec_a,
