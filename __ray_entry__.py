@@ -156,6 +156,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return frames.map_batches(sizes, batch_format="pyarrow")
 
+    def multimodal_sniff(sf_dir: str):
+        # real header parsing over real container bytes (png/gif/bmp/jpeg
+        # headers synthesized from doc_id arithmetic — SQL replays the
+        # arithmetic, the Ray side round-trips it through actual encoders
+        # and the sniffing parser)
+        from pixcrawler_ray.stages import multimodal as mm
+        return mm.sniff_metadata(mm.synthetic_media(sf_dir))
+
     return {
         # --- relational / engine ops (oracled) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -211,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal_features,         # oracled
         "multimodal_resize": multimodal_resize,             # oracled (sum)
         "multimodal_frames": multimodal_frames,             # oracled
+        "multimodal_sniff": multimodal_sniff,               # oracled
         # --- flagship e2e (rows-only; pytest-oracled) ---
         "crawl_e2e": crawl_e2e,
     }
@@ -358,6 +367,17 @@ FROM documents
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     ORDER BY doc_id) = 1"""
+
+    # multimodal_sniff: the Ray side encodes real png/gif/bmp/jpeg headers
+    # with doc_id-derived dimensions and parses them back with the byte-level
+    # sniffer; the oracle replays the dimension arithmetic directly.
+    out["multimodal_sniff"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+       CAST((doc_id % 640) + 1 AS BIGINT) AS width,
+       CAST((doc_id % 480) + 1 AS BIGINT) AS height
+FROM documents"""
 
     # dedup_minhash: the LSH stage has verified 100% candidate recall on
     # this corpus (every true Jaccard>=0.8 pair lands in some band bucket;

@@ -66,7 +66,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # co-tenant CPU steal on this host swings single-shot walls 2-4x
     # (crawl_e2e measured 4.97 s solo and 21.7 s in a noisy window, same
     # code) — each query runs REPEATS times and reports the MINIMUM
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    # (3 by default: with 2, a noisy window across both samples of one
+    # query still leaks straight into the artifact — observed 50.2 s vs
+    # 18.9 s for the identical build on 2026-08-18)
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
     def bench(name: str, fn):
         best = None

@@ -1,0 +1,175 @@
+"""Container-format sniffing + dimension parsing from raw bytes — REAL
+metadata extraction without an image library.
+
+The reference extracts image metadata via PIL after download
+(``validator/integrity.py:454-542``); PIL is absent from this container, but
+the dimension fields of the common container formats are plain header
+arithmetic from the public specs, so this path is fully implemented (it is
+the non-stub half of M11):
+
+- PNG  (RFC 2083): 8-byte signature, IHDR width/height big-endian u32 at
+  byte offsets 16/20.
+- GIF  (GIF87a/89a): logical screen width/height little-endian u16 at 6/8.
+- BMP  (BITMAPINFOHEADER): 'BM' magic, width/height little-endian i32 at
+  18/22.
+- JPEG (ISO 10918 / JFIF): scan the marker stream for a SOF0/1/2 frame
+  header; height/width big-endian u16 at marker payload offsets 5/7.
+
+Sniffing PNG/GIF/BMP is vectorized over a fixed-width prefix matrix (one
+numpy pass per batch); only confirmed-JPEG rows pay the per-row marker scan
+(bounded: stops at the first SOF marker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_PREFIX = 26  # longest fixed-offset field we read: BMP height ends at 26
+
+_PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+_GIF_SIG = np.frombuffer(b"GIF8", dtype=np.uint8)   # GIF87a / GIF89a
+_BMP_SIG = np.frombuffer(b"BM", dtype=np.uint8)
+_JPG_SIG = np.frombuffer(b"\xff\xd8\xff", dtype=np.uint8)
+
+# SOF markers that carry frame dimensions (baseline, extended, progressive)
+_SOF_MARKERS = frozenset((0xC0, 0xC1, 0xC2))
+
+
+def _jpeg_dims(buf: bytes) -> tuple[int, int]:
+    """Walk the JPEG marker stream to the first SOF0/1/2 segment.
+
+    Returns (width, height) or (0, 0) on a truncated/invalid stream.
+    """
+    i, n = 2, len(buf)
+    while i + 3 < n:
+        if buf[i] != 0xFF:
+            return 0, 0
+        marker = buf[i + 1]
+        if marker == 0xFF:          # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2                  # standalone markers, no length field
+            continue
+        if i + 3 >= n:
+            return 0, 0
+        seglen = (buf[i + 2] << 8) | buf[i + 3]
+        if marker in _SOF_MARKERS:
+            if i + 8 >= n or seglen < 7:
+                return 0, 0
+            height = (buf[i + 5] << 8) | buf[i + 6]
+            width = (buf[i + 7] << 8) | buf[i + 8]
+            return width, height
+        if seglen < 2:
+            return 0, 0
+        i += 2 + seglen
+    return 0, 0
+
+
+def sniff_dims(payloads: list[bytes | None]):
+    """Detect container format + parse dimensions for a batch of payloads.
+
+    Returns (formats: list[str], widths: np.int64[n], heights: np.int64[n]).
+    Unknown / truncated payloads get ("unknown", 0, 0).
+    """
+    n = len(payloads)
+    prefix = np.zeros((n, _PREFIX), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, p in enumerate(payloads):
+        if p:
+            lens[i] = len(p)
+            head = p[:_PREFIX]
+            prefix[i, : len(head)] = np.frombuffer(head, dtype=np.uint8)
+
+    def match(sig: np.ndarray, min_len: int) -> np.ndarray:
+        return (lens >= min_len) & (prefix[:, : len(sig)] == sig).all(axis=1)
+
+    # min_len = end of the farthest fixed-offset field each format needs
+    is_png = match(_PNG_SIG, 24)   # IHDR height ends at byte 24
+    is_gif = match(_GIF_SIG, 10)   # screen height ends at byte 10
+    is_bmp = match(_BMP_SIG, 26)   # info-header height ends at byte 26
+    is_jpg = match(_JPG_SIG, 4)
+
+    widths = np.zeros(n, dtype=np.int64)
+    heights = np.zeros(n, dtype=np.int64)
+
+    # PNG: big-endian u32 at 16 / 20
+    be32 = lambda off: (prefix[:, off].astype(np.int64) << 24) \
+        | (prefix[:, off + 1].astype(np.int64) << 16) \
+        | (prefix[:, off + 2].astype(np.int64) << 8) \
+        | prefix[:, off + 3].astype(np.int64)
+    widths[is_png] = be32(16)[is_png]
+    heights[is_png] = be32(20)[is_png]
+
+    # GIF: little-endian u16 at 6 / 8
+    le16 = lambda off: prefix[:, off].astype(np.int64) \
+        | (prefix[:, off + 1].astype(np.int64) << 8)
+    widths[is_gif] = le16(6)[is_gif]
+    heights[is_gif] = le16(8)[is_gif]
+
+    # BMP: little-endian i32 at 18 / 22 (height may be negative = top-down)
+    le32 = lambda off: (prefix[:, off].astype(np.int64)
+                        | (prefix[:, off + 1].astype(np.int64) << 8)
+                        | (prefix[:, off + 2].astype(np.int64) << 16)
+                        | (prefix[:, off + 3].astype(np.int64) << 24)
+                        ).astype(np.int32).astype(np.int64)
+    widths[is_bmp] = le32(18)[is_bmp]
+    heights[is_bmp] = np.abs(le32(22))[is_bmp]
+
+    formats = np.full(n, "unknown", dtype=object)
+    formats[is_jpg] = "jpeg"
+    formats[is_bmp] = "bmp"
+    formats[is_gif] = "gif"
+    formats[is_png] = "png"
+
+    # only confirmed-JPEG rows pay the marker scan
+    for i in np.flatnonzero(is_jpg):
+        w, h = _jpeg_dims(payloads[i])
+        widths[i], heights[i] = w, h
+        if w == 0 and h == 0:
+            formats[i] = "unknown"
+
+    return formats.tolist(), widths, heights
+
+
+# --- deterministic encoders (test vectors + the synthetic media source) ---
+
+def encode_png_header(width: int, height: int, filler: bytes = b"") -> bytes:
+    """Minimal valid-signature PNG prefix: signature + IHDR dims."""
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00" + filler)
+
+
+def encode_gif_header(width: int, height: int, filler: bytes = b"") -> bytes:
+    return (b"GIF89a" + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little") + b"\xf7\x00\x00" + filler)
+
+
+def encode_bmp_header(width: int, height: int, filler: bytes = b"") -> bytes:
+    return (b"BM" + (26 + len(filler)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00" + (26).to_bytes(4, "little")
+            + (12).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True) + filler)
+
+
+def encode_jpeg_header(width: int, height: int, filler: bytes = b"") -> bytes:
+    """SOI + APP0(JFIF) + SOF0 carrying the dims (enough for any sniffer)."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01" \
+        + b"\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" \
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01" \
+        + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + filler
+
+
+def sniff_table(t: pa.Table, payload_col: str = "payload") -> pa.Table:
+    """Batch kernel: append format/width/height parsed from payload bytes."""
+    formats, widths, heights = sniff_dims(t.column(payload_col).to_pylist())
+    out = t.drop_columns([payload_col])
+    out = out.append_column("format", pa.array(formats, type=pa.string()))
+    out = out.append_column("width", pa.array(widths, type=pa.int64()))
+    return out.append_column("height", pa.array(heights, type=pa.int64()))

@@ -21,8 +21,18 @@ DEFAULT_TARGET_ROWS = 32_768
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                target_rows: int = DEFAULT_TARGET_ROWS):
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
-    n = pq.read_metadata(path).num_rows
+    if os.path.isdir(path) or not os.path.exists(path):
+        # sharded table (directory of parquet files — the 100 TB layout):
+        # row count from footers only, no data pages touched
+        dir_path = path if os.path.isdir(path) else f"{sf_dir}/{name}"
+        import pyarrow.dataset as pads
+        n = pads.dataset(dir_path, format="parquet").count_rows()
+        path = dir_path
+    else:
+        n = pq.read_metadata(path).num_rows
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:

@@ -45,6 +45,46 @@ def media_from_pages(pages_ds):
     return pages_ds.map_batches(conv, batch_format="pyarrow")
 
 
+def synthetic_media(sf_dir: str):
+    """documents -> media rows with REAL container headers (png/gif/bmp/jpeg
+    round-robin by doc_id) whose dimensions are doc_id arithmetic — so the
+    header PARSER (functions/mediameta.py, the non-stub half of M11) is
+    exercised on genuine bytes while staying SQL-replayable end-to-end."""
+    from pixcrawler_ray.functions.mediameta import (
+        encode_bmp_header, encode_gif_header, encode_jpeg_header,
+        encode_png_header)
+    from pixcrawler_ray.sources.readers import read_table
+
+    encoders = (encode_png_header, encode_gif_header, encode_bmp_header,
+                encode_jpeg_header)
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        payloads = [
+            encoders[d % 4]((d % 640) + 1, (d % 480) + 1,
+                            (x or "").encode()[:64])
+            for d, x in zip(ids, texts)
+        ]
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def sniff_metadata(media_ds, payload_col: str = "payload"):
+    """Metadata-extraction stage: container format + dimensions parsed from
+    raw header bytes (no decode, no image library — see mediameta.py).
+    Task pool: the kernel is one numpy pass per batch, stateless."""
+    from pixcrawler_ray.functions.mediameta import sniff_table
+
+    return media_ds.map_batches(
+        lambda t: sniff_table(t, payload_col), batch_format="pyarrow")
+
+
 class FakeDecoder:
     """Actor-pool decode/feature stage with a deterministic fake kernel.
 

@@ -1,0 +1,105 @@
+"""Byte-level media metadata sniffing (the non-stub half of M11):
+format detection + dimension parsing straight from container headers,
+validated on handcrafted spec-conformant byte strings."""
+
+import numpy as np
+import pyarrow as pa
+
+from pixcrawler_ray.functions.mediameta import (
+    encode_bmp_header,
+    encode_gif_header,
+    encode_jpeg_header,
+    encode_png_header,
+    sniff_dims,
+    sniff_table,
+)
+
+
+def test_sniff_roundtrip_all_formats():
+    payloads = [
+        encode_png_header(640, 480, b"x" * 100),
+        encode_gif_header(320, 240, b"y" * 50),
+        encode_bmp_header(800, 600),
+        encode_jpeg_header(1024, 768, b"z" * 200),
+    ]
+    fmts, w, h = sniff_dims(payloads)
+    assert fmts == ["png", "gif", "bmp", "jpeg"]
+    assert list(w) == [640, 320, 800, 1024]
+    assert list(h) == [480, 240, 600, 768]
+
+
+def test_sniff_unknown_and_truncated():
+    payloads = [
+        None,
+        b"",
+        b"<html><body>not an image</body></html>",
+        b"\x89PNG\r\n\x1a\n",              # signature only, no IHDR
+        b"\xff\xd8\xff\xe0\x00\x04JF",     # JPEG cut before any SOF
+    ]
+    fmts, w, h = sniff_dims(payloads)
+    assert fmts == ["unknown"] * 5
+    assert list(w) == [0] * 5 and list(h) == [0] * 5
+
+
+def test_jpeg_marker_walk_skips_segments():
+    # dims must come from SOF0 even after APP0 + a fat COM segment +
+    # fill bytes before the marker
+    com = b"\xff\xfe" + (34).to_bytes(2, "big") + b"c" * 32
+    base = encode_jpeg_header(99, 77)
+    soi, rest = base[:2], base[2:]
+    payload = soi + com + b"\xff" + rest[1:]   # extra 0xFF fill byte
+    fmts, w, h = sniff_dims([payload])
+    assert fmts == ["jpeg"] and w[0] == 99 and h[0] == 77
+
+
+def test_bmp_topdown_negative_height():
+    raw = bytearray(encode_bmp_header(64, 32))
+    raw[22:26] = (-32).to_bytes(4, "little", signed=True)
+    fmts, w, h = sniff_dims([bytes(raw)])
+    assert fmts == ["bmp"] and w[0] == 64 and h[0] == 32
+
+
+def test_sniff_table_kernel():
+    t = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array(
+            [encode_png_header(10, 20), b"junk"], type=pa.binary()),
+    })
+    out = sniff_table(t)
+    assert out.column_names == ["media_id", "format", "width", "height"]
+    assert out.column("format").to_pylist() == ["png", "unknown"]
+    assert out.column("width").to_pylist() == [10, 0]
+    assert out.column("height").to_pylist() == [20, 0]
+
+
+def test_sniff_dims_vectorized_batch():
+    rng = np.random.default_rng(7)
+    payloads, want = [], []
+    for i in range(500):
+        kind = i % 5
+        wd, ht = int(rng.integers(1, 2000)), int(rng.integers(1, 2000))
+        if kind == 0:
+            payloads.append(encode_png_header(wd, ht))
+            want.append(("png", wd, ht))
+        elif kind == 1:
+            wd, ht = wd % 65536, ht % 65536
+            payloads.append(encode_gif_header(wd, ht))
+            want.append(("gif", wd, ht))
+        elif kind == 2:
+            payloads.append(encode_bmp_header(wd, ht))
+            want.append(("bmp", wd, ht))
+        elif kind == 3:
+            wd, ht = wd % 65536, ht % 65536
+            payloads.append(encode_jpeg_header(wd, ht))
+            want.append(("jpeg", wd, ht))
+        else:
+            payloads.append(rng.bytes(40))
+            want.append(None)
+    fmts, w, h = sniff_dims(payloads)
+    for i, exp in enumerate(want):
+        if exp is None:
+            # random bytes: overwhelmingly unknown; dims only parse when a
+            # signature fluke occurs (none at this seed)
+            assert fmts[i] == "unknown"
+        else:
+            assert (fmts[i], w[i], h[i]) == exp

@@ -192,3 +192,25 @@ def test_archive_formats(tmp_path):
 
     with pytest.raises(ValueError):
         archive_output(str(src), fmt="rar")
+
+
+def test_read_table_sharded_directory(ray_session, tmp_path, sf_tiny):
+    """A table stored as a DIRECTORY of parquet shards (the 100 TB layout)
+    must read identically to the single-file layout."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.sources.readers import read_table
+
+    src = pq.read_table(f"{sf_tiny}/documents.parquet")
+    shard_dir = tmp_path / "documents.parquet"
+    shard_dir.mkdir()
+    third = max(1, src.num_rows // 3)
+    for i in range(3):
+        pq.write_table(src.slice(i * third,
+                                 third if i < 2 else src.num_rows - 2 * third),
+                       shard_dir / f"shard-{i}.parquet")
+
+    ds = read_table(str(tmp_path), "documents", columns=["doc_id", "text"])
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (src.select(["doc_id", "text"]).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
