@@ -207,13 +207,16 @@ def run_scaling_worker(sf_dir: str, ncpu: int) -> dict:
 
     rd.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
         _warm, batch_size=1).count()
-    # workload sized so compute dominates fixed costs (~4.7M extracted rows;
+    # workload sized so compute dominates fixed costs (~7.8M extracted rows;
     # page_size — not amplify — governs the frontier row count. Resized up
-    # once after the fused admission + signature-memo speedups: at 3000
-    # pages the 8-cpu run fell to ~13 s and the measurement drifted back
-    # toward constant overhead.
+    # twice as the pipeline got faster: at 3000 pages the 8-cpu run fell to
+    # ~13 s (round 2), and at 6000 pages round-3 speedups pulled it to ~18 s
+    # with the ~4 s fixed admission/startup floor at 22% of the measurement —
+    # the scaling criterion is about steady-state throughput, so the
+    # workload grows to keep per-row compute dominant (a 100 TB cluster run
+    # amortizes that floor over hours, not seconds).
     amp = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "2000"))
-    page_size = int(os.environ.get("GRAFT_PAGE_SIZE", "6000"))
+    page_size = int(os.environ.get("GRAFT_PAGE_SIZE", "10000"))
     scaling_pipeline(sf_dir, 1, page_size)
     out = scaling_pipeline(sf_dir, amp, page_size)
     out["num_cpus"] = ncpu
