@@ -156,6 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return frames.map_batches(sizes, batch_format="pyarrow")
 
+    def sample_stratified_q(sf_dir: str):
+        from pixcrawler_ray.stages.sample import sample_stratified
+        return sample_stratified(sf_dir, per_stratum=50)
+
     def multimodal_sniff(sf_dir: str):
         # real header parsing over real container bytes (png/gif/bmp/jpeg
         # headers synthesized from doc_id arithmetic — SQL replays the
@@ -207,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": ts.token_counts,                    # oracled
         "quality_scores": ts.quality_scores,                # oracled
         "lang_id": ts.lang_id,                              # oracled
+        "token_quantiles": ts.token_quantiles,              # oracled
+        "sample_stratified": sample_stratified_q,           # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
         "fingerprint_containment":                          # rows-only
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
@@ -505,6 +511,32 @@ SELECT lang, COUNT(*) AS n_docs,
                 END) AS BIGINT) AS sum_tokens,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang"""
+
+    # exact per-lang token-count quantiles — Ray side implements DuckDB's
+    # quantile_disc index rule (idx = max(0, ceil(q*n)-1)) over merged
+    # bounded-domain histograms.
+    out["token_quantiles"] = """
+WITH n AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(
+                   regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents)
+SELECT lang,
+       CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
+FROM n GROUP BY lang"""
+
+    # stratified sample: Lehmer/MINSTD rank on doc_id is plain integer
+    # arithmetic on both sides (products < 2^47 — no overflow divergence).
+    out["sample_stratified"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY (doc_id % 2147483647) * 48271 % 2147483647) AS rn
+  FROM documents) WHERE rn <= 50"""
 
     out["quality_scores"] = """
 WITH w AS (

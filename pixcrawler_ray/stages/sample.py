@@ -1,0 +1,51 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines sample: per-stratum caps for balance (e.g. at most
+N docs per language), reproducibly across reruns and resumes. Random state
+is banned (a resumed run must pick the SAME sample), so the ordering key is
+a fixed integer hash of the row id — a Lehmer/MINSTD multiplicative step,
+chosen because it is exactly replayable in plain SQL integer arithmetic
+(products stay under 2^47, no modular-overflow divergence between numpy
+and the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pixcrawler_ray.sources.readers import read_table
+from pixcrawler_ray.stages.shuffle import keep_first_n
+
+_MINSTD_A = 48271
+_MERS31 = 2147483647  # 2^31 - 1
+
+
+def lehmer_rank(ids: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-random rank of int64 ids: one MINSTD step on
+    ``id mod (2^31-1)``. Bijective on [0, 2^31-1) so ids below 2^31-1
+    never collide; SQL replay: ``(id % 2147483647) * 48271 % 2147483647``."""
+    return (ids.astype(np.int64) % _MERS31) * _MINSTD_A % _MERS31
+
+
+def sample_stratified(sf_dir: str, per_stratum: int = 50,
+                      stratum_col: str = "lang"):
+    """Keep the ``per_stratum`` lowest-rank docs per stratum.
+
+    One bucketed keep-first-N shuffle on the stratum key (the same
+    primitive as the crawl budget cap, shuffle.keep_first_n); rank ties
+    cannot occur below 2^31-1 ids (bijection), so the sample is total-order
+    deterministic and resume-stable.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", stratum_col])
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.append_column(
+            "sample_rank", pa.array(lehmer_rank(ids), type=pa.int64()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    kept = keep_first_n(ranked, [stratum_col], "sample_rank", per_stratum)
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", stratum_col]),
+        batch_format="pyarrow")

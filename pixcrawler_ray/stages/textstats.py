@@ -314,3 +314,53 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
         })
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def token_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT per-lang quantiles of the whitespace token count, distributed.
+
+    Length-filter thresholds (Gopher/C4-style corpus curation) need real
+    quantiles of the length distribution. Token counts live in a small
+    bounded domain, so the classic two-phase histogram plan is exact and
+    cheap: each batch emits a partial (lang, n_tokens) -> count histogram,
+    ONE tiny exchange merges per-lang partials, and the quantile is read
+    off the cumulative counts — no corpus-scale sort, no full shuffle.
+
+    Quantile index rule matches DuckDB's ``quantile_disc``:
+    idx = max(0, ceil(q*n) - 1) over the sorted values.
+    """
+    import math
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, offs, lens = _split_words(t.column("text"))
+        n_tokens = _segment_sum((lens > 0).astype(np.int64), offs)
+        df = pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                           "n_tokens": n_tokens})
+        g = (df.groupby(["lang", "n_tokens"], sort=False)
+             .size().rename("cnt").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    cols = [f"p{int(q * 100)}" for q in qs]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, grp in g.groupby("lang", sort=False):
+            hist = (grp.groupby("n_tokens", sort=True)["cnt"].sum())
+            counts = hist.to_numpy()
+            values = hist.index.to_numpy()
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            row = {"lang": lang}
+            for q, c in zip(qs, cols):
+                idx = max(0, math.ceil(q * n) - 1)
+                row[c] = int(values[np.searchsorted(cum, idx + 1)])
+            out.append(row)
+        return pd.DataFrame(out, columns=["lang"] + cols)
+
+    return per_bucket(partials, ["lang"], merge, num_buckets=4)
