@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": ts.quality_scores,                # oracled
         "lang_id": ts.lang_id,                              # oracled
         "token_quantiles": ts.token_quantiles,              # oracled
+        "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
         "fingerprint_containment":                          # rows-only
@@ -528,6 +529,22 @@ SELECT lang,
        CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90,
        CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
 FROM n GROUP BY lang"""
+
+    # top-k terms per lang; tie-break count DESC then term ASC on both sides
+    out["top_terms"] = r"""
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM w GROUP BY lang, term
+)
+SELECT lang, term, cnt,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT lang, term, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, term) AS rn FROM c)
+WHERE rn <= 20"""
 
     # stratified sample: Lehmer/MINSTD rank on doc_id is plain integer
     # arithmetic on both sides (products < 2^47 — no overflow divergence).

@@ -364,3 +364,47 @@ def token_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
         return pd.DataFrame(out, columns=["lang"] + cols)
 
     return per_bucket(partials, ["lang"], merge, num_buckets=4)
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """Top-k whitespace terms per lang — the wordcount shape at scale.
+
+    Map-side combine: each batch collapses to its own (lang, term) -> count
+    partial (batch vocabulary << token count), then ONE bucket exchange on
+    lang merges partials and reads off the top-k. Partitioning assumption
+    (documented per the custom-operator rule): a single lang's merged
+    vocabulary fits one worker — true for natural-language corpora (vocab
+    grows ~O(sqrt(tokens)), Heaps' law); for adversarial vocabularies
+    switch the merge to a (lang, term)-keyed exchange first.
+
+    Ties break deterministically: count DESC, then term ASC — mirrored in
+    the SQL oracle.
+    """
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, offs, lens = _split_words(t.column("text"))
+        flat = pc.list_flatten(words).to_pandas()
+        keep = lens > 0          # Arrow split yields '' where Python drops
+        langs = np.repeat(t.column("lang").to_pandas().to_numpy(),
+                          np.diff(offs))
+        df = pd.DataFrame({"lang": langs[keep], "term": flat[keep]})
+        g = (df.groupby(["lang", "term"], sort=False)
+             .size().rename("cnt").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        full = (g.groupby(["lang", "term"], sort=False)["cnt"].sum()
+                .reset_index())
+        full = full.sort_values(["lang", "cnt", "term"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        top = full.groupby("lang", sort=False).head(k).copy()
+        top["rank"] = top.groupby("lang", sort=False).cumcount() + 1
+        return top[["lang", "term", "cnt", "rank"]]
+
+    return per_bucket(partials, ["lang"], merge, num_buckets=4)
