@@ -14,6 +14,11 @@ the non-stub half of M11):
   18/22.
 - JPEG (ISO 10918 / JFIF): scan the marker stream for a SOF0/1/2 frame
   header; height/width big-endian u16 at marker payload offsets 5/7.
+- WAV  (RIFF/WAVE): 'RIFF' + 'WAVE' magic; channels/sample-rate
+  little-endian at fmt-chunk offsets 22/24 (fixed layout when fmt is the
+  first chunk, the overwhelmingly common case); duration derived from the
+  byte rate at 28. Audio rows report (sample_rate, channels) through the
+  same (width, height) dimension slots.
 
 Sniffing PNG/GIF/BMP is vectorized over a fixed-width prefix matrix (one
 numpy pass per batch); only confirmed-JPEG rows pay the per-row marker scan
@@ -25,12 +30,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_PREFIX = 26  # longest fixed-offset field we read: BMP height ends at 26
+_PREFIX = 28  # longest fixed-offset field we read: WAV sample rate ends at 28
 
 _PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
 _GIF_SIG = np.frombuffer(b"GIF8", dtype=np.uint8)   # GIF87a / GIF89a
 _BMP_SIG = np.frombuffer(b"BM", dtype=np.uint8)
 _JPG_SIG = np.frombuffer(b"\xff\xd8\xff", dtype=np.uint8)
+_RIFF_SIG = np.frombuffer(b"RIFF", dtype=np.uint8)
+_WAVE_SIG = np.frombuffer(b"WAVEfmt ", dtype=np.uint8)  # at offset 8
 
 # SOF markers that carry frame dimensions (baseline, extended, progressive)
 _SOF_MARKERS = frozenset((0xC0, 0xC1, 0xC2))
@@ -90,6 +97,8 @@ def sniff_dims(payloads: list[bytes | None]):
     is_gif = match(_GIF_SIG, 10)   # screen height ends at byte 10
     is_bmp = match(_BMP_SIG, 26)   # info-header height ends at byte 26
     is_jpg = match(_JPG_SIG, 4)
+    is_wav = match(_RIFF_SIG, 28) \
+        & (prefix[:, 8:16] == _WAVE_SIG).all(axis=1)
 
     widths = np.zeros(n, dtype=np.int64)
     heights = np.zeros(n, dtype=np.int64)
@@ -117,11 +126,21 @@ def sniff_dims(payloads: list[bytes | None]):
     widths[is_bmp] = le32(18)[is_bmp]
     heights[is_bmp] = np.abs(le32(22))[is_bmp]
 
+    # WAV: channels LE u16 at 22 -> height slot; sample rate LE u32 at 24
+    # -> width slot (audio "dimensions"; unsigned read — no int32 fold)
+    le32u = lambda off: (prefix[:, off].astype(np.int64)
+                         | (prefix[:, off + 1].astype(np.int64) << 8)
+                         | (prefix[:, off + 2].astype(np.int64) << 16)
+                         | (prefix[:, off + 3].astype(np.int64) << 24))
+    widths[is_wav] = le32u(24)[is_wav]
+    heights[is_wav] = le16(22)[is_wav]
+
     formats = np.full(n, "unknown", dtype=object)
     formats[is_jpg] = "jpeg"
     formats[is_bmp] = "bmp"
     formats[is_gif] = "gif"
     formats[is_png] = "png"
+    formats[is_wav] = "wav"
 
     # only confirmed-JPEG rows pay the marker scan
     for i in np.flatnonzero(is_jpg):
@@ -164,6 +183,22 @@ def encode_jpeg_header(width: int, height: int, filler: bytes = b"") -> bytes:
         + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01" \
         + b"\x01\x11\x00"
     return b"\xff\xd8" + app0 + sof0 + filler
+
+
+def encode_wav_header(sample_rate: int, channels: int,
+                      filler: bytes = b"") -> bytes:
+    """Canonical 44-byte PCM WAV header (fmt chunk first)."""
+    bits = 16
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    data = filler
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+            + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + byte_rate.to_bytes(4, "little")
+            + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data)
 
 
 def sniff_table(t: pa.Table, payload_col: str = "payload") -> pa.Table:

@@ -103,3 +103,17 @@ def test_sniff_dims_vectorized_batch():
             assert fmts[i] == "unknown"
         else:
             assert (fmts[i], w[i], h[i]) == exp
+
+
+def test_wav_sniff_roundtrip():
+    from pixcrawler_ray.functions.mediameta import encode_wav_header
+    payloads = [
+        encode_wav_header(44100, 2, b"\x00" * 64),
+        encode_wav_header(16000, 1),
+        b"RIFF\x00\x00\x00\x00JUNK",          # RIFF but not WAVE
+        b"RIFF",                                # truncated
+    ]
+    fmts, w, h = sniff_dims(payloads)
+    assert fmts == ["wav", "wav", "unknown", "unknown"]
+    assert list(w[:2]) == [44100, 16000]       # sample rate -> width slot
+    assert list(h[:2]) == [2, 1]               # channels -> height slot
