@@ -214,3 +214,49 @@ def test_read_table_sharded_directory(ray_session, tmp_path, sf_tiny):
     want = (src.select(["doc_id", "text"]).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_token_quantiles_edge_semantics(ray_session, tmp_path):
+    """Single-doc stratum, empty/whitespace-only text, and the
+    quantile_disc index rule on a crafted distribution."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.stages.textstats import token_quantiles
+
+    t = pa.table({
+        "doc_id": pa.array(range(7), type=pa.int64()),
+        "lang": pa.array(["aa"] * 5 + ["bb", "cc"]),
+        "text": pa.array(["one", "one two", "one two three",
+                          "1 2 3 4", "1 2 3 4 5",
+                          "",            # bb: empty -> 0 tokens
+                          "   "]),       # cc: whitespace-only -> 0 tokens
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (token_quantiles(str(tmp_path)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    # aa sorted counts [1,2,3,4,5]: p50 -> idx ceil(.5*5)-1=2 -> 3;
+    # p90 -> idx ceil(4.5)-1=4 -> 5; p99 -> idx ceil(4.95)-1=4 -> 5
+    assert got.loc[0, ["lang", "p50", "p90", "p99"]].tolist() == \
+        ["aa", 3, 5, 5]
+    assert got.loc[1, ["lang", "p50", "p90", "p99"]].tolist() == \
+        ["bb", 0, 0, 0]
+    assert got.loc[2, ["lang", "p50", "p90", "p99"]].tolist() == \
+        ["cc", 0, 0, 0]
+
+
+def test_top_terms_tiebreak_determinism(ray_session, tmp_path):
+    """Equal counts must rank by term ASC — crafted all-tie corpus."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.stages.textstats import top_terms
+
+    t = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "lang": pa.array(["xx"] * 3),
+        "text": pa.array(["zebra apple", "apple zebra", "mango mango"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (top_terms(str(tmp_path), k=2).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    # counts: apple=2, zebra=2, mango=2 -> all tie at 2; term ASC wins
+    assert got["term"].tolist() == ["apple", "mango"]
+    assert got["rank"].tolist() == [1, 2]
+    assert got["cnt"].tolist() == [2, 2]
