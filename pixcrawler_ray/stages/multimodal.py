@@ -111,14 +111,25 @@ class FakeDecoder:
         return np.tile(arr, reps)[: side * side].reshape(side, side)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from pixcrawler_ray.functions.mediameta import sniff_dims
+
+        payloads = t.column("payload").to_pylist()
+        # REAL header metadata first (png/gif/bmp/jpeg/wav — no decode
+        # needed); the stub decode only fills dimensions for payloads with
+        # no recognizable container
+        fmts, sniff_w, sniff_h = sniff_dims(payloads)
         feats, widths, heights, hashes, ok = [], [], [], [], []
-        for payload in t.column("payload").to_pylist():
+        for i, payload in enumerate(payloads):
             try:
                 img = self._decode(payload)
                 feats.append([float(img.mean()), float(img.std()),
                               float(img.min()), float(img.max())])
-                heights.append(img.shape[0])
-                widths.append(img.shape[1])
+                if fmts[i] != "unknown":
+                    widths.append(int(sniff_w[i]))
+                    heights.append(int(sniff_h[i]))
+                else:
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
                 hashes.append(ahash64(payload or b""))
                 ok.append(True)
             except NotImplementedError:

@@ -117,3 +117,25 @@ def test_wav_sniff_roundtrip():
     assert fmts == ["wav", "wav", "unknown", "unknown"]
     assert list(w[:2]) == [44100, 16000]       # sample rate -> width slot
     assert list(h[:2]) == [2, 1]               # channels -> height slot
+
+
+def test_decode_features_uses_sniffed_dims(ray_session):
+    """decode_features must report REAL header dimensions when the payload
+    has a recognizable container, and the fake-decode dims otherwise."""
+    import ray.data as rd
+    from pixcrawler_ray.functions.mediameta import encode_png_header
+    from pixcrawler_ray.stages.multimodal import decode_features
+
+    t = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array(
+            [encode_png_header(123, 45, b"x" * 32), b"plain html bytes"],
+            type=pa.binary()),
+        "media_type": pa.array(["image", "image"]),
+        "declared_bytes": pa.array([0, 0], type=pa.int64()),
+    })
+    out = (decode_features(rd.from_arrow(t), concurrency=1)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out.loc[0, "width"] == 123 and out.loc[0, "height"] == 45
+    assert out.loc[1, "width"] == 32 and out.loc[1, "height"] == 32
+    assert bool(out["decode_ok"].all())
