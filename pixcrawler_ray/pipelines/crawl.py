@@ -179,7 +179,7 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
                    budget_per_round: int = 8, seen_concurrency: int = 4,
                    fused: bool = True, corpus_factor: int = 1,
                    salted: bool = False, stats: dict | None = None,
-                   lean: bool = False):
+                   lean: bool = False, politeness_shards=None):
     """Expansion -> url-dedup -> (resume anti-join) -> robots -> politeness.
 
     ``salted=True`` uses the hot-host-safe admission (doc-keyed dedup shuffle
@@ -190,6 +190,12 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
     integer-only frontier and hydrates the string columns AFTER admission
     (fused with the next map stage) — identical output schema/rows, ~7x
     fewer exchange bytes.
+
+    ``politeness_shards`` (STREAMING mode): admission goes through the
+    stateful :class:`~pixcrawler_ray.stages.politeness.PolitenessShard`
+    actors instead of the batch rank exchange — single-generation output is
+    identical (pytest-asserted), and the shard counters persist so later
+    generations continue in later rounds (the continuous-crawl semantic).
     """
     if lean:
         if not salted or seen_shards:
@@ -224,6 +230,11 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
             concurrency=(1, max(1, seen_concurrency)),
             num_cpus=0.5,
         )
+    if politeness_shards is not None:
+        from pixcrawler_ray.stages.politeness import streaming_admission
+        fr = dedup_frontier(fr)
+        fr = apply_robots(fr)
+        return streaming_admission(fr, politeness_shards)
     if salted:
         # upper bound on seq from the (driver-sized) grid — avoids an
         # aggregate pass; any consistent bound yields a valid salt shift

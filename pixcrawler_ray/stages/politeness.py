@@ -371,7 +371,9 @@ def admission_order_key(table: pa.Table) -> np.ndarray:
 @ray.remote(num_cpus=0.25)
 class PolitenessShard:
     """Streaming token-bucket scheduler for one host-hash shard — the
-    CLUSTER-STREAMING north star, deliberately NOT used by the batch gate.
+    CLUSTER-STREAMING mode, reachable via ``build_frontier(...,
+    politeness_shards=make_politeness_shards(...))`` /
+    :func:`streaming_admission`; the batch gate below stays the default.
 
     The batch pipelines schedule with :func:`assign_rounds` /
     ``admit_salted_fused`` (one bounded host-keyed exchange per generation —
@@ -407,3 +409,65 @@ class PolitenessShard:
         vals = list(self.admitted.values())
         return {"hosts": len(vals), "max_admitted": max(vals),
                 "total": sum(vals)}
+
+
+def make_politeness_shards(n_shards: int = 4,
+                           budget_per_round: int = DEFAULT_BUDGET_PER_ROUND):
+    """Spawn the host-hash-sharded streaming schedulers (kill after use)."""
+    return [PolitenessShard.remote(budget_per_round=budget_per_round)
+            for _ in range(n_shards)]
+
+
+def streaming_admission(frontier_ds, shards, num_buckets: int = 64):
+    """STREAMING-mode politeness gate: rounds assigned by the stateful
+    :class:`PolitenessShard` actors instead of the batch rank exchange.
+
+    Same host-keyed exchange as :func:`assign_rounds` guarantees each host's
+    rows reach exactly ONE kernel task (so the per-host admit stream is
+    ordered); inside the kernel rows are sorted (priority DESC, seq ASC) —
+    the batch rule's order — and each host routes to ``shards[hash64(host)
+    % n]``. Actor calls from different tasks serialize per shard, and no two
+    tasks share a host, so per-host ordering is total.
+
+    Equivalent to :func:`assign_rounds` for a single generation
+    (pytest-asserted); DIFFERENT across generations by design — the shard
+    counters persist, so a later generation's rows continue in later rounds
+    (the continuous-crawl semantic the batch rule cannot express without
+    re-ranking the full history). ``host_rank`` stays generation-local.
+    """
+    import ray as _ray
+
+    from pixcrawler_ray.functions.hashing import hash64
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    handles = list(shards)
+    n = len(handles)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(host_rank=np.array([], dtype=np.int64),
+                             round=np.array([], dtype=np.int64))
+        s = df.sort_values(["priority", "seq"], ascending=[False, True],
+                           kind="mergesort")
+        hosts = s["host"].to_numpy()
+        uniq = pd.unique(hosts)
+        shard_of = {h: hash64(h) % n for h in uniq}
+        sid = np.fromiter((shard_of[h] for h in hosts), dtype=np.int64,
+                          count=len(hosts))
+        rounds = np.empty(len(hosts), dtype=np.int64)
+        pending = []
+        for k in range(n):
+            mask = sid == k
+            if mask.any():
+                pending.append(
+                    (mask, handles[k].admit.remote(list(hosts[mask]))))
+        for mask, ref in pending:
+            rounds[mask] = _ray.get(ref)
+        s = s.assign(
+            host_rank=s.groupby("host", sort=False).cumcount()
+                       .to_numpy().astype(np.int64),
+            round=rounds)
+        return s
+
+    return per_bucket(frontier_ds, ["host"], kernel,
+                      num_buckets=num_buckets)

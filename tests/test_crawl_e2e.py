@@ -3,6 +3,7 @@ extracted bytes (FIXTURES.md §4.2-4.5)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from pixcrawler_ray import oracle
@@ -207,3 +208,60 @@ def test_fetch_via_join_equals_broadcast(config, sf_tiny):
                for r in fetch_via_join(admitted, pages_ds)
                .select_columns(cols).take_all())
     assert j == b and len(b) > 0
+
+
+def test_streaming_admission_matches_batch_gate(ray_session, sf_tiny):
+    """STREAMING politeness (PolitenessShard actors) must reproduce the
+    batch rank exchange exactly for a single generation."""
+    import ray
+    from pixcrawler_ray.pipelines import crawl
+    from pixcrawler_ray.pipelines.crawl_queries import seeds_config
+    from pixcrawler_ray.stages.politeness import make_politeness_shards
+
+    cfg = seeds_config(sf_tiny, max_images=10)
+    batch = (crawl.build_frontier(cfg, sf_tiny, fused=False)
+             .to_pandas())
+    shards = make_politeness_shards(n_shards=3, budget_per_round=8)
+    try:
+        stream = (crawl.build_frontier(cfg, sf_tiny,
+                                       politeness_shards=shards)
+                  .to_pandas())
+    finally:
+        for s in shards:
+            ray.kill(s)
+    cols = ["url", "host_rank", "round"]
+    b = batch[cols].sort_values("url").reset_index(drop=True)
+    s = stream[cols].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
+def test_streaming_admission_rounds_continue_across_generations(ray_session):
+    """The shard counters persist: a second generation's rows land in LATER
+    rounds, continuing each host's admission history."""
+    import ray
+    import ray.data as rd
+    from pixcrawler_ray.stages.politeness import (
+        make_politeness_shards, streaming_admission)
+
+    def gen(seq0):
+        return rd.from_pandas(pd.DataFrame({
+            "url": [f"u{seq0 + i}" for i in range(6)],
+            "host": ["h1", "h1", "h1", "h2", "h2", "h2"],
+            "priority": [0] * 6,
+            "seq": list(range(seq0, seq0 + 6)),
+        }))
+
+    shards = make_politeness_shards(n_shards=2, budget_per_round=2)
+    try:
+        r1 = streaming_admission(gen(0), shards).to_pandas()
+        r2 = streaming_admission(gen(100), shards).to_pandas()
+    finally:
+        for s in shards:
+            ray.kill(s)
+    # gen 1: each host 3 rows, budget 2 -> rounds 0,0,1
+    assert sorted(r1[r1.host == "h1"]["round"]) == [0, 0, 1]
+    # gen 2 continues: admitted counts 3,4,5 -> rounds 1,2,2
+    assert sorted(r2[r2.host == "h1"]["round"]) == [1, 2, 2]
+    assert sorted(r2[r2.host == "h2"]["round"]) == [1, 2, 2]
+    # host_rank stays generation-local
+    assert sorted(r2[r2.host == "h1"]["host_rank"]) == [0, 1, 2]
