@@ -75,18 +75,26 @@ class SeenStore:
     10M-key memory/correctness test runs without an actor.
     """
 
-    __slots__ = ("base", "pending", "n_pending", "merge_threshold")
+    __slots__ = ("base", "pending", "n_pending", "merge_threshold",
+                 "removed")
 
     def __init__(self, merge_threshold: int = 1 << 18):
         self.base = np.zeros(0, dtype=np.uint64)
         self.pending: list[np.ndarray] = []
         self.n_pending = 0
         self.merge_threshold = merge_threshold
+        # budget-refund tombstones against ``base`` (applied at compact);
+        # stays small — refunds are rare relative to adds
+        self.removed = np.zeros(0, dtype=np.uint64)
 
     def _compact(self) -> None:
-        if self.pending:
-            self.base = np.unique(
-                np.concatenate([self.base] + self.pending))
+        if self.pending or len(self.removed):
+            merged = np.unique(np.concatenate([self.base] + self.pending))
+            if len(self.removed):
+                merged = np.setdiff1d(merged, self.removed,
+                                      assume_unique=True)
+                self.removed = np.zeros(0, dtype=np.uint64)
+            self.base = merged
             self.pending = []
             self.n_pending = 0
 
@@ -94,10 +102,30 @@ class SeenStore:
         h = np.unique(np.asarray(h, dtype=np.uint64))
         if not len(h):
             return
+        if len(self.removed):
+            # a re-added key clears its tombstone
+            self.removed = np.setdiff1d(self.removed, h,
+                                        assume_unique=True)
         self.pending.append(h)
         self.n_pending += len(h)
         if self.n_pending >= self.merge_threshold:
             self._compact()
+
+    def remove(self, h: np.ndarray) -> None:
+        """Un-mark keys (budget refund). Pending adds of these keys are
+        cancelled; keys already merged into ``base`` get a tombstone."""
+        h = np.unique(np.asarray(h, dtype=np.uint64))
+        if not len(h):
+            return
+        if self.pending:
+            self.pending = [p[~np.isin(p, h)] for p in self.pending]
+            self.n_pending = sum(len(p) for p in self.pending)
+        if len(self.base):
+            pos = np.searchsorted(self.base, h)
+            inb = pos < len(self.base)
+            hit = h[inb][self.base[pos[inb]] == h[inb]]
+            if len(hit):
+                self.removed = np.union1d(self.removed, hit)
 
     def contains(self, h: np.ndarray) -> np.ndarray:
         h = np.asarray(h, dtype=np.uint64)
@@ -108,6 +136,10 @@ class SeenStore:
             pos = np.searchsorted(arr, h)
             inb = pos < len(arr)
             out[inb] |= arr[pos[inb]] == h[inb]
+        if len(self.removed):
+            # base hits under a tombstone are gone UNLESS re-added later
+            # (re-adds cleared their tombstone in add())
+            out &= ~np.isin(h, self.removed)
         return out
 
     def __len__(self) -> int:
@@ -151,6 +183,16 @@ class SeenShard:
         if len(idx):
             out[idx] = self.exact.contains(h[idx])
         return out
+
+    def remove(self, hashes: np.ndarray) -> None:
+        """Budget refund: un-mark urls so a later generation may retry them.
+        The cuckoo accelerator deletes too (restoring the fast-path miss);
+        a plain bloom cannot — its stale positives are harmless because the
+        exact store is authoritative."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        self.exact.remove(h)
+        if hasattr(self.bloom, "remove_many"):
+            self.bloom.remove_many(h)
 
     def snapshot(self) -> np.ndarray:
         return self.exact.snapshot()

@@ -260,3 +260,45 @@ def test_top_terms_tiebreak_determinism(ray_session, tmp_path):
     assert got["term"].tolist() == ["apple", "mango"]
     assert got["rank"].tolist() == [1, 2]
     assert got["cnt"].tolist() == [2, 2]
+
+
+def test_seen_store_refund_semantics():
+    """remove() cancels pending adds, tombstones merged keys, and a re-add
+    clears the tombstone — across compaction boundaries."""
+    from pixcrawler_ray.stages.seen import SeenStore
+
+    s = SeenStore(merge_threshold=4)
+    keys = np.array([10, 20, 30], dtype=np.uint64)
+    s.add(keys)                                   # pending only
+    s.remove(np.array([20], dtype=np.uint64))     # cancels a pending add
+    assert s.contains(keys).tolist() == [True, False, True]
+    s.add(np.array([40, 50], dtype=np.uint64))    # triggers compaction
+    assert s.contains(keys).tolist() == [True, False, True]
+    s.remove(np.array([10], dtype=np.uint64))     # tombstone vs base
+    assert s.contains(keys).tolist() == [False, False, True]
+    s.add(np.array([10], dtype=np.uint64))        # re-add clears tombstone
+    assert s.contains(keys).tolist() == [True, False, True]
+    s._compact()
+    assert s.contains(keys).tolist() == [True, False, True]
+    assert 10 in s.snapshot() and 20 not in s.snapshot()
+
+
+def test_seen_shard_refund_roundtrip(ray_session):
+    """Shard-level refund with the cuckoo accelerator: add -> remove ->
+    re-add, membership correct at every step."""
+    import ray
+    from pixcrawler_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, capacity=1024, filter_kind="cuckoo")
+    try:
+        h = np.array([7, 8, 9], dtype=np.uint64)
+        ray.get(shard.add.remote(h))
+        assert ray.get(shard.contains.remote(h)).all()
+        ray.get(shard.remove.remote(h[:2]))
+        got = ray.get(shard.contains.remote(h))
+        assert got.tolist() == [False, False, True]
+        ray.get(shard.add.remote(h[:1]))
+        got = ray.get(shard.contains.remote(h))
+        assert got.tolist() == [True, False, True]
+    finally:
+        ray.kill(shard)
