@@ -239,7 +239,6 @@ def amplified_documents(sf_dir: str, factor: int):
     stresses the dedup stages). Pure function of the driver tables — no new
     entropy."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from pixcrawler_ray.sources.readers import read_table
 
