@@ -302,3 +302,38 @@ def test_seen_shard_refund_roundtrip(ray_session):
         assert got.tolist() == [True, False, True]
     finally:
         ray.kill(shard)
+
+
+def test_streaming_admission_under_exchange_fallback(ray_session,
+                                                     monkeypatch):
+    """Host affinity (each host wholly in one kernel task) must survive the
+    built-in-shuffle fallback, or the per-host admit stream would split."""
+    import ray
+    import ray.data as rd
+    from pixcrawler_ray.stages import shuffle as shuffle_mod
+    from pixcrawler_ray.stages.politeness import (
+        make_politeness_shards, streaming_admission)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "url": [f"u{i}" for i in range(n)],
+        "host": [f"h{int(x)}" for x in rng.integers(0, 37, n)],
+        "priority": rng.integers(0, 3, n),
+        "seq": np.arange(n),
+    })
+    expected = df.sort_values(["priority", "seq"],
+                              ascending=[False, True], kind="mergesort")
+    expected = expected.assign(
+        rank=expected.groupby("host", sort=False).cumcount())
+    want = dict(zip(expected["url"], expected["rank"] // 8))
+
+    monkeypatch.setattr(shuffle_mod, "_EXCHANGE_MAX_OBJECTS", 1)
+    shards = make_politeness_shards(n_shards=3, budget_per_round=8)
+    try:
+        got = streaming_admission(rd.from_pandas(df), shards).to_pandas()
+    finally:
+        for s in shards:
+            ray.kill(s)
+    assert len(got) == n
+    assert all(want[u] == r for u, r in zip(got["url"], got["round"]))
