@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.sample import sample_stratified
         return sample_stratified(sf_dir, per_stratum=50)
 
+    def url_canonical_q(sf_dir: str):
+        from pixcrawler_ray.stages.urlnorm import url_canonical
+        return url_canonical(sf_dir)
+
     def multimodal_sniff(sf_dir: str):
         # real header parsing over real container bytes (png/gif/bmp/jpeg
         # headers synthesized from doc_id arithmetic — SQL replays the
@@ -214,9 +218,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": ts.token_quantiles,              # oracled
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
+        "repetition_stats": ts.repetition_stats,            # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
+        "doc_fingerprints_flat": ts.doc_fingerprints_flat,  # oracled (summary)
         "fingerprint_containment":                          # rows-only
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
+        # --- frontier URL normalization ---
+        "url_canonical": url_canonical_q,                   # oracled
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
@@ -578,6 +586,109 @@ SELECT doc_id,
         AND COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
             <= 12 * array_length(words)) AS quality_ok
 FROM w"""
+
+    # Gopher-family repetition signals: distinct-token and top-adjacent-
+    # bigram counts, replayed via unnest + LEAD window. (No empty docs in
+    # the corpus — asserted in tests — so the trim-empty branch is moot.)
+    out["repetition_stats"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS lst
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(lst) AS word,
+         unnest(generate_series(1, array_length(lst))) AS idx
+  FROM w
+), base AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_tokens
+  FROM tok GROUP BY doc_id
+), bgc AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM (
+    SELECT doc_id, word, nxt, COUNT(*) AS c FROM (
+      SELECT doc_id, word,
+             LEAD(word) OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
+      FROM tok)
+    WHERE nxt IS NOT NULL GROUP BY doc_id, word, nxt)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+       b.n_tokens - b.n_distinct_tokens AS dup_tokens,
+       CAST(COALESCE(g.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       (2 * (b.n_tokens - b.n_distinct_tokens) <= b.n_tokens
+        AND 5 * COALESCE(g.top_bigram_count, 0) <= b.n_tokens) AS rep_ok
+FROM base b LEFT JOIN bgc g USING (doc_id)"""
+
+    # winnowed-fingerprint summary: the polynomial rolling hash mod 2^64
+    # (base = FNV prime, window 8) replayed in HUGEINT arithmetic over the
+    # all-ASCII corpus (chars == bytes); powers of the base mod 2^64 are
+    # precomputed literals. uint64 -> signed-int64 bit pattern for hashing.
+    out["doc_fingerprints_flat"] = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE length(text) >= 8
+), h AS (
+  SELECT doc_id,
+    CAST((
+      CAST(ascii(substr(text, i,     1)) AS HUGEINT) * 14218562807570617051 +
+      CAST(ascii(substr(text, i + 1, 1)) AS HUGEINT) * 15895002104753931833 +
+      CAST(ascii(substr(text, i + 2, 1)) AS HUGEINT) * 913917546033277539 +
+      CAST(ascii(substr(text, i + 3, 1)) AS HUGEINT) * 11527715348014283921 +
+      CAST(ascii(substr(text, i + 4, 1)) AS HUGEINT) * 624165263380053675 +
+      CAST(ascii(substr(text, i + 5, 1)) AS HUGEINT) * 956575116354345 +
+      CAST(ascii(substr(text, i + 6, 1)) AS HUGEINT) * 1099511628211 +
+      CAST(ascii(substr(text, i + 7, 1)) AS HUGEINT)
+    ) % 18446744073709551616 AS HUGEINT) AS fp
+  FROM pos
+), k AS (
+  SELECT doc_id, fp FROM h WHERE fp % 128 = 0
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS mn, MAX(fp) AS mx,
+         SUM(fp) % 18446744073709551616 AS sm
+  FROM k GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps,
+  CAST(CASE WHEN mn >= 9223372036854775808
+       THEN mn - 18446744073709551616 ELSE mn END AS BIGINT) AS min_fp,
+  CAST(CASE WHEN mx >= 9223372036854775808
+       THEN mx - 18446744073709551616 ELSE mx END AS BIGINT) AS max_fp,
+  CAST(CASE WHEN sm >= 9223372036854775808
+       THEN sm - 18446744073709551616 ELSE sm END AS BIGINT) AS sum_fp
+FROM agg"""
+
+    # URL canonicalization: the messy-alias derivation (doc_id % 4 variants
+    # over the corpus host/path arithmetic) and the RFC 3986 syntax
+    # normalization, both replayed with string functions.
+    out["url_canonical"] = r"""
+WITH u AS (
+  SELECT doc_id,
+    'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                ELSE 1 + (doc_id * 2654435761) % 499 END AS VARCHAR)
+        || '.example.com' AS host,
+    CASE WHEN doc_id % 50 = 7 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+         ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 3 THEN 'HTTP://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 4 IN (1, 3) THEN upper(host) ELSE host END)
+    || (CASE WHEN doc_id % 4 IN (1, 3) THEN ':80' ELSE '' END)
+    || path
+    || (CASE WHEN doc_id % 4 >= 2
+        THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url_raw
+  FROM u
+), c AS (
+  SELECT doc_id, url_raw,
+    regexp_extract(url_raw, '^[^#]*') AS nofrag,
+    regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/#]*') AS sh
+  FROM m
+)
+SELECT doc_id, url_raw,
+  regexp_replace(
+    regexp_replace(lower(sh), '^(http://[^/:]*):80$', '\1'),
+    '^(https://[^/:]*):443$', '\1')
+  || (CASE WHEN substr(nofrag, length(sh) + 1) = '' THEN '/'
+      ELSE substr(nofrag, length(sh) + 1) END) AS url_canon
+FROM c"""
 
     out["simsearch_topk"] = """
 WITH q AS (

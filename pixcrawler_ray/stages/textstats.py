@@ -316,6 +316,94 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def repetition_stats_batch(t: pa.Table) -> pa.Table:
+    """Gopher-family repetition signals per doc (Rae et al. 2021 §A1.1),
+    adapted to the corpus shape (single-line docs, so the line-based rules
+    become token/bigram rules). All integer-exact for oracle hashing:
+
+    - n_tokens: whitespace tokens
+    - n_distinct_tokens: distinct tokens
+    - dup_tokens: n_tokens - n_distinct (occurrences beyond the first)
+    - top_bigram_count: occurrences of the most frequent adjacent bigram
+    - rep_ok: dup fraction <= 1/2 AND top-bigram fraction <= 1/5, as scaled
+      integer comparisons (2*dup <= n AND 5*top_bigram <= n)
+
+    Vectorized: one Arrow whitespace split, flat (row, token) frames, pandas
+    C-level groupbys — no per-row Python loop.
+    """
+    words, offs, lens = _split_words(t.column("text"))
+    n = t.num_rows
+    counts = offs[1:] - offs[:-1]
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = pc.list_flatten(words).to_pandas().to_numpy()
+    keep = lens > 0              # Arrow split yields '' where Python drops
+    df = pd.DataFrame({"r": row_ids[keep], "w": flat[keep]})
+    n_tok = _segment_sum(keep.astype(np.int64), offs)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(df):
+        nd = df.drop_duplicates().groupby("r", sort=False).size()
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+    # adjacent bigrams: flat positions p, p+1 in the same row, both non-empty
+    top_big = np.zeros(n, dtype=np.int64)
+    if len(flat) > 1:
+        same = (row_ids[:-1] == row_ids[1:]) & keep[:-1] & keep[1:]
+        if same.any():
+            bg = pd.DataFrame({"r": row_ids[:-1][same],
+                               "a": flat[:-1][same],
+                               "b": flat[1:][same]})
+            per = bg.groupby(["r", "a", "b"], sort=False).size()
+            mx = per.groupby(level=0, sort=False).max()
+            top_big[mx.index.to_numpy()] = mx.to_numpy()
+    dup = n_tok - n_distinct
+    ok = (2 * dup <= n_tok) & (5 * top_big <= n_tok)
+    out = t.drop_columns(["text"])
+    out = out.append_column("n_tokens", pa.array(n_tok))
+    out = out.append_column("n_distinct_tokens", pa.array(n_distinct))
+    out = out.append_column("dup_tokens", pa.array(dup))
+    out = out.append_column("top_bigram_count", pa.array(top_big))
+    return out.append_column("rep_ok", pa.array(ok))
+
+
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition filter signals over ``documents`` (SQL-oracled)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def doc_fingerprints_flat(sf_dir: str, window: int = 8):
+    """Order-insensitive per-doc summary of the winnowed fingerprint multiset
+    (count / min / max / wraparound sum), SQL-oracleable: the polynomial
+    rolling hash mod 2^64 over ASCII bytes is replayed exactly in DuckDB
+    HUGEINT arithmetic (see ``__ray_entry__.oracle_sql``). Docs shorter than
+    ``window`` take a blake2b fallback the SQL can't express, so both sides
+    restrict to len(text) >= window and to docs with >= 1 kept fingerprint.
+
+    uint64 values are emitted as their int64 bit pattern (two's complement)
+    to match BIGINT on the oracle side.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        from pixcrawler_ray.functions.hashing import rolling_fingerprints_batch
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        fps = rolling_fingerprints_batch(texts, window=window)
+        rows = {"doc_id": [], "n_fps": [], "min_fp": [], "max_fp": [],
+                "sum_fp": []}
+        for did, text, f in zip(ids, texts, fps):
+            if len(text or "") < window or len(f) == 0:
+                continue
+            rows["doc_id"].append(int(did))
+            rows["n_fps"].append(len(f))
+            rows["min_fp"].append(np.int64(f.min()))
+            rows["max_fp"].append(np.int64(f.max()))
+            rows["sum_fp"].append(np.int64(np.sum(f, dtype=np.uint64)))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
 def token_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
     """EXACT per-lang quantiles of the whitespace token count, distributed.
 

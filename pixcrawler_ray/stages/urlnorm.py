@@ -1,0 +1,89 @@
+"""URL canonicalization — the normalization step a real frontier applies
+before the seen-filter, so `HTTP://Host.example.com:80/a#frag` and
+`http://host.example.com/a` dedup to one crawl unit.
+
+The reference never normalizes (its "urls" are engine/keyword pairs;
+``builder/_builder.py`` passes keywords straight to icrawler), but any
+Common-Crawl-scale frontier needs it: without canonicalization the URL-seen
+set inflates with trivial aliases (RFC 3986 §6 syntax-based normalization).
+
+Rules (the SQL oracle in ``__ray_entry__`` mirrors them verbatim):
+
+1. strip the fragment (everything from the first ``#``)
+2. lowercase the scheme and authority (host is case-insensitive)
+3. drop the default port (``:80`` for http, ``:443`` for https)
+4. an empty path becomes ``/``
+
+All-Arrow kernel: one ``extract_regex`` split into (scheme+authority, rest),
+RE2 rewrites for the port, ``if_else`` for the empty path — no per-row
+Python. Rows that don't parse as absolute URLs pass through unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SPLIT_RE = r"^(?P<sh>[A-Za-z][A-Za-z0-9+.\-]*://[^/#]*)(?P<rest>[^#]*)"
+
+
+def canonicalize_urls(col) -> pa.Array:
+    """Canonical form of an Arrow string array of URLs (rules above)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.extract_regex(col, _SPLIT_RE)
+    sh = pc.struct_field(parts, "sh")
+    rest = pc.struct_field(parts, "rest")
+    sh = pc.utf8_lower(sh)
+    sh = pc.replace_substring_regex(sh, r"^(http://[^/:]*):80$", r"\1")
+    sh = pc.replace_substring_regex(sh, r"^(https://[^/:]*):443$", r"\1")
+    rest = pc.if_else(pc.equal(rest, ""), "/", rest)
+    canon = pc.binary_join_element_wise(sh, rest, "")
+    return pc.if_else(pc.is_null(canon), col, canon)
+
+
+def messy_urls_for(doc_ids: np.ndarray) -> pa.Array:
+    """Deterministic alias variants of the corpus URLs, keyed on doc_id % 4
+    (0: clean, 1: UPPER host + :80, 2: fragment, 3: UPPER scheme + :80 +
+    fragment) — replayable in SQL, so the canonicalizer has real work to do
+    on the synthetic corpus whose URLs are already canonical."""
+    from pixcrawler_ray.corpus import hosts_for, paths_for
+
+    hosts = hosts_for(doc_ids)
+    paths = paths_for(doc_ids)
+    frag = np.char.add("#s", doc_ids.astype("U12"))
+    v = doc_ids % 4
+    scheme = np.where(v == 3, "HTTP://", "http://")
+    host = np.where((v == 1) | (v == 3), np.char.upper(hosts), hosts)
+    port = np.where((v == 1) | (v == 3), ":80", "")
+    tail = np.where(v >= 2, frag, "")
+    messy = np.char.add(np.char.add(np.char.add(
+        scheme.astype("U8"), host), np.char.add(port.astype("U4"), paths)),
+        tail)
+    return pa.array(messy.tolist(), type=pa.string())
+
+
+def url_canonical(sf_dir: str):
+    """Per-doc (messy URL, canonical URL) over ``documents`` (SQL-oracled).
+
+    The messy side is the deterministic alias of the corpus URL for that
+    doc_id; the canonical side is :func:`canonicalize_urls` over it. At
+    frontier scale this is a stateless ``map_batches`` directly upstream of
+    the host-hash admission shuffle — canonical URLs are what the seen-filter
+    and the per-host politeness buckets key on.
+    """
+    from pixcrawler_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        messy = messy_urls_for(ids)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url_raw": messy,
+            "url_canon": canonicalize_urls(messy),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -282,6 +282,59 @@ def test_textstats_vectorized_matches_python_semantics():
             == sum(len(w) for w in words)
 
 
+def test_repetition_stats_matches_python_reference():
+    """The vectorized repetition kernel must equal a plain-Python Counter
+    reference (distinct tokens, max adjacent-bigram count) on edge cases."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from pixcrawler_ray.stages import textstats as ts
+
+    texts = ["", " ", None, "one", "a a a a", "a b a b a b",
+             "x y z", "the the cat cat cat", "solo pair pair solo solo",
+             "a  b\t b  a"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = ts.repetition_stats_batch(t)
+    for i, x in enumerate(texts):
+        words = (x or "").split()
+        bigrams = Counter(zip(words, words[1:]))
+        assert out.column("n_tokens")[i].as_py() == len(words)
+        assert out.column("n_distinct_tokens")[i].as_py() == len(set(words))
+        assert out.column("dup_tokens")[i].as_py() \
+            == len(words) - len(set(words))
+        assert out.column("top_bigram_count")[i].as_py() \
+            == (max(bigrams.values()) if bigrams else 0)
+        dup = len(words) - len(set(words))
+        top = max(bigrams.values()) if bigrams else 0
+        assert out.column("rep_ok")[i].as_py() \
+            == (2 * dup <= len(words) and 5 * top <= len(words))
+
+
+def test_url_canonicalization_rules():
+    """RFC 3986 syntax normalization: fragment strip, scheme/host lowering,
+    default-port removal, empty-path -> '/'; non-URLs pass through."""
+    import pyarrow as pa
+
+    from pixcrawler_ray.stages.urlnorm import canonicalize_urls
+
+    cases = {
+        "http://Host.Example.COM/a/b": "http://host.example.com/a/b",
+        "HTTP://HOST.EXAMPLE.COM:80/a": "http://host.example.com/a",
+        "https://h.example.com:443/x?q=1#frag": "https://h.example.com/x?q=1",
+        "http://h.example.com": "http://h.example.com/",
+        "http://h.example.com#only-frag": "http://h.example.com/",
+        "http://h.example.com:8080/a": "http://h.example.com:8080/a",
+        "https://h.example.com:80/a": "https://h.example.com:80/a",
+        "http://h.example.com/A/B?Q=Mixed": "http://h.example.com/A/B?Q=Mixed",
+        "not a url": "not a url",
+        "": "",
+    }
+    got = canonicalize_urls(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
 def test_embedding_srp_pairs_planted(tmp_path):
     """SRP-LSH must recover planted near-duplicates with exact precision.
 
