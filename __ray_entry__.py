@@ -221,7 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": ts.repetition_stats,            # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
         "doc_fingerprints_flat": ts.doc_fingerprints_flat,  # oracled (summary)
-        "fingerprint_containment":                          # rows-only
+        "fingerprint_containment":                          # oracled
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
         # --- frontier URL normalization ---
         "url_canonical": url_canonical_q,                   # oracled
@@ -654,6 +654,46 @@ SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps,
   CAST(CASE WHEN sm >= 9223372036854775808
        THEN sm - 18446744073709551616 ELSE sm END AS BIGINT) AS sum_fp
 FROM agg"""
+
+    # MOSS containment pairs: replay the rolling-hash fingerprints (same
+    # HUGEINT arithmetic as doc_fingerprints_flat), then set-semantics
+    # self-join with the stop-fingerprint guard (fp in 2..64 docs), pair
+    # shared-counts, and the n_shared >= 0.8 * max(min(n_a,n_b),1) gate.
+    out["fingerprint_containment"] = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE length(text) >= 8
+), h AS (
+  SELECT doc_id,
+    CAST((
+      CAST(ascii(substr(text, i,     1)) AS HUGEINT) * 14218562807570617051 +
+      CAST(ascii(substr(text, i + 1, 1)) AS HUGEINT) * 15895002104753931833 +
+      CAST(ascii(substr(text, i + 2, 1)) AS HUGEINT) * 913917546033277539 +
+      CAST(ascii(substr(text, i + 3, 1)) AS HUGEINT) * 11527715348014283921 +
+      CAST(ascii(substr(text, i + 4, 1)) AS HUGEINT) * 624165263380053675 +
+      CAST(ascii(substr(text, i + 5, 1)) AS HUGEINT) * 956575116354345 +
+      CAST(ascii(substr(text, i + 6, 1)) AS HUGEINT) * 1099511628211 +
+      CAST(ascii(substr(text, i + 7, 1)) AS HUGEINT)
+    ) % 18446744073709551616 AS HUGEINT) AS fp
+  FROM pos
+), k AS (
+  SELECT DISTINCT doc_id, fp FROM h WHERE fp % 128 = 0
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_fp FROM k GROUP BY doc_id
+), good_fp AS (
+  SELECT fp FROM k GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM good_fp)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(LEAST(ta.n_fp, tb.n_fp) AS BIGINT) AS min_fp
+FROM p
+JOIN tot ta ON ta.doc_id = p.doc_a
+JOIN tot tb ON tb.doc_id = p.doc_b
+WHERE p.n_shared >= 0.8 * GREATEST(LEAST(ta.n_fp, tb.n_fp), 1)"""
 
     # URL canonicalization: the messy-alias derivation (doc_id % 4 variants
     # over the corpus host/path arithmetic) and the RFC 3986 syntax
