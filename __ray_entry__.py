@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
         "repetition_stats": ts.repetition_stats,            # oracled
+        "distinctive_terms": ts.distinctive_terms,          # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
         "doc_fingerprints_flat": ts.doc_fingerprints_flat,  # oracled (summary)
         "fingerprint_containment":                          # oracled
@@ -617,6 +618,26 @@ SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
        (2 * (b.n_tokens - b.n_distinct_tokens) <= b.n_tokens
         AND 5 * COALESCE(g.top_bigram_count, 0) <= b.n_tokens) AS rep_ok
 FROM base b LEFT JOIN bgc g USING (doc_id)"""
+
+    # most distinctive term per doc: argmax tf/df with ratio/tf/term
+    # tie-break — float division is the same IEEE double op on both sides.
+    out["distinctive_terms"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+             ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.tf DESC,
+                      t.term) AS rn
+  FROM tf t JOIN df d USING (term)
+) WHERE rn = 1"""
 
     # winnowed-fingerprint summary: the polynomial rolling hash mod 2^64
     # (base = FNV prime, window 8) replayed in HUGEINT arithmetic over the

@@ -370,6 +370,78 @@ def repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
+def distinctive_terms(sf_dir: str):
+    """Most distinctive term per doc — argmax of tf/df (the TF-IDF shape
+    with the rank-invariant 1/df weight; log(N/df) is monotone in it, so the
+    argmax is identical). Two-pass broadcast plan, the canonical small-side
+    pattern at 100 TB:
+
+    1. document frequency per term: per-batch distinct (doc, term) partials,
+       merged by ONE tiny term-bucket exchange (vocab << corpus, Heaps' law);
+    2. the df table is ``ray.put`` ONCE and read zero-copy inside every
+       second-pass batch (no per-batch re-ship, no corpus-scale join) to
+       score tf/df and take the per-doc argmax.
+
+    Ties break deterministically: ratio DESC, tf DESC, term ASC — float
+    division is the same IEEE double op on both sides, mirrored in the SQL
+    oracle's ROW_NUMBER. Output (doc_id, term, tf, df) is integer/string
+    exact for value hashing.
+    """
+    import ray
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_frame(t: pa.Table) -> pd.DataFrame:
+        words, offs, lens = _split_words(t.column("text"))
+        counts = offs[1:] - offs[:-1]
+        docs = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                         counts)
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        keep = lens > 0
+        df = pd.DataFrame({"doc_id": docs[keep], "term": flat[keep]})
+        return (df.groupby(["doc_id", "term"], sort=False)
+                .size().rename("tf").reset_index())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = (tf_frame(t)[["doc_id", "term"]]
+             .groupby("term", sort=False).size().rename("df").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("term", sort=False)["df"].sum().reset_index())
+
+    df_tbl = per_bucket(ds.map_batches(df_partial, batch_format="pyarrow"),
+                        ["term"], df_merge, num_buckets=4).to_pandas()
+    df_ref = ray.put(pd.Series(df_tbl["df"].to_numpy(),
+                               index=df_tbl["term"].to_numpy()))
+
+    def argmax(t: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        tf = tf_frame(t)
+        if not len(tf):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        tf["df"] = dfs.reindex(tf["term"].to_numpy()).to_numpy()
+        tf["ratio"] = tf["tf"].to_numpy().astype(np.float64) \
+            / tf["df"].to_numpy()
+        best = (tf.sort_values(["doc_id", "ratio", "tf", "term"],
+                               ascending=[True, False, False, True],
+                               kind="mergesort")
+                .groupby("doc_id", sort=False).head(1))
+        return pa.table({
+            "doc_id": pa.array(best["doc_id"].to_numpy(), type=pa.int64()),
+            "term": pa.array(best["term"].to_numpy(), type=pa.string()),
+            "tf": pa.array(best["tf"].to_numpy(), type=pa.int64()),
+            "df": pa.array(best["df"].to_numpy(), type=pa.int64()),
+        })
+
+    return ds.map_batches(argmax, batch_format="pyarrow")
+
+
 def doc_fingerprints_flat(sf_dir: str, window: int = 8):
     """Order-insensitive per-doc summary of the winnowed fingerprint multiset
     (count / min / max / wraparound sum), SQL-oracleable: the polynomial
