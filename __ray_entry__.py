@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.urlnorm import url_canonical
         return url_canonical(sf_dir)
 
+    def url_alias_dedup_q(sf_dir: str):
+        from pixcrawler_ray.stages.urlnorm import url_alias_dedup
+        return url_alias_dedup(sf_dir)
+
     def multimodal_sniff(sf_dir: str):
         # real header parsing over real container bytes (png/gif/bmp/jpeg
         # headers synthesized from doc_id arithmetic — SQL replays the
@@ -226,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
         # --- frontier URL normalization ---
         "url_canonical": url_canonical_q,                   # oracled
+        "url_alias_dedup": url_alias_dedup_q,               # oracled
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
@@ -750,6 +755,31 @@ SELECT doc_id, url_raw,
   || (CASE WHEN substr(nofrag, length(sh) + 1) = '' THEN '/'
       ELSE substr(nofrag, length(sh) + 1) END) AS url_canon
 FROM c"""
+
+    # frontier alias collapse: 3 syntactic aliases per doc all canonicalize
+    # to the same URL; keep-first by priority (variant*131 + doc_id) % 7,
+    # ties by variant — mirrored with ROW_NUMBER over the exploded aliases.
+    out["url_alias_dedup"] = """
+WITH u AS (
+  SELECT doc_id,
+    'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                ELSE 1 + (doc_id * 2654435761) % 499 END AS VARCHAR)
+        || '.example.com' AS host,
+    CASE WHEN doc_id % 50 = 7 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+         ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+), a AS (
+  SELECT doc_id, 'http://' || host || path AS url_canon,
+         v.variant, (v.variant * 131 + doc_id) % 7 AS prio
+  FROM u CROSS JOIN (VALUES (0), (1), (2)) v(variant)
+)
+SELECT doc_id, url_canon, CAST(variant AS BIGINT) AS kept_variant
+FROM (
+  SELECT doc_id, url_canon, variant,
+         ROW_NUMBER() OVER (PARTITION BY url_canon
+             ORDER BY prio * 4 + variant) AS rn
+  FROM a
+) WHERE rn = 1"""
 
     out["simsearch_topk"] = """
 WITH q AS (

@@ -64,6 +64,60 @@ def messy_urls_for(doc_ids: np.ndarray) -> pa.Array:
     return pa.array(messy.tolist(), type=pa.string())
 
 
+def url_alias_dedup(sf_dir: str):
+    """Frontier alias collapse (SQL-oracled): each doc's URL is exploded
+    into 3 deterministic aliases (clean / UPPER-host + :80 / fragment), all
+    of which canonicalize to the same URL, then the hash-bucketed
+    keep-first shuffle keeps ONE row per canonical URL — exactly what the
+    seen-filter admission does when a crawl discovers the same page under
+    syntactic variants. The keep order is a per-alias priority
+    ``(variant * 131 + doc_id) % 7`` (ties by variant), so the kept variant
+    differs across docs and the oracle exercises real ranking.
+
+    Returns (doc_id, url_canon, kept_variant).
+    """
+    import pyarrow.compute as _pc
+
+    from pixcrawler_ray.corpus import hosts_for, paths_for
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import keep_first_by
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids0 = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids0)
+        ids = np.repeat(ids0, 3)
+        v = np.tile(np.arange(3, dtype=np.int64), n)
+        hosts = hosts_for(ids)
+        paths = paths_for(ids)
+        scheme = np.where(v == 1, "HTTP://", "http://")
+        host = np.where(v == 1, np.char.upper(hosts), hosts)
+        port = np.where(v == 1, ":80", "")
+        tail = np.where(v == 2, np.char.add("#a", ids.astype("U12")), "")
+        messy = np.char.add(np.char.add(np.char.add(
+            scheme.astype("U8"), host), np.char.add(port.astype("U4"),
+                                                    paths)), tail)
+        canon = canonicalize_urls(pa.array(messy.tolist(), type=pa.string()))
+        prio = (v * 131 + ids) % 7
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "variant": pa.array(v),
+            "url_canon": canon,
+            "ord": pa.array(prio * 4 + v),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = keep_first_by(exploded, ["url_canon"], "ord")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "url_canon": t.column("url_canon"),
+                         "kept_variant": t.column("variant")})
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
 def url_canonical(sf_dir: str):
     """Per-doc (messy URL, canonical URL) over ``documents`` (SQL-oracled).
 
