@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": ts.token_counts,                    # oracled
         "quality_scores": ts.quality_scores,                # oracled
         "lang_id": ts.lang_id,                              # oracled
+        "lang_confusion": ts.lang_confusion,                # oracled
         "token_quantiles": ts.token_quantiles,              # oracled
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
@@ -871,5 +872,11 @@ SELECT doc_id, lang,
          ELSE 'es'
        END AS lang_pred
 FROM s"""
+
+    # confusion matrix over the same prediction replay
+    out["lang_confusion"] = (
+        "WITH preds AS (" + out["lang_id"] + """)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds GROUP BY lang, lang_pred""")
 
     return out

@@ -192,6 +192,30 @@ def lang_id(sf_dir: str):
     return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
+def lang_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix: (labeled lang, predicted
+    lang) -> count. The per-batch combiner collapses to at most
+    |langs| x |langs| rows, so the merge exchange is constant-sized however
+    large the corpus — the canonical evaluation aggregate for any model
+    stage (here the n-gram language-ID)."""
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    preds = lang_id(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (t.select(["lang", "lang_pred"]).to_pandas()
+              .groupby(["lang", "lang_pred"], sort=False)
+              .size().rename("n_docs").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["lang", "lang_pred"], sort=False)["n_docs"]
+                .sum().reset_index())
+
+    return per_bucket(preds.map_batches(partial, batch_format="pyarrow"),
+                      ["lang", "lang_pred"], merge, num_buckets=4)
+
+
 def fingerprint_containment(sf_dir: str, threshold: float = 0.8,
                             window: int = 8, max_fp_group: int = 64,
                             num_buckets: int = 32):
