@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": ts.quality_scores,                # oracled
         "lang_id": ts.lang_id,                              # oracled
         "lang_confusion": ts.lang_confusion,                # oracled
+        "curate_corpus": ts.curate_corpus,                  # oracled
         "token_quantiles": ts.token_quantiles,              # oracled
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
@@ -878,5 +879,18 @@ FROM s"""
         "WITH preds AS (" + out["lang_id"] + """)
 SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM preds GROUP BY lang, lang_pred""")
+
+    # fused curation gate: quality AND repetition AND language agreement —
+    # composed from the three already-verified replays (each keeps its own
+    # nested CTE scope).
+    out["curate_corpus"] = (
+        "WITH preds AS (" + out["lang_id"] + "),\n"
+        "q AS (" + out["quality_scores"] + "),\n"
+        "r AS (" + out["repetition_stats"] + """)
+SELECT q.doc_id, preds.lang, q.n_tokens
+FROM q
+JOIN r ON r.doc_id = q.doc_id
+JOIN preds ON preds.doc_id = q.doc_id
+WHERE q.quality_ok AND r.rep_ok AND preds.lang_pred = preds.lang""")
 
     return out

@@ -192,6 +192,35 @@ def lang_id(sf_dir: str):
     return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
+def curate_corpus(sf_dir: str):
+    """One-pass corpus curation (SQL-oracled): keep docs that pass ALL of
+    the Gopher-style quality gate, the repetition gate, and language
+    agreement (predicted == labeled). The three signal kernels run fused on
+    the SAME batch — one read of ``text``, zero extra passes or joins — the
+    shape a 100 TB curation sweep wants (signals are embarrassingly
+    per-doc; only the survivors leave the stage).
+
+    Returns (doc_id, lang, n_tokens) for kept docs.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    langid = LangId()
+
+    def kernel(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t.select(["doc_id", "text"]))
+        r = repetition_stats_batch(t.select(["doc_id", "text"]))
+        p = langid(t)
+        keep = (q.column("quality_ok").to_numpy(zero_copy_only=False)
+                & r.column("rep_ok").to_numpy(zero_copy_only=False)
+                & (np.asarray(p.column("lang_pred").to_pylist())
+                   == np.asarray(p.column("lang").to_pylist())))
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "lang": t.column("lang"),
+                        "n_tokens": q.column("n_tokens")})
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def lang_confusion(sf_dir: str):
     """Classifier-evaluation confusion matrix: (labeled lang, predicted
     lang) -> count. The per-batch combiner collapses to at most
