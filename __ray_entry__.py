@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": ts.lang_id,                              # oracled
         "lang_confusion": ts.lang_confusion,                # oracled
         "curate_corpus": ts.curate_corpus,                  # oracled
+        "length_outliers": ts.length_outliers,              # oracled
         "token_quantiles": ts.token_quantiles,              # oracled
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
@@ -545,6 +546,23 @@ SELECT lang,
        CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90,
        CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
 FROM n GROUP BY lang"""
+
+    # quantile-gated length filter: docs above their lang's exact p90
+    out["length_outliers"] = r"""
+WITH n AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(
+                   regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+), qn AS (
+  SELECT lang, CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS cut
+  FROM n GROUP BY lang
+)
+SELECT n.doc_id, n.lang, n.n_tokens, qn.cut
+FROM n JOIN qn USING (lang)
+WHERE n.n_tokens > qn.cut"""
 
     # top-k terms per lang; tie-break count DESC then term ASC on both sides
     out["top_terms"] = r"""

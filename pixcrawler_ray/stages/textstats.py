@@ -192,6 +192,41 @@ def lang_id(sf_dir: str):
     return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
+def length_outliers(sf_dir: str, q: float = 0.9):
+    """Docs whose token count exceeds their lang's q-quantile (SQL-oracled)
+    — the quantile-gated length filter of C4/Gopher curation. Two-stage
+    broadcast plan: the per-lang cut comes from the exact distributed
+    histogram quantile (:func:`token_quantiles`, a constant-sized result),
+    is ``ray.put`` once, and a second streaming pass filters against it —
+    no corpus-scale join, no re-shuffle.
+
+    Returns (doc_id, lang, n_tokens, cut) for docs with n_tokens > cut.
+    """
+    import ray
+
+    col = f"p{int(q * 100)}"
+    qt = token_quantiles(sf_dir, qs=(q,)).to_pandas()
+    cut_ref = ray.put(pd.Series(qt[col].to_numpy(),
+                                index=qt["lang"].to_numpy()))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        _, offs, lens = _split_words(t.column("text"))
+        n_tok = _segment_sum((lens > 0).astype(np.int64), offs)
+        langs = t.column("lang").to_pandas().to_numpy()
+        cut = cuts.reindex(langs).to_numpy()
+        keep = n_tok > cut
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "lang": t.column("lang"),
+                        "n_tokens": pa.array(n_tok),
+                        "cut": pa.array(cut.astype(np.int64))})
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def curate_corpus(sf_dir: str):
     """One-pass corpus curation (SQL-oracled): keep docs that pass ALL of
     the Gopher-style quality gate, the repetition gate, and language
