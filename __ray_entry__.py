@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.urlnorm import url_alias_dedup
         return url_alias_dedup(sf_dir)
 
+    def robots_parse_q(sf_dir: str):
+        from pixcrawler_ray.stages.robots import robots_parse
+        return robots_parse(sf_dir)
+
     def multimodal_sniff(sf_dir: str):
         # real header parsing over real container bytes (png/gif/bmp/jpeg
         # headers synthesized from doc_id arithmetic — SQL replays the
@@ -234,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- frontier URL normalization ---
         "url_canonical": url_canonical_q,                   # oracled
         "url_alias_dedup": url_alias_dedup_q,               # oracled
+        "robots_parse": robots_parse_q,                     # oracled
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
@@ -775,6 +780,21 @@ SELECT doc_id, url_raw,
   || (CASE WHEN substr(nofrag, length(sh) + 1) = '' THEN '/'
       ELSE substr(nofrag, length(sh) + 1) END) AS url_canon
 FROM c"""
+
+    # robots.txt byte round-trip: the Ray side synthesizes each host's
+    # literal robots.txt and parses it back with regex kernels; the oracle
+    # replays the generating rule — a parser defect diverges.
+    out["robots_parse"] = """
+WITH h AS (
+  SELECT DISTINCT CASE WHEN doc_id % 3 = 0 THEN 0
+                  ELSE 1 + (doc_id * 2654435761) % 499 END AS host_id
+  FROM documents
+)
+SELECT host_id,
+       CAST(1 + host_id % 3 AS BIGINT) AS crawl_delay,
+       CASE WHEN host_id % 20 = 1 AND host_id <> 0
+            THEN '/private/' ELSE '' END AS disallow_prefix
+FROM h"""
 
     # frontier alias collapse: 3 syntactic aliases per doc all canonicalize
     # to the same URL; keep-first by priority (variant*131 + doc_id) % 7,

@@ -49,6 +49,72 @@ def robots_mask_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("robots_allowed", pa.array(allowed))
 
 
+def robots_txt_for(hid: np.ndarray) -> np.ndarray:
+    """Synthesize each host's literal robots.txt from the corpus rule —
+    a Crawl-delay line (1 + k % 3 seconds) plus the /private/ Disallow for
+    rule-hit hosts. The byte-level round-trip companion to the rule-based
+    gate: :func:`parse_robots_batch` must recover the rule from these bytes.
+    """
+    dis = corpus.robots_disallowed_host(hid)
+    delay = (1 + hid % 3).astype("U2")
+    head = np.char.add("User-agent: *\nCrawl-delay: ",
+                       np.char.add(delay, "\n"))
+    tail = np.where(dis, "Disallow: /private/\n", "Disallow:\n")
+    return np.char.add(head, tail)
+
+
+def parse_robots_batch(t: pa.Table) -> pa.Table:
+    """Parse robots.txt text columns with Arrow regex kernels: extracts
+    ``crawl_delay`` (int, 0 when absent) and ``disallow_prefix`` (first
+    non-empty Disallow value, '' when the host allows everything)."""
+    import pyarrow.compute as pc
+
+    txt = t.column("robots_txt")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    cd = pc.extract_regex(txt, r"Crawl-delay: (?P<cd>\d+)")
+    delay = pc.fill_null(
+        pc.cast(pc.struct_field(cd, "cd"), pa.int64()), 0)
+    dis = pc.extract_regex(txt, r"Disallow: (?P<pfx>\S+)")
+    prefix = pc.fill_null(pc.struct_field(dis, "pfx"), "")
+    out = t.drop_columns(["robots_txt"])
+    out = out.append_column("crawl_delay", delay)
+    return out.append_column("disallow_prefix", prefix)
+
+
+def robots_parse(sf_dir: str):
+    """Per-host parsed robots verdicts over the hosts the corpus actually
+    references (SQL-oracled). The Ray side builds each host's literal
+    robots.txt bytes and recovers the rule by parsing them; the oracle
+    replays the rule arithmetic directly — any parser defect diverges.
+    """
+    from pixcrawler_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def per_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hid = np.unique(corpus.host_ids(ids))
+        return pa.table({
+            "host_id": pa.array(hid),
+            "robots_txt": pa.array(robots_txt_for(hid).tolist(),
+                                   type=pa.string()),
+        })
+
+    from pixcrawler_ray.stages.shuffle import keep_first_by
+
+    per_batch = ds.map_batches(per_host, batch_format="pyarrow")
+    parsed = per_batch.map_batches(parse_robots_batch,
+                                   batch_format="pyarrow")
+    # batches may repeat a host; keep one deterministic row per host
+    parsed = parsed.map_batches(
+        lambda t: t.append_column("ord", t.column("host_id")),
+        batch_format="pyarrow")
+    kept = keep_first_by(parsed, ["host_id"], "ord")
+    return kept.map_batches(lambda t: t.drop_columns(["ord"]),
+                            batch_format="pyarrow")
+
+
 def apply_robots(frontier_ds, keep_blocked: bool = False):
     """Tag (and by default drop) robots-disallowed frontier rows."""
     ds = frontier_ds.map_batches(robots_mask_batch, batch_format="pyarrow")

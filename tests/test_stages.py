@@ -335,6 +335,27 @@ def test_url_canonicalization_rules():
     assert got == list(cases.values())
 
 
+def test_robots_txt_roundtrip_matches_rule():
+    """Parsing the synthesized robots.txt bytes must recover exactly the
+    rule the gate applies (disallow mask + crawl delay) for every host."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.stages.robots import parse_robots_batch, robots_txt_for
+
+    hid = np.arange(500, dtype=np.int64)
+    t = pa.table({"host_id": pa.array(hid),
+                  "robots_txt": pa.array(robots_txt_for(hid).tolist(),
+                                         type=pa.string())})
+    parsed = parse_robots_batch(t)
+    dis = parsed.column("disallow_prefix").to_pylist()
+    delay = parsed.column("crawl_delay").to_numpy()
+    expect = corpus.robots_disallowed_host(hid)
+    assert [p == "/private/" for p in dis] == expect.tolist()
+    assert (delay == 1 + hid % 3).all()
+
+
 def test_embedding_srp_pairs_planted(tmp_path):
     """SRP-LSH must recover planted near-duplicates with exact precision.
 
