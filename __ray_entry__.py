@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fetch_status": cq.q_crawl_fetch_status,
         "crawl_quarantine": cq.q_crawl_quarantine,
         "crawl_budget": cq.q_crawl_budget,
+        "crawl_delta": cq.q_crawl_delta,
         "crawl_extract": cq.q_crawl_extract,
         "pages_per_host": cq.q_pages_per_host,
         "extract_all_pages": cq.q_extract_all_pages,

@@ -179,6 +179,28 @@ def q_crawl_budget(sf_dir: str):
     return kept.select_columns(["url", "keyword", "seq"])
 
 
+def q_crawl_delta(sf_dir: str):
+    """Incremental-crawl delta (SQL-oracled): the epoch-2 budget doubles,
+    and the delta is epoch-2 admissions anti-joined against the epoch-1
+    URL-seen set — the resume/top-up shape (`seen` anti-join) expressed
+    through the same distributed bucketed join the checkpoint resume path
+    uses, now under the value-hash gate instead of pytest only.
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    fetched = fetch_dataset(fr, pages_index_ref(sf_dir))
+    ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), STATUS_OK)),
+        batch_format="pyarrow")
+    e1 = (keep_first_n(ok, ["keyword"], "seq", ORACLE_MAX_IMAGES)
+          .select_columns(["url"]))
+    e2 = keep_first_n(ok, ["keyword"], "seq", 2 * ORACLE_MAX_IMAGES)
+    delta = bucketed_join(e2.select_columns(["url", "keyword", "seq"]),
+                          e1, on="url", how="anti")
+    return delta.select_columns(["url", "keyword", "seq"])
+
+
 def q_crawl_extract(sf_dir: str):
     """END-TO-END invariant: md5 of the extracted text per budget survivor.
 
@@ -448,6 +470,15 @@ SELECT url, keyword, seq FROM statused
 WHERE status = 200
 QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
         <= {ORACLE_MAX_IMAGES}"""
+    out["crawl_delta"] = _sql_cand() + f""",
+ok AS (SELECT url, keyword, seq FROM statused WHERE status = 200),
+e1 AS (SELECT url FROM ok
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
+               <= {ORACLE_MAX_IMAGES}),
+e2 AS (SELECT url, keyword, seq FROM ok
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
+               <= {2 * ORACLE_MAX_IMAGES})
+SELECT e2.url, e2.keyword, e2.seq FROM e2 ANTI JOIN e1 USING (url)"""
     out["crawl_extract"] = _sql_cand() + f"""
 SELECT s.url, s.seq,
        md5(CASE WHEN s.doc_id % 97 = 13 THEN '' ELSE d.text END) AS text_md5,
