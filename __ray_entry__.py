@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": cq.q_crawl_frontier,
         "crawl_robots": cq.q_crawl_robots,
         "crawl_schedule": cq.q_crawl_schedule,
+        "crawl_schedule_delay": cq.q_crawl_schedule_delay,
         "crawl_fetch_status": cq.q_crawl_fetch_status,
         "crawl_quarantine": cq.q_crawl_quarantine,
         "crawl_budget": cq.q_crawl_budget,

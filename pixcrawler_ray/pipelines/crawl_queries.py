@@ -161,6 +161,16 @@ def q_crawl_schedule(sf_dir: str):
     return ds.select_columns(["url", "host", "seq", "host_rank", "round"])
 
 
+def q_crawl_schedule_delay(sf_dir: str):
+    """Politeness schedule honoring parsed robots Crawl-delay (SQL-oracled):
+    a delay-d host's per-round budget is max(1, budget // d), so slow hosts
+    spread over proportionally more virtual rounds."""
+    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
+    ds = assign_rounds(fr, budget_per_round=ORACLE_BUDGET_PER_ROUND,
+                       respect_crawl_delay=True)
+    return ds.select_columns(["url", "host", "seq", "host_rank", "round"])
+
+
 def q_crawl_fetch_status(sf_dir: str):
     """Fetch statuses for the scheduled frontier (200/415/503)."""
     fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
@@ -456,6 +466,14 @@ SELECT url, host, seq,
          AS host_rank,
        (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
          // {ORACLE_BUDGET_PER_ROUND} AS round
+FROM allowed"""
+    out["crawl_schedule_delay"] = _sql_cand() + f"""
+SELECT url, host, seq,
+       ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1
+         AS host_rank,
+       (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
+         // GREATEST({ORACLE_BUDGET_PER_ROUND} // (1 + host_id % 3), 1)
+         AS round
 FROM allowed"""
     out["crawl_fetch_status"] = _sql_cand() + """
 SELECT url, seq, status FROM statused"""

@@ -39,21 +39,34 @@ DEFAULT_BUDGET_PER_ROUND = 8
 
 
 def assign_rounds(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
-                  num_buckets: int = 64):
+                  num_buckets: int = 64, respect_crawl_delay: bool = False):
     """Append ``host_rank`` and ``round`` columns.
 
     host_rank = ROW_NUMBER() OVER (PARTITION BY host
                                    ORDER BY priority DESC, seq ASC) - 1
     round     = host_rank // budget_per_round
+
+    With ``respect_crawl_delay=True`` each host's per-round budget shrinks
+    by its parsed robots Crawl-delay (``stages.robots.crawl_delay_for``):
+    effective budget = max(1, budget_per_round // delay) — a delay-3 host
+    admits a third as many URLs per virtual round. Off by default so the
+    baseline schedule (and its oracles) is unchanged.
     """
 
     def kernel(df: pd.DataFrame):
         s = df.sort_values(["priority", "seq"], ascending=[False, True],
                            kind="mergesort")
         ranks = s.groupby("host", sort=False).cumcount().to_numpy()
+        if respect_crawl_delay:
+            from pixcrawler_ray.stages.robots import crawl_delay_for
+            hid = (s["host"].str.extract(r"h(\d+)\.", expand=False)
+                   .astype(np.int64).to_numpy())
+            eff = np.maximum(budget_per_round // crawl_delay_for(hid), 1)
+        else:
+            eff = budget_per_round
         return s.index.to_numpy(), {
             "host_rank": ranks.astype(np.int64),
-            "round": (ranks // budget_per_round).astype(np.int64),
+            "round": (ranks // eff).astype(np.int64),
         }
 
     return per_bucket_take(frontier_ds, ["host"], ["host", "priority", "seq"],

@@ -49,14 +49,22 @@ def robots_mask_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("robots_allowed", pa.array(allowed))
 
 
+def crawl_delay_for(hid: np.ndarray) -> np.ndarray:
+    """Per-host Crawl-delay seconds (1 + k % 3) — the single source of the
+    delay rule, shared by the robots.txt synthesizer and the delay-aware
+    politeness schedule."""
+    return 1 + hid.astype(np.int64) % 3
+
+
 def robots_txt_for(hid: np.ndarray) -> np.ndarray:
     """Synthesize each host's literal robots.txt from the corpus rule —
-    a Crawl-delay line (1 + k % 3 seconds) plus the /private/ Disallow for
-    rule-hit hosts. The byte-level round-trip companion to the rule-based
-    gate: :func:`parse_robots_batch` must recover the rule from these bytes.
+    a Crawl-delay line (:func:`crawl_delay_for`) plus the /private/
+    Disallow for rule-hit hosts. The byte-level round-trip companion to the
+    rule-based gate: :func:`parse_robots_batch` must recover the rule from
+    these bytes.
     """
     dis = corpus.robots_disallowed_host(hid)
-    delay = (1 + hid % 3).astype("U2")
+    delay = crawl_delay_for(hid).astype("U2")
     head = np.char.add("User-agent: *\nCrawl-delay: ",
                        np.char.add(delay, "\n"))
     tail = np.where(dis, "Disallow: /private/\n", "Disallow:\n")
