@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.robots import robots_parse
         return robots_parse(sf_dir)
 
+    def link_mass_q(sf_dir: str):
+        from pixcrawler_ray.stages.graph import link_mass
+        return link_mass(sf_dir, rounds=3)
+
     def multimodal_sniff(sf_dir: str):
         # real header parsing over real container bytes (png/gif/bmp/jpeg
         # headers synthesized from doc_id arithmetic — SQL replays the
@@ -241,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": url_canonical_q,                   # oracled
         "url_alias_dedup": url_alias_dedup_q,               # oracled
         "robots_parse": robots_parse_q,                     # oracled
+        # --- iterative graph propagation ---
+        "link_mass": link_mass_q,                           # oracled
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)
@@ -782,6 +788,23 @@ SELECT doc_id, url_raw,
   || (CASE WHEN substr(nofrag, length(sh) + 1) = '' THEN '/'
       ELSE substr(nofrag, length(sh) + 1) END) AS url_canon
 FROM c"""
+
+    # iterative integer mass propagation (PageRank shape): the exact
+    # round-chain replayed as generated CTEs — integer shares make every
+    # round order-insensitive, so SUM parity is exact.
+    _sends = " UNION ALL ".join(
+        f"SELECT (m.doc_id * {mu} + {ad}) % nd.n AS doc_id, "
+        f"m.mass // 3 AS mass FROM m{{r}} m, nd"
+        for mu, ad in zip((7, 9, 11), (13, 14, 15))
+    ) + " UNION ALL SELECT m.doc_id, m.mass - 3 * (m.mass // 3) FROM m{r} m"
+    _lm = ("WITH nd AS (SELECT count(*) AS n FROM documents),\n"
+           "m0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS mass "
+           "FROM documents)")
+    for _r in range(3):
+        _lm += (f",\ns{_r} AS ({_sends.format(r=_r)}),\n"
+                f"m{_r + 1} AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) "
+                f"AS mass FROM s{_r} GROUP BY doc_id)")
+    out["link_mass"] = _lm + "\nSELECT doc_id, mass FROM m3"
 
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle

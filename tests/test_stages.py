@@ -335,6 +335,17 @@ def test_url_canonicalization_rules():
     assert got == list(cases.values())
 
 
+def test_link_mass_conserves_and_converges(sf_tiny):
+    """Integer mass propagation must conserve total mass exactly at every
+    round count (each node ships 3*floor(m/3) and keeps the remainder)."""
+    from pixcrawler_ray.stages.graph import INIT_MASS, link_mass
+
+    for rounds in (1, 3):
+        t = link_mass(sf_tiny, rounds=rounds).to_pandas()
+        assert t["mass"].sum() == len(t) * INIT_MASS
+        assert (t["mass"] >= 0).all()
+
+
 def test_robots_txt_roundtrip_matches_rule():
     """Parsing the synthesized robots.txt bytes must recover exactly the
     rule the gate applies (disallow mask + crawl delay) for every host."""
