@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.graph import link_mass
         return link_mass(sf_dir, rounds=3)
 
+    def audio_frame_energy_q(sf_dir: str):
+        from pixcrawler_ray.stages import multimodal as mm
+        return mm.audio_frame_energy(mm.synthetic_audio(sf_dir))
+
     def multimodal_sniff(sf_dir: str):
         # real header parsing over real container bytes (png/gif/bmp/jpeg
         # headers synthesized from doc_id arithmetic — SQL replays the
@@ -257,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": multimodal_resize,             # oracled (sum)
         "multimodal_frames": multimodal_frames,             # oracled
         "multimodal_sniff": multimodal_sniff,               # oracled
+        "audio_frame_energy": audio_frame_energy_q,         # oracled
         # --- flagship e2e (rows-only; pytest-oracled) ---
         "crawl_e2e": crawl_e2e,
     }
@@ -788,6 +793,24 @@ SELECT doc_id, url_raw,
   || (CASE WHEN substr(nofrag, length(sh) + 1) = '' THEN '/'
       ELSE substr(nofrag, length(sh) + 1) END) AS url_canon
 FROM c"""
+
+    # framewise PCM energy: samples and header fields are doc_id arithmetic
+    # (the Ray side decodes them from REAL WAV bytes); int64 sums are exact.
+    out["audio_frame_energy"] = """
+WITH smp AS (
+  SELECT doc_id, unnest(generate_series(0, 64 + doc_id % 64 - 1)) AS i
+  FROM documents
+), s AS (
+  SELECT doc_id, i, ((doc_id * 37 + i * 101) % 2048 - 1024) AS v
+  FROM smp
+)
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(i // 16 AS BIGINT) AS frame_idx,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s
+WHERE i // 16 < (64 + doc_id % 64) // 16
+GROUP BY doc_id, i // 16"""
 
     # iterative integer mass propagation (PageRank shape): the exact
     # round-chain replayed as generated CTEs — integer shares make every

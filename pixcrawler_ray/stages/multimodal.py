@@ -75,6 +75,74 @@ def synthetic_media(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def synthetic_audio(sf_dir: str):
+    """documents -> REAL PCM16 WAV rows: a genuine 44-byte RIFF header
+    (sample rate 8000 + (d%3)*4000, mono) followed by n = 64 + d % 64
+    deterministic little-endian int16 samples s_i = ((d*37 + i*101) % 2048)
+    - 1024 — arithmetic the SQL oracle replays, bytes the parser and the
+    energy kernel must actually decode."""
+    from pixcrawler_ray.functions.mediameta import encode_wav_header
+    from pixcrawler_ray.sources.readers import read_table
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            n = 64 + d % 64
+            i = np.arange(n, dtype=np.int64)
+            samples = ((d * 37 + i * 101) % 2048 - 1024).astype("<i2")
+            payloads.append(encode_wav_header(8000 + (d % 3) * 4000, 1,
+                                              samples.tobytes()))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def audio_frame_energy(audio_ds, frame: int = 16):
+    """Framewise PCM energy (sum of squared int16 samples per ``frame``-
+    sample window, full frames only) — the voice-activity-detection
+    primitive, as a stateless batch kernel. The sample rate is parsed from
+    the actual RIFF header bytes, the samples from the data chunk; energy
+    sums are exact int64, so the stage is value-hash oracleable.
+
+    Vectorized across the batch: one concatenated sample buffer, one
+    squared cumsum, per-frame energies as cumsum differences.
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        arrs = [np.frombuffer(p, dtype="<i2", offset=44) for p in payloads]
+        rates = [int.from_bytes(p[24:28], "little") for p in payloads]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        nf = lens // frame
+        if nf.sum() == 0:
+            return pa.table({"media_id": pa.array([], type=pa.int64()),
+                             "sample_rate": pa.array([], type=pa.int64()),
+                             "frame_idx": pa.array([], type=pa.int64()),
+                             "energy": pa.array([], type=pa.int64())})
+        data = (np.concatenate(arrs).astype(np.int64) if arrs
+                else np.zeros(0, dtype=np.int64))
+        cs = np.concatenate([[0], np.cumsum(data * data)])
+        base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        frame_idx = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in nf])
+        starts = np.repeat(base, nf) + frame_idx * frame
+        energy = cs[starts + frame] - cs[starts]
+        return pa.table({
+            "media_id": pa.array(np.repeat(ids, nf)),
+            "sample_rate": pa.array(np.repeat(
+                np.asarray(rates, dtype=np.int64), nf)),
+            "frame_idx": pa.array(frame_idx),
+            "energy": pa.array(energy),
+        })
+
+    return audio_ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def sniff_metadata(media_ds, payload_col: str = "payload"):
     """Metadata-extraction stage: container format + dimensions parsed from
     raw header bytes (no decode, no image library — see mediameta.py).
