@@ -817,9 +817,11 @@ GROUP BY doc_id, i // 16"""
     # round order-insensitive, so SUM parity is exact.
     _sends = " UNION ALL ".join(
         f"SELECT (m.doc_id * {mu} + {ad}) % nd.n AS doc_id, "
-        f"m.mass // 3 AS mass FROM m{{r}} m, nd"
-        for mu, ad in zip((7, 9, 11), (13, 14, 15))
-    ) + " UNION ALL SELECT m.doc_id, m.mass - 3 * (m.mass // 3) FROM m{r} m"
+        f"m.mass // (1 + m.doc_id % 3) AS mass FROM m{{r}} m, nd "
+        f"WHERE 1 + m.doc_id % 3 > {j}"
+        for j, (mu, ad) in enumerate(zip((7, 9, 11), (13, 14, 15)))
+    ) + (" UNION ALL SELECT m.doc_id, m.mass - (1 + m.doc_id % 3) * "
+         "(m.mass // (1 + m.doc_id % 3)) FROM m{r} m")
     _lm = ("WITH nd AS (SELECT count(*) AS n FROM documents),\n"
            "m0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS mass "
            "FROM documents)")

@@ -5,7 +5,7 @@ map_batches explosion + keyed aggregation rounds.
 The reference has no graph stage; a web-scale crawler needs one (link-graph
 authority feeds frontier priority). The corpus pages carry no inter-host
 links, so the graph is synthesized deterministically from doc_id arithmetic
-(k=3 out-links per node, replayable in SQL), and the propagation uses
+(out-degree k(d) = 1 + d % 3, replayable in SQL), and the propagation uses
 INTEGER mass — each node ships floor(mass/k) along each edge and keeps the
 remainder — so every round is order-insensitive integer summation and the
 whole fixed-point prefix is value-hash oracleable (float PageRank sums are
@@ -27,19 +27,20 @@ import pyarrow as pa
 
 from pixcrawler_ray.sources.readers import read_table
 
-K_LINKS = 3
 INIT_MASS = 1000
-# target_j(d) = (d * MULT[j] + ADD[j]) % n_docs
+# out-degree k(d) = 1 + d % 3 (VARYING — uniform k with coprime multipliers
+# makes every map a bijection mod n and uniform mass a trivial fixed point);
+# target_j(d) = (d * MULT[j] + ADD[j]) % n_docs for j < k(d)
 MULTS = (7, 9, 11)
 ADDS = (13, 14, 15)
 
 
-def link_mass(sf_dir: str, rounds: int = 3):
-    """Integer mass after ``rounds`` propagation steps (SQL-oracled)."""
-    from pixcrawler_ray.stages.shuffle import per_bucket
+def _out_degree(d: np.ndarray) -> np.ndarray:
+    return 1 + d % 3
 
+
+def _initial_mass(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
-    n_docs = docs.count()
 
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -48,23 +49,82 @@ def link_mass(sf_dir: str, rounds: int = 3):
                 np.full(t.num_rows, INIT_MASS, dtype=np.int64)),
         })
 
-    mass = docs.map_batches(init, batch_format="pyarrow")
+    return docs.map_batches(init, batch_format="pyarrow"), docs.count()
+
+
+def _propagate_round(mass_ds, n_docs: int):
+    """One round: explode k arithmetic sends + 1 keep, groupby-sum."""
+    from pixcrawler_ray.stages.shuffle import per_bucket
 
     def send(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         m = t.column("mass").to_numpy(zero_copy_only=False)
-        share = m // K_LINKS
-        nodes = [(d * mu + ad) % n_docs for mu, ad in zip(MULTS, ADDS)]
-        nodes.append(d)
-        masses = [share] * K_LINKS + [m - K_LINKS * share]
+        k = _out_degree(d)
+        share = m // k
+        nodes, masses = [d], [m - k * share]
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            sel = k > j
+            nodes.append((d[sel] * mu + ad) % n_docs)
+            masses.append(share[sel])
         return pa.table({"doc_id": pa.array(np.concatenate(nodes)),
                          "mass": pa.array(np.concatenate(masses))})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby("doc_id", sort=False)["mass"].sum().reset_index())
 
+    sends = mass_ds.map_batches(send, batch_format="pyarrow")
+    return per_bucket(sends, ["doc_id"], merge, num_buckets=8)
+
+
+def link_mass(sf_dir: str, rounds: int = 3):
+    """Integer mass after ``rounds`` propagation steps (SQL-oracled)."""
+    mass, n_docs = _initial_mass(sf_dir)
     for _ in range(rounds):
-        sends = mass.map_batches(send, batch_format="pyarrow")
-        mass = per_bucket(sends, ["doc_id"], merge, num_buckets=8)
+        mass = _propagate_round(mass, n_docs)
+    return mass
+
+
+def link_mass_resumable(sf_dir: str, out_dir: str, rounds: int = 3,
+                        fail_after_round: int | None = None):
+    """Round-granular checkpointed propagation: each completed round's mass
+    table commits as an atomically-renamed ``round={r}`` parquet dir with a
+    ``_DONE`` marker; resume scans for the highest complete round and
+    continues from its committed table — the iterative-algorithm analog of
+    the crawl's epoch checkpoints (state/checkpoint.py). On a 100 TB graph
+    the per-round table is O(nodes) fixed-width, the natural recovery
+    granule for a multi-hour power-iteration job.
+
+    ``fail_after_round``: test hook — raise before computing round r+1.
+    """
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    _, n_docs = _initial_mass(sf_dir)
+
+    start, mass = 0, None
+    for r in range(rounds, 0, -1):
+        p = os.path.join(out_dir, f"round-{r}")
+        if os.path.exists(os.path.join(p, "_DONE")):
+            start = r
+            mass = rd.read_parquet(p, file_extensions=["parquet"])
+            break
+    if mass is None:
+        mass, _ = _initial_mass(sf_dir)
+
+    for r in range(start + 1, rounds + 1):
+        if fail_after_round is not None and r > fail_after_round:
+            raise RuntimeError(f"simulated crash before round {r}")
+        mass = _propagate_round(mass, n_docs)
+        tmp = os.path.join(out_dir, f"_tmp-round-{r}")
+        final = os.path.join(out_dir, f"round-{r}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        mass.write_parquet(tmp)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        mass = rd.read_parquet(final, file_extensions=["parquet"])
 
     return mass

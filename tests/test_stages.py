@@ -346,6 +346,23 @@ def test_link_mass_conserves_and_converges(sf_tiny):
         assert (t["mass"] >= 0).all()
 
 
+def test_link_mass_resumable_crash_equals_uninterrupted(sf_tiny, tmp_path):
+    """Crash after round 1, resume, and match both the uninterrupted
+    checkpointed run and the non-checkpointed pipeline exactly."""
+    import pytest
+
+    from pixcrawler_ray.stages.graph import link_mass, link_mass_resumable
+
+    out = str(tmp_path / "lm")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        link_mass_resumable(sf_tiny, out, rounds=3, fail_after_round=1)
+    resumed = (link_mass_resumable(sf_tiny, out, rounds=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    direct = (link_mass(sf_tiny, rounds=3).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert resumed.equals(direct)
+
+
 def test_robots_txt_roundtrip_matches_rule():
     """Parsing the synthesized robots.txt bytes must recover exactly the
     rule the gate applies (disallow mask + crawl delay) for every host."""
