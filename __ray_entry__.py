@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.graph import link_mass
         return link_mass(sf_dir, rounds=3)
 
+    def distinct_urls_kmv_q(sf_dir: str):
+        from pixcrawler_ray.stages.sketch import distinct_urls_per_host
+        return distinct_urls_per_host(sf_dir)
+
     def audio_frame_energy_q(sf_dir: str):
         from pixcrawler_ray.stages import multimodal as mm
         return mm.audio_frame_energy(mm.synthetic_audio(sf_dir))
@@ -251,6 +255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_parse": robots_parse_q,                     # oracled
         # --- iterative graph propagation ---
         "link_mass": link_mass_q,                           # oracled
+        # --- cardinality sketch (rows-only: estimate depends on the hash;
+        #     pytest asserts exact-when-small + bounded error + merge order
+        #     invariance) ---
+        "distinct_urls_kmv": distinct_urls_kmv_q,
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,                   # oracled
         "simsearch_ivf": simsearch_ivf,                     # rows-only (approx)

@@ -346,6 +346,60 @@ def test_link_mass_conserves_and_converges(sf_tiny):
         assert (t["mass"] >= 0).all()
 
 
+def test_kmv_sketch_exact_small_and_bounded_error():
+    """KMV: exact when cardinality <= k; bounded relative error when
+    estimating; merge-order invariant (associative partials)."""
+    import numpy as np
+    import pandas as pd
+
+    from pixcrawler_ray.stages.sketch import kmv_estimate, kmv_partial
+
+    rng = np.random.default_rng(7)
+    # deterministic 'hashes': uniform uint64 draws stand in for hash values
+    small = rng.integers(0, 2**64, size=40, dtype=np.uint64)
+    est, exact = kmv_estimate(
+        kmv_partial(np.zeros(40, dtype=object), small, k=64), k=64)
+    assert exact and est == len(np.unique(small))
+
+    big = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    true_n = len(np.unique(big))
+    p1 = kmv_partial(np.zeros(10000, dtype=object), big[:10000], k=64)
+    p2 = kmv_partial(np.zeros(10000, dtype=object), big[10000:], k=64)
+    merged_ab = pd.concat([p1, p2])
+    merged_ba = pd.concat([p2, p1])
+    est_ab, exact_ab = kmv_estimate(merged_ab, k=64)
+    est_ba, _ = kmv_estimate(merged_ba, k=64)
+    assert est_ab == est_ba and not exact_ab        # order-invariant merge
+    assert abs(est_ab - true_n) / true_n < 0.5      # ~4 sigma at k=64
+
+
+def test_distinct_urls_per_host_vs_exact(sf_tiny):
+    """The distributed sketch must be exact for every host with <= k URLs
+    and within KMV error for the hot host."""
+    import numpy as np
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.sketch import distinct_urls_per_host
+
+    out = distinct_urls_per_host(sf_tiny, k=64).to_pandas()
+    ids = (read_table(sf_tiny, "documents", columns=["doc_id"])
+           .to_pandas()["doc_id"].to_numpy())
+    url, host = corpus.urls_hosts_arrow(ids)
+    import pandas as pd
+    truth = (pd.DataFrame({"host": host.to_pylist(),
+                           "url": url.to_pylist()})
+             .groupby("host")["url"].nunique())
+    merged = out.set_index("host").join(truth.rename("true_n"))
+    exact = merged[merged["is_exact"]]
+    assert (exact["n_distinct_est"] == exact["true_n"]).all()
+    approx = merged[~merged["is_exact"]]
+    if len(approx):
+        rel = (approx["n_distinct_est"] - approx["true_n"]).abs() \
+            / approx["true_n"]
+        assert (rel < 0.5).all()
+
+
 def test_link_mass_resumable_crash_equals_uninterrupted(sf_tiny, tmp_path):
     """Crash after round 1, resume, and match both the uninterrupted
     checkpointed run and the non-checkpointed pipeline exactly."""
