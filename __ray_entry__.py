@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": ts.distinctive_terms,          # oracled
         "doc_fingerprints": ts.doc_fingerprints,            # rows-only
         "doc_fingerprints_flat": ts.doc_fingerprints_flat,  # oracled (summary)
+        "decontaminate": ts.decontaminate,                  # oracled
         "fingerprint_containment":                          # oracled
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
         # --- frontier URL normalization ---
@@ -726,6 +727,39 @@ SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps,
   CAST(CASE WHEN sm >= 9223372036854775808
        THEN sm - 18446744073709551616 ELSE sm END AS BIGINT) AS sum_fp
 FROM agg"""
+
+    # decontamination: distinct train-doc fingerprints hit by the holdout
+    # (doc_id % 50 == 7) fingerprint set — same HUGEINT hash replay.
+    # n_fps counts DISTINCT fps here (set semantics, unlike the flat
+    # summary's multiset count).
+    out["decontaminate"] = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE length(text) >= 8
+), h AS (
+  SELECT doc_id,
+    CAST((
+      CAST(ascii(substr(text, i,     1)) AS HUGEINT) * 14218562807570617051 +
+      CAST(ascii(substr(text, i + 1, 1)) AS HUGEINT) * 15895002104753931833 +
+      CAST(ascii(substr(text, i + 2, 1)) AS HUGEINT) * 913917546033277539 +
+      CAST(ascii(substr(text, i + 3, 1)) AS HUGEINT) * 11527715348014283921 +
+      CAST(ascii(substr(text, i + 4, 1)) AS HUGEINT) * 624165263380053675 +
+      CAST(ascii(substr(text, i + 5, 1)) AS HUGEINT) * 956575116354345 +
+      CAST(ascii(substr(text, i + 6, 1)) AS HUGEINT) * 1099511628211 +
+      CAST(ascii(substr(text, i + 7, 1)) AS HUGEINT)
+    ) % 18446744073709551616 AS HUGEINT) AS fp
+  FROM pos
+), k AS (
+  SELECT DISTINCT doc_id, fp FROM h WHERE fp % 128 = 0
+), hold AS (
+  SELECT DISTINCT fp FROM k WHERE doc_id % 50 = 7
+)
+SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+  CAST(COUNT(*) FILTER (WHERE k.fp IN (SELECT fp FROM hold)) AS BIGINT)
+    AS n_contaminated,
+  (100 * COUNT(*) FILTER (WHERE k.fp IN (SELECT fp FROM hold))
+    >= 20 * COUNT(*)) AS contaminated
+FROM k WHERE k.doc_id % 50 <> 7 GROUP BY k.doc_id"""
 
     # MOSS containment pairs: replay the rolling-hash fingerprints (same
     # HUGEINT arithmetic as doc_fingerprints_flat), then set-semantics

@@ -564,6 +564,73 @@ def doc_fingerprints_flat(sf_dir: str, window: int = 8):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def decontaminate(sf_dir: str, window: int = 8, flag_pct: int = 20):
+    """Benchmark-decontamination check (SQL-oracled): for every train doc,
+    how many of its distinct winnowed fingerprints appear anywhere in the
+    held-out set (docs with doc_id % 50 == 7 stand in for the benchmark),
+    and a ``contaminated`` flag when >= ``flag_pct``% of them do — the
+    n-gram-overlap decontamination step of LLM data pipelines (e.g. GPT-3
+    appendix C shape), on the repo's fingerprint machinery.
+
+    Scale shape: the holdout is tiny next to a 100 TB train set, so its
+    distinct fingerprint set is ``ray.put`` ONCE and each train batch does
+    one vectorized ``np.isin`` against the sorted broadcast array — a
+    broadcast semi-join, no shuffle.
+
+    Returns (doc_id, n_fps, n_contaminated, contaminated), docs with >= 1
+    fingerprint and length >= window, train side only.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp_rows(t: pa.Table):
+        from pixcrawler_ray.functions.hashing import (
+            rolling_fingerprints_batch)
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids, texts, rolling_fingerprints_batch(texts, window=window)
+
+    def holdout_partial(t: pa.Table) -> pa.Table:
+        ids, texts, fps = fp_rows(t)
+        keep = [np.unique(f) for d, x, f in zip(ids, texts, fps)
+                if d % 50 == 7 and len(x or "") >= 8 and len(f)]
+        u = (np.unique(np.concatenate(keep)) if keep
+             else np.zeros(0, dtype=np.uint64))
+        return pa.table({"fp": pa.array(u.astype(np.int64))})
+
+    # int64 transits Arrow; view the bit pattern back to uint64 before the
+    # isin (mixed-sign isin silently matches nothing)
+    hold = np.unique(
+        ds.map_batches(holdout_partial, batch_format="pyarrow")
+        .to_pandas()["fp"].to_numpy().view(np.uint64))
+    hold_ref = ray.put(hold)            # sorted — np.isin fast path
+
+    def score(t: pa.Table) -> pa.Table:
+        hset = ray.get(hold_ref)
+        ids, texts, fps = fp_rows(t)
+        rows = {"doc_id": [], "n_fps": [], "n_contaminated": [],
+                "contaminated": []}
+        for d, x, f in zip(ids, texts, fps):
+            if d % 50 == 7 or len(x or "") < 8 or len(f) == 0:
+                continue
+            u = np.unique(f)
+            hits = int(np.isin(u, hset, assume_unique=True).sum())
+            rows["doc_id"].append(int(d))
+            rows["n_fps"].append(len(u))
+            rows["n_contaminated"].append(hits)
+            rows["contaminated"].append(100 * hits >= flag_pct * len(u))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "n_fps": pa.array(rows["n_fps"], type=pa.int64()),
+            "n_contaminated": pa.array(rows["n_contaminated"],
+                                       type=pa.int64()),
+            "contaminated": pa.array(rows["contaminated"], type=pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def token_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
     """EXACT per-lang quantiles of the whitespace token count, distributed.
 
