@@ -114,3 +114,40 @@ def test_sniff_roundtrip_property(kind, width, height, filler):
            "bmp": encode_bmp_header, "jpeg": encode_jpeg_header}[kind]
     fmts, w, h = sniff_dims([enc(width, height, filler)])
     assert fmts == [kind] and w[0] == width and h[0] == height
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=80))
+def test_url_canonicalize_idempotent(s):
+    """Canonicalization is idempotent on ARBITRARY strings (RFC 3986 §6
+    normalization is a projection), and never returns null."""
+    import pyarrow as pa
+
+    from pixcrawler_ray.stages.urlnorm import canonicalize_urls
+
+    once = canonicalize_urls(pa.array([s], type=pa.string())).to_pylist()
+    twice = canonicalize_urls(pa.array(once, type=pa.string())).to_pylist()
+    assert twice == once and once[0] is not None
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(alphabet=" abcdef", max_size=40), max_size=8))
+def test_repetition_kernel_matches_counter_reference(texts):
+    """Vectorized repetition signals == the Counter spec on arbitrary
+    ASCII-word text (the oracle SQL mirrors the same spec)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from pixcrawler_ray.stages.textstats import repetition_stats_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = repetition_stats_batch(t)
+    for i, x in enumerate(texts):
+        words = (x or "").split()
+        bigrams = Counter(zip(words, words[1:]))
+        assert out.column("n_tokens")[i].as_py() == len(words)
+        assert out.column("n_distinct_tokens")[i].as_py() == len(set(words))
+        assert out.column("top_bigram_count")[i].as_py() \
+            == (max(bigrams.values()) if bigrams else 0)
