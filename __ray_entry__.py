@@ -160,6 +160,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.sample import sample_stratified
         return sample_stratified(sf_dir, per_stratum=50)
 
+    def curate_dedup_q(sf_dir: str):
+        # the resumable_curation pipeline's exact survivor set
+        from pixcrawler_ray.pipelines.curation import curated_dataset
+        ds = curated_dataset(sf_dir)
+
+        def project(t):
+            import pyarrow as _pa
+            return _pa.table({"doc_id": t.column("seq"),
+                              "lang": t.column("keyword")})
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
     def url_canonical_q(sf_dir: str):
         from pixcrawler_ray.stages.urlnorm import url_canonical
         return url_canonical(sf_dir)
@@ -240,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": ts.lang_confusion,                # oracled
         "curate_corpus": ts.curate_corpus,                  # oracled
         "length_outliers": ts.length_outliers,              # oracled
+        "curate_dedup": curate_dedup_q,                     # oracled
         "token_quantiles": ts.token_quantiles,              # oracled
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled
@@ -1022,5 +1035,14 @@ FROM q
 JOIN r ON r.doc_id = q.doc_id
 JOIN preds ON preds.doc_id = q.doc_id
 WHERE q.quality_ok AND r.rep_ok AND preds.lang_pred = preds.lang""")
+
+    # curation-pipeline survivor set: the curate gate composed with exact
+    # keep-first dedup (min doc_id per md5(text)) — what resumable_curation
+    # writes, minus the partitioning.
+    out["curate_dedup"] = (
+        "WITH curated AS (" + out["curate_corpus"] + """)
+SELECT c.doc_id, c.lang FROM curated c JOIN documents d USING (doc_id)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                           ORDER BY c.doc_id) = 1""")
 
     return out

@@ -103,3 +103,28 @@ def test_simhash_near_pairs_within_radius(sf_tiny):
     got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)
            if a in sims and b in sims}
     assert want <= got
+
+
+def test_resumable_curation_crash_and_resume(sf_tiny, tmp_path):
+    """Curation sweep: crash after 1 committed partition, resume, output
+    byte-identical to an uninterrupted run."""
+    import pytest
+
+    from pixcrawler_ray.pipelines.curation import resumable_curation
+    from pixcrawler_ray.state import checkpoint
+
+    full_dir = str(tmp_path / "full")
+    resumable_curation(sf_tiny, full_dir, num_partitions=4)
+    full = checkpoint.read_output(full_dir)
+
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError):
+        resumable_curation(sf_tiny, crash_dir, num_partitions=4,
+                           fail_after=1)
+    assert len(checkpoint.completed_partitions(crash_dir)) == 1
+    resumable_curation(sf_tiny, crash_dir, num_partitions=4)
+    resumed = checkpoint.read_output(crash_dir)
+
+    assert resumed.num_rows == full.num_rows > 0
+    assert resumed.sort_by([("seq", "ascending")]).equals(
+        full.sort_by([("seq", "ascending")]))
