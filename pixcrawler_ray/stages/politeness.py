@@ -403,16 +403,40 @@ class PolitenessShard:
     cache; ``admit(hosts)`` returns each URL's round number.
     """
 
-    def __init__(self, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND):
+    def __init__(self, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
+                 respect_crawl_delay: bool = False):
         self.budget = budget_per_round
+        self.respect_crawl_delay = respect_crawl_delay
         self.admitted: dict[str, int] = {}
         self.robots_cache: dict[str, bool] = {}
+        self._budget_cache: dict[str, int] = {}
+
+    def _host_budget(self, h: str) -> int:
+        """Effective per-round budget — shrunk by the parsed robots
+        Crawl-delay when enabled, mirroring assign_rounds(respect_crawl_
+        delay=True). Cached per host (a real crawler caches the robots
+        fetch the same way)."""
+        if not self.respect_crawl_delay:
+            return self.budget
+        b = self._budget_cache.get(h)
+        if b is None:
+            import re
+
+            import numpy as np_
+
+            from pixcrawler_ray.stages.robots import crawl_delay_for
+            m = re.match(r"h(\d+)\.", h)
+            delay = int(crawl_delay_for(
+                np_.array([int(m.group(1))]))[0]) if m else 1
+            b = max(self.budget // delay, 1)
+            self._budget_cache[h] = b
+        return b
 
     def admit(self, hosts: list[str]) -> np.ndarray:
         out = np.empty(len(hosts), dtype=np.int64)
         for i, h in enumerate(hosts):
             k = self.admitted.get(h, 0)
-            out[i] = k // self.budget
+            out[i] = k // self._host_budget(h)
             self.admitted[h] = k + 1
         return out
 
@@ -425,9 +449,11 @@ class PolitenessShard:
 
 
 def make_politeness_shards(n_shards: int = 4,
-                           budget_per_round: int = DEFAULT_BUDGET_PER_ROUND):
+                           budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
+                           respect_crawl_delay: bool = False):
     """Spawn the host-hash-sharded streaming schedulers (kill after use)."""
-    return [PolitenessShard.remote(budget_per_round=budget_per_round)
+    return [PolitenessShard.remote(budget_per_round=budget_per_round,
+                                   respect_crawl_delay=respect_crawl_delay)
             for _ in range(n_shards)]
 
 

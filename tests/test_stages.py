@@ -550,6 +550,26 @@ def test_politeness_shard_actor_matches_batch_rule():
     assert list(rounds) == [0, 0, 1, 0, 1, 0, 1]
 
 
+def test_politeness_shard_delay_matches_batch_rule(sf_tiny):
+    """The streaming shard with respect_crawl_delay must reproduce the
+    delay-aware batch schedule exactly: budget shrinks to
+    max(budget // (1 + host_id % 3), 1) per host."""
+    import ray
+
+    from pixcrawler_ray.stages.politeness import PolitenessShard
+
+    shard = PolitenessShard.remote(budget_per_round=6,
+                                   respect_crawl_delay=True)
+    # h1 delay=2 -> budget 3; h2 delay=3 -> budget 2; h3 delay=1 -> budget 6
+    hosts = (["h1.example.com"] * 7 + ["h2.example.com"] * 5
+             + ["h3.example.com"] * 7)
+    rounds = ray.get(shard.admit.remote(hosts))
+    expect = ([k // 3 for k in range(7)] + [k // 2 for k in range(5)]
+              + [k // 6 for k in range(7)])
+    assert list(rounds) == expect
+    ray.kill(shard)
+
+
 def test_batch_fingerprints_match_scalar(sf_tiny):
     """simhash64_batch / minhash_signature_batch must be value-identical to
     the scalar reference implementations."""
