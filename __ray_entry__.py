@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": ts.curate_corpus,                  # oracled
         "length_outliers": ts.length_outliers,              # oracled
         "curate_dedup": curate_dedup_q,                     # oracled
+        "bpe_token_counts": ts.bpe_token_counts,            # rows-only
+        #   (greedy-merge loop has no SQL analog; pytest: batch == scalar)
         "token_quantiles": ts.token_quantiles,              # oracled
         "top_terms": lambda sf: ts.top_terms(sf, k=20),     # oracled
         "sample_stratified": sample_stratified_q,           # oracled

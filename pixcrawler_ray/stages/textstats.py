@@ -404,6 +404,31 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+class BpeTokens:
+    """Actor-pool map_batches stage: greedy-BPE token counts per doc.
+    The merge ranks + distinct-word cache live in actor state
+    (``functions.bpe.BpeCounter``) — built once per actor in __init__,
+    hit across every batch the actor sees (Zipf makes the cache the whole
+    performance model at corpus scale)."""
+
+    def __init__(self) -> None:
+        from pixcrawler_ray.functions.bpe import BpeCounter
+        self.counter = BpeCounter()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = self.counter.count_texts(t.column("text").to_pylist())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bpe_merge_tokens": pa.array(n)})
+
+
+def bpe_token_counts(sf_dir: str):
+    """Per-doc greedy-BPE token counts (actor pool; rows-only query — the
+    greedy merge loop has no SQL analog; pytest pins batch == scalar)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(BpeTokens, concurrency=(1, 4), batch_size=256,
+                          batch_format="pyarrow")
+
+
 def repetition_stats_batch(t: pa.Table) -> pa.Table:
     """Gopher-family repetition signals per doc (Rae et al. 2021 §A1.1),
     adapted to the corpus shape (single-line docs, so the line-based rules

@@ -346,6 +346,22 @@ def test_link_mass_conserves_and_converges(sf_tiny):
         assert (t["mass"] >= 0).all()
 
 
+def test_bpe_counter_matches_scalar_and_merges():
+    """BpeCounter batch counts == per-word scalar spec; spot-check known
+    merges (the->1 token via t+h then th+e; unmergeable stays chars)."""
+    from pixcrawler_ray.functions.bpe import BpeCounter, bpe_word
+
+    assert bpe_word("the") == ["the"]
+    assert bpe_word("xqz") == ["x", "q", "z"]
+    assert bpe_word("") == []
+    texts = ["the cat", "standing orders", None, "", "xqz the the",
+             "in er an re"]
+    got = BpeCounter().count_texts(texts)
+    for i, x in enumerate(texts):
+        expect = sum(len(bpe_word(w)) for w in (x or "").split())
+        assert got[i] == expect
+
+
 def test_kmv_sketch_exact_small_and_bounded_error():
     """KMV: exact when cardinality <= k; bounded relative error when
     estimating; merge-order invariant (associative partials)."""
