@@ -17,7 +17,6 @@ skips finished shards on restart.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def curated_dataset(sf_dir: str):

@@ -76,8 +76,6 @@ def url_alias_dedup(sf_dir: str):
 
     Returns (doc_id, url_canon, kept_variant).
     """
-    import pyarrow.compute as _pc
-
     from pixcrawler_ray.corpus import hosts_for, paths_for
     from pixcrawler_ray.sources.readers import read_table
     from pixcrawler_ray.stages.shuffle import keep_first_by
