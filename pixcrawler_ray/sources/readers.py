@@ -42,6 +42,39 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                            override_num_blocks=blocks)
 
 
+def ingest_table(path: str, fmt: str | None = None,
+                 columns: list[str] | None = None):
+    """Format-dispatching ingest for external corpora: parquet (native),
+    jsonl, or csv — the formats web-text drops actually arrive in (WARC
+    derivatives ship as jsonl.gz; metadata sidecars as csv). Non-parquet
+    inputs stream through Ray's native readers and then project to the
+    requested columns, so a one-time ``ingest -> write_parquet`` conversion
+    is the same pipeline as a direct query.
+
+    ``fmt`` defaults from the file suffix. Column pruning happens at the
+    read only for parquet (the columnar format); jsonl/csv must parse rows
+    anyway, so the projection is a stage.
+    """
+    import ray.data as _rd
+
+    if fmt is None:
+        low = path.lower()
+        fmt = ("parquet" if low.endswith(".parquet")
+               else "jsonl" if low.endswith((".jsonl", ".json"))
+               else "csv" if low.endswith(".csv") else "parquet")
+    if fmt == "parquet":
+        return _rd.read_parquet(path, columns=columns)
+    if fmt == "jsonl":
+        ds = _rd.read_json(path)
+    elif fmt == "csv":
+        ds = _rd.read_csv(path)
+    else:
+        raise ValueError(f"unsupported ingest format: {fmt}")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def pool_size(fraction: float = 0.5, minimum: int = 1) -> int:
     """Deterministic actor-pool size proportional to cluster CPUs.
 

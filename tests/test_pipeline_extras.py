@@ -190,3 +190,28 @@ def test_retry_rounds_with_shortfall(sf_tiny):
     phs = [r["phash"] for r in rows]
     assert len(md5s) == len(set(md5s))
     assert len(phs) == len(set(phs))
+
+
+def test_ingest_formats_roundtrip(sf_tiny, tmp_path):
+    """jsonl and csv ingests of the documents table must produce the same
+    rows as the parquet read (external-corpus ingestion path)."""
+    import duckdb
+
+    from pixcrawler_ray.sources.readers import ingest_table, read_table
+
+    jsonl = str(tmp_path / "docs.jsonl")
+    csvp = str(tmp_path / "docs.csv")
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT doc_id, lang FROM "
+                f"read_parquet('{sf_tiny}/documents.parquet') ORDER BY doc_id)"
+                f" TO '{jsonl}'")
+    con.execute(f"COPY (SELECT doc_id, lang FROM "
+                f"read_parquet('{sf_tiny}/documents.parquet') ORDER BY doc_id)"
+                f" TO '{csvp}' (HEADER)")
+
+    base = (read_table(sf_tiny, "documents", columns=["doc_id", "lang"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for path in (jsonl, csvp):
+        got = (ingest_table(path, columns=["doc_id", "lang"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got[["doc_id", "lang"]].equals(base[["doc_id", "lang"]])
