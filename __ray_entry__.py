@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": rel.q_events_sessionize,
         "events_sliding": rel.q_events_sliding,
         "events_asof_orders": rel.q_events_asof_orders,
+        "events_funnel": lambda sf: rel.q_events_funnel(sf, window_s=86400),
         "sequential_rename": rel.q_sequential_rename,
         # --- crawl stages (oracled) ---
         "crawl_units": cq.q_crawl_units,
@@ -392,6 +393,21 @@ SELECT event_type,
          AS sum_value_cents
 FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
 GROUP BY event_type, date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR"""
+
+    # A-then-B-within-T funnel: first signup per user, purchases within 24h
+    out["events_funnel"] = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT s.user_id, s.signup_ts,
+       min(e.ts) AS first_purchase_ts,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM s JOIN events e ON e.user_id = s.user_id
+    AND e.event_type = 'purchase'
+    AND e.ts >= s.signup_ts
+    AND e.ts <= s.signup_ts + INTERVAL 24 HOUR
+GROUP BY s.user_id, s.signup_ts"""
 
     out["events_sessionize"] = """
 WITH gaps AS (

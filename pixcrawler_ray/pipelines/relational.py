@@ -271,6 +271,41 @@ def q_events_sessionize(sf_dir: str, gap_minutes: int = 30):
     return per_bucket(ds, ["user_id"], kernel, num_buckets=32)
 
 
+def q_events_funnel(sf_dir: str, window_s: int = 3600):
+    """Conversion funnel (SQL-oracled): per user, the first ``signup``
+    event and the purchases landing within ``window_s`` seconds of it —
+    the A-then-B-within-T shape of event analytics. One column-pruned,
+    type-filtered read, one user-hash bucket exchange, a vectorized
+    per-bucket kernel; users without an in-window purchase drop (inner
+    funnel). Output (user_id, signup_ts, first_purchase_ts, n_purchases).
+    """
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type",
+                                               "ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                    value_set=pa.array(
+                                        ["signup", "purchase"]))),
+        batch_format="pyarrow")
+    win = np.timedelta64(window_s, "s")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sign = (g[g["event_type"] == "signup"]
+                .groupby("user_id", sort=False)["ts"].min()
+                .rename("signup_ts"))
+        p = g[g["event_type"] == "purchase"].merge(
+            sign, left_on="user_id", right_index=True)
+        p = p[(p["ts"] >= p["signup_ts"])
+              & (p["ts"] <= p["signup_ts"] + win)]
+        out = (p.groupby(["user_id", "signup_ts"], sort=False)
+               .agg(first_purchase_ts=("ts", "min"),
+                    n_purchases=("ts", "size"))
+               .reset_index())
+        out["n_purchases"] = out["n_purchases"].astype("int64")
+        return out
+
+    return per_bucket(ds, ["user_id"], kernel, num_buckets=32)
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join (custom operator): last order date <= event ts per user.
 
