@@ -61,7 +61,11 @@ def ingest_table(path: str, fmt: str | None = None,
         low = path.lower()
         fmt = ("parquet" if low.endswith(".parquet")
                else "jsonl" if low.endswith((".jsonl", ".json"))
-               else "csv" if low.endswith(".csv") else "parquet")
+               else "csv" if low.endswith(".csv") else None)
+        if fmt is None:
+            raise ValueError(
+                f"cannot infer ingest format from suffix of {path!r}; "
+                "pass fmt='parquet' | 'jsonl' | 'csv' explicitly")
     if fmt == "parquet":
         return _rd.read_parquet(path, columns=columns)
     if fmt == "jsonl":

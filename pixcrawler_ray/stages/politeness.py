@@ -59,9 +59,14 @@ def assign_rounds(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
         ranks = s.groupby("host", sort=False).cumcount().to_numpy()
         if respect_crawl_delay:
             from pixcrawler_ray.stages.robots import crawl_delay_for
-            hid = (s["host"].str.extract(r"h(\d+)\.", expand=False)
-                   .astype(np.int64).to_numpy())
-            eff = np.maximum(budget_per_round // crawl_delay_for(hid), 1)
+            # non-synthetic hosts (no h<N>. prefix) get delay 1, mirroring
+            # PolitenessShard._host_budget — the batch and streaming paths
+            # share one fallback rule (ADVICE r3)
+            ext = s["host"].str.extract(r"h(\d+)\.", expand=False)
+            matched = ext.notna().to_numpy()
+            hid = ext.fillna("0").astype(np.int64).to_numpy()
+            delay = np.where(matched, crawl_delay_for(hid), 1)
+            eff = np.maximum(budget_per_round // delay, 1)
         else:
             eff = budget_per_round
         return s.index.to_numpy(), {
