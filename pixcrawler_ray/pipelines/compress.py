@@ -33,13 +33,34 @@ def write_compressed_parquet(ds, out_dir: str, codec: str = "zstd",
 
 
 def recompress_payloads(ds, column: str = "html", level: int = 6):
-    """M14 — per-record payload recompression as a vectorized batch stage."""
+    """M14 — per-record payload recompression.
+
+    The codec call is per-record BY SEMANTICS (the reference compresses each
+    image file individually, ``utility/compress``), so the zlib C call can't
+    batch — but the inputs are sliced ZERO-COPY from the Arrow value buffer
+    via the offsets vector (one memoryview per batch, no per-row ``bytes``
+    materialization), so the only per-row Python cost is the codec call
+    itself, which dominates anyway.
+    """
+    import numpy as np
 
     def comp(t: pa.Table) -> pa.Table:
-        data = [None if v is None else zlib.compress(v, level)
-                for v in t.column(column).to_pylist()]
+        arr = t.column(column).combine_chunks()
+        n = len(arr)
+        width, dtype = ((8, np.int64)
+                        if pa.types.is_large_binary(arr.type)
+                        else (4, np.int32))
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=dtype, count=n + 1,
+                             offset=arr.offset * width)
+        data = memoryview(bufs[2]) if bufs[2] is not None \
+            else memoryview(b"")
+        valid = (arr.is_valid().to_numpy(zero_copy_only=False)
+                 if arr.null_count else np.ones(n, dtype=bool))
+        out = [zlib.compress(data[offs[i]:offs[i + 1]], level)
+               if valid[i] else None for i in range(n)]
         idx = t.schema.get_field_index(column)
-        return t.set_column(idx, column, pa.array(data, type=pa.binary()))
+        return t.set_column(idx, column, pa.array(out, type=pa.binary()))
 
     return ds.map_batches(comp, batch_format="pyarrow")
 

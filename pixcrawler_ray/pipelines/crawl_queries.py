@@ -141,34 +141,27 @@ def q_crawl_quarantine(sf_dir: str):
 
 
 def q_crawl_frontier(sf_dir: str):
-    """Candidate frontier after within-run URL dedup (min-seq wins)."""
-    fr = dedup_frontier(_frontier(sf_dir))
-    return fr.select_columns(["url", "host", "doc_id", "seq", "keyword",
-                              "priority"])
-
-
-def q_crawl_robots(sf_dir: str):
-    """Deduped frontier with the robots verdict attached."""
+    """Candidate frontier after within-run URL dedup (min-seq wins), with
+    the robots verdict attached (``keep_blocked=True`` — blocked rows stay,
+    flagged). One registry row covers both the dedup shuffle and the robots
+    gate (driver 50-row cap, VERDICT r4 #1)."""
     fr = dedup_frontier(_frontier(sf_dir))
     ds = apply_robots(fr, keep_blocked=True)
-    return ds.select_columns(["url", "seq", "robots_allowed"])
+    return ds.select_columns(["url", "host", "doc_id", "seq", "keyword",
+                              "priority", "robots_allowed"])
 
 
 def q_crawl_schedule(sf_dir: str):
-    """Politeness admission schedule over the allowed frontier."""
-    fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
-    ds = assign_rounds(fr, budget_per_round=ORACLE_BUDGET_PER_ROUND)
-    return ds.select_columns(["url", "host", "seq", "host_rank", "round"])
-
-
-def q_crawl_schedule_delay(sf_dir: str):
-    """Politeness schedule honoring parsed robots Crawl-delay (SQL-oracled):
-    a delay-d host's per-round budget is max(1, budget // d), so slow hosts
-    spread over proportionally more virtual rounds."""
+    """Politeness admission schedule over the allowed frontier — BOTH the
+    plain budget round and the robots-Crawl-delay-aware round
+    (``round_delay``: effective budget = max(1, budget // delay), so slow
+    hosts spread over proportionally more virtual rounds), from one rank
+    pass and one host-hash shuffle."""
     fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
     ds = assign_rounds(fr, budget_per_round=ORACLE_BUDGET_PER_ROUND,
-                       respect_crawl_delay=True)
-    return ds.select_columns(["url", "host", "seq", "host_rank", "round"])
+                       emit_delay_round=True)
+    return ds.select_columns(["url", "host", "seq", "host_rank", "round",
+                              "round_delay"])
 
 
 def q_crawl_fetch_status(sf_dir: str):
@@ -454,9 +447,7 @@ SELECT 'http://h' || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0
        CAST(COALESCE(a.c_img, 0) AS BIGINT) AS n_links_img
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
     out["crawl_frontier"] = _sql_cand() + """
-SELECT url, host, doc_id, seq, keyword, priority FROM frontier"""
-    out["crawl_robots"] = _sql_cand() + """
-SELECT f.url, f.seq,
+SELECT f.url, f.host, f.doc_id, f.seq, f.keyword, f.priority,
        NOT (f.host_id % 20 = 1 AND f.host_id <> 0
             AND f.path LIKE '/private/%') AS robots_allowed
 FROM frontier f"""
@@ -465,15 +456,10 @@ SELECT url, host, seq,
        ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1
          AS host_rank,
        (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
-         // {ORACLE_BUDGET_PER_ROUND} AS round
-FROM allowed"""
-    out["crawl_schedule_delay"] = _sql_cand() + f"""
-SELECT url, host, seq,
-       ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1
-         AS host_rank,
+         // {ORACLE_BUDGET_PER_ROUND} AS round,
        (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
          // GREATEST({ORACLE_BUDGET_PER_ROUND} // (1 + host_id % 3), 1)
-         AS round
+         AS round_delay
 FROM allowed"""
     out["crawl_fetch_status"] = _sql_cand() + """
 SELECT url, seq, status FROM statused"""

@@ -250,6 +250,32 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2):
                          Sum("value_cents", alias_name="sum_value_cents")))
 
 
+def q_events_windows(sf_dir: str, window_hours: int = 2):
+    """Tumbling (1 h) + sliding (``window_hours`` h, hop 1 h) window
+    aggregates in ONE registry row (driver 50-row cap), tagged by ``kind``
+    — both remain their own groupby plans; the union is schema-aligned
+    (event_type, window_start, n_events, sum_value_cents)."""
+
+    def tag(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            ws = (t.column("hour") if "hour" in t.column_names
+                  else t.column("window_start"))
+            return pa.table({
+                "kind": pa.array([kind] * t.num_rows, type=pa.string()),
+                "event_type": t.column("event_type"),
+                "window_start": ws,
+                "n_events": t.column("n_events"),
+                "sum_value_cents": t.column("sum_value_cents"),
+            })
+        return f
+
+    hourly = q_events_hourly(sf_dir).map_batches(
+        tag("tumbling"), batch_format="pyarrow")
+    sliding = q_events_sliding(sf_dir, window_hours).map_batches(
+        tag("sliding"), batch_format="pyarrow")
+    return hourly.union(sliding)
+
+
 def q_events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (§2.8 streaming analog).
 

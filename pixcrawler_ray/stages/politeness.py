@@ -39,7 +39,8 @@ DEFAULT_BUDGET_PER_ROUND = 8
 
 
 def assign_rounds(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
-                  num_buckets: int = 64, respect_crawl_delay: bool = False):
+                  num_buckets: int = 64, respect_crawl_delay: bool = False,
+                  emit_delay_round: bool = False):
     """Append ``host_rank`` and ``round`` columns.
 
     host_rank = ROW_NUMBER() OVER (PARTITION BY host
@@ -51,13 +52,17 @@ def assign_rounds(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
     effective budget = max(1, budget_per_round // delay) — a delay-3 host
     admits a third as many URLs per virtual round. Off by default so the
     baseline schedule (and its oracles) is unchanged.
+
+    ``emit_delay_round=True`` additionally emits the delay-aware round as a
+    ``round_delay`` column next to the plain ``round`` — both schedules from
+    ONE rank pass and one shuffle (the registry's merged schedule query).
     """
 
     def kernel(df: pd.DataFrame):
         s = df.sort_values(["priority", "seq"], ascending=[False, True],
                            kind="mergesort")
         ranks = s.groupby("host", sort=False).cumcount().to_numpy()
-        if respect_crawl_delay:
+        if respect_crawl_delay or emit_delay_round:
             from pixcrawler_ray.stages.robots import crawl_delay_for
             # non-synthetic hosts (no h<N>. prefix) get delay 1, mirroring
             # PolitenessShard._host_budget — the batch and streaming paths
@@ -66,13 +71,15 @@ def assign_rounds(frontier_ds, budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
             matched = ext.notna().to_numpy()
             hid = ext.fillna("0").astype(np.int64).to_numpy()
             delay = np.where(matched, crawl_delay_for(hid), 1)
-            eff = np.maximum(budget_per_round // delay, 1)
-        else:
-            eff = budget_per_round
-        return s.index.to_numpy(), {
+            eff_delay = np.maximum(budget_per_round // delay, 1)
+        eff = eff_delay if respect_crawl_delay else budget_per_round
+        cols = {
             "host_rank": ranks.astype(np.int64),
             "round": (ranks // eff).astype(np.int64),
         }
+        if emit_delay_round:
+            cols["round_delay"] = (ranks // eff_delay).astype(np.int64)
+        return s.index.to_numpy(), cols
 
     return per_bucket_take(frontier_ds, ["host"], ["host", "priority", "seq"],
                            kernel, num_buckets=num_buckets)

@@ -433,6 +433,75 @@ def keep_first_caps(ds, key_col: str, order_col: str, caps: dict,
     return per_bucket_take(ds, [key_col], helpers, kernel, num_buckets)
 
 
+def anti_by_key(left, right_keys, key_col: str,
+                num_buckets: int = DEFAULT_BUCKETS):
+    """Arrow-native anti-join: drop ``left`` rows whose ``key_col`` value
+    appears in ``right_keys`` (a one-column key Dataset). Unlike
+    :func:`bucketed_join` the payload columns never round-trip through
+    pandas (list columns survive intact): the right side is null-padded to
+    the left schema, both shuffle ONCE on hash(key), and each partition
+    filters with one vectorized ``pc.is_in`` — the dedup-against-prior-
+    survivors shape of the retry/resume paths (VERDICT r4 #6)."""
+    import pyarrow.compute as pc
+
+    tag = "__side"
+    lschema = None
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            tag, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    s = left.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        lschema = base
+    elif all(isinstance(t, pa.DataType) for t in s.types):
+        lschema = pa.schema(list(zip(s.names, s.types)))
+    else:
+        # pandas-block datasets report Python/numpy types — realize ONE
+        # arrow batch for the authoritative schema (bounded: streaming
+        # executor stops after the first batch)
+        first = next(iter(left.iter_batches(batch_size=1,
+                                            batch_format="pyarrow")))
+        lschema = first.schema
+    lnames = list(lschema.names)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in lnames:
+            if name == key_col:
+                cols[name] = t.column(key_col).cast(
+                    lschema.field(key_col).type)
+            else:
+                cols[name] = pa.nulls(t.num_rows,
+                                      type=lschema.field(name).type)
+        out = pa.table(cols)
+        return out.append_column(
+            tag, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right_keys.map_batches(pad_right, batch_format="pyarrow"))
+    both = _add_bucket(both, [key_col], num_buckets)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if tag not in g.column_names:       # degenerate empty-stream block
+            return g
+        side = pc.equal(g.column(tag), 1)
+        seen = g.filter(side).column(key_col)
+        lrows = g.filter(pc.invert(side))
+        if len(seen) == 0:
+            return lrows.drop_columns([tag, BUCKET_COL])
+        hit = pc.is_in(lrows.column(key_col), value_set=seen.combine_chunks())
+        return lrows.filter(pc.invert(pc.fill_null(hit, False))) \
+                    .drop_columns([tag, BUCKET_COL])
+
+    if _hash_shuffle_on():
+        return _partition_by_bucket(both, num_buckets).map_batches(
+            kernel, batch_format="pyarrow", batch_size=None)
+    return both.groupby(BUCKET_COL).map_groups(kernel,
+                                               batch_format="pyarrow")
+
+
 def window_rank(ds, key_cols: Sequence[str], order_by: Sequence[tuple[str, bool]],
                 rank_col: str = "rank", num_buckets: int = DEFAULT_BUCKETS):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) - 1 as ``rank_col``."""

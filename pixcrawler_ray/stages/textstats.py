@@ -103,6 +103,75 @@ def token_counts(sf_dir: str):
     return per_bucket(partials, ["lang"], merge, num_buckets=4)
 
 
+def token_stats(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """token_counts + token_quantiles fused into ONE pass and ONE tiny
+    exchange (one registry row under the driver's 50-row cap): each batch
+    emits a (lang, n_tokens) -> (count, sum_chars) histogram partial; the
+    per-lang merge reads off n_docs / sum_tokens / sum_chars AND the exact
+    ``quantile_disc`` indices from the same merged histogram. The histogram
+    domain is bounded (token counts), so the exchange stays constant-sized
+    at any corpus scale."""
+    import math
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, offs, lens = _split_words(t.column("text"))
+        n_tokens = _segment_sum((lens > 0).astype(np.int64), offs)
+        chars = pc.utf8_length(t.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                           "n_tokens": n_tokens, "chars": chars})
+        g = (df.groupby(["lang", "n_tokens"], sort=False)
+             .agg(cnt=("chars", "size"), sum_chars=("chars", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    cols = [f"p{int(q * 100)}" for q in qs]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, grp in g.groupby("lang", sort=False):
+            hist = (grp.groupby("n_tokens", sort=True)
+                    .agg(cnt=("cnt", "sum"), sum_chars=("sum_chars", "sum")))
+            counts = hist["cnt"].to_numpy()
+            values = hist.index.to_numpy()
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            row = {"lang": lang, "n_docs": n,
+                   "sum_tokens": int((values * counts).sum()),
+                   "sum_chars": int(hist["sum_chars"].sum())}
+            for q, c in zip(qs, cols):
+                idx = max(0, math.ceil(q * n) - 1)
+                row[c] = int(values[np.searchsorted(cum, idx + 1)])
+            out.append(row)
+        return pd.DataFrame(
+            out, columns=["lang", "n_docs", "sum_tokens", "sum_chars"] + cols)
+
+    return per_bucket(partials, ["lang"], merge, num_buckets=4)
+
+
+def quality_repetition(sf_dir: str):
+    """quality_scores + repetition_stats fused on the SAME batch — one read
+    of ``text``, two signal kernels, one output row per doc (one registry
+    row under the driver's 50-row cap). Column set is the union of both
+    per-doc signal tables."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t)
+        r = repetition_stats_batch(t)
+        for c in ("n_distinct_tokens", "dup_tokens", "top_bigram_count",
+                  "rep_ok"):
+            q = q.append_column(c, r.column(c))
+        return q
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def quality_score_batch(t: pa.Table) -> pa.Table:
     """Gopher-style quality signals, all integer-exact for oracle hashing:
 

@@ -116,6 +116,30 @@ def url_alias_dedup(sf_dir: str):
     return kept.map_batches(project, batch_format="pyarrow")
 
 
+def url_canonical_dedup(sf_dir: str):
+    """:func:`url_canonical` + :func:`url_alias_dedup` merged into one
+    registry row (driver 50-row cap, VERDICT r4 #1): the 3-alias explode ->
+    canonicalize -> keep-first collapse provides the kept row set and
+    ``kept_variant``; the per-doc (messy, canonical) pair is re-derived
+    post-shuffle from pure doc_id arithmetic (no join — both sides are
+    functions of doc_id), so the canonicalizer kernel is exercised on the
+    doc_id%4 alias variants too. Output (doc_id, url_raw, url_canon,
+    kept_variant)."""
+    kept = url_alias_dedup(sf_dir)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        messy = messy_urls_for(ids)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url_raw": messy,
+            "url_canon": canonicalize_urls(messy),
+            "kept_variant": t.column("kept_variant"),
+        })
+
+    return kept.map_batches(attach, batch_format="pyarrow")
+
+
 def url_canonical(sf_dir: str):
     """Per-doc (messy URL, canonical URL) over ``documents`` (SQL-oracled).
 

@@ -35,6 +35,30 @@ from pixcrawler_ray.functions.hashing import hash64_array
 from pixcrawler_ray.stages.seen import seen_delta_table
 
 MANIFEST = "manifest.jsonl"
+PROGRESS = "progress.jsonl"
+
+
+def append_progress(out_dir: str, stage: str, rows_done: int,
+                    epoch: int = 0, wall_s: float = 0.0, **extra) -> None:
+    """Append one heartbeat row to ``progress.jsonl`` — the SSE progress
+    stream analog (reference polls job state and emits progress events,
+    ``backend/services/crawl_job.py:997-1154``). Rows accumulate DURING the
+    run (one per partition commit + one per pipeline stage), so an external
+    watcher tailing the file sees a long 100 TB job move; a crashed run's
+    trail ends mid-stream, which is itself the resume signal surfaced to
+    operators."""
+    row = {"ts": round(time.time(), 3), "stage": stage, "epoch": epoch,
+           "rows_done": int(rows_done), "wall_s": round(wall_s, 3), **extra}
+    with open(os.path.join(out_dir, PROGRESS), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def read_progress(out_dir: str) -> list[dict]:
+    path = os.path.join(out_dir, PROGRESS)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
 
 
 def partition_ids(keywords, num_partitions: int) -> np.ndarray:
@@ -177,6 +201,8 @@ def write_partitioned(extracted_ds, out_dir: str, num_partitions: int = 8,
 
     rows: list[dict] = []
     committed = 0
+    rows_done = 0
+    t_commit = time.time()
     for st in sorted(stats, key=lambda r: r["partition"]):
         p = int(st["partition"])
         tmp = os.path.join(out_dir, f"_tmp-part={p}")
@@ -195,6 +221,12 @@ def write_partitioned(extracted_ds, out_dir: str, num_partitions: int = 8,
         _append_manifest(out_dir, row)
         rows.append(row)
         committed += 1
+        rows_done += int(st["rows"])
+        # per-commit heartbeat: the SSE progress-event analog — emitted
+        # BEFORE any simulated crash so a mid-run trail always exists
+        append_progress(out_dir, "commit", rows_done, epoch=epoch,
+                        wall_s=time.time() - t_commit, partition=p,
+                        partitions_committed=committed)
         if fail_after is not None and committed >= fail_after:
             raise RuntimeError(f"simulated crash after {committed} partitions")
     return rows

@@ -76,3 +76,72 @@ def test_seen_delta_checkpoint_roundtrip(sf_tiny, tmp_path):
     out_table = checkpoint.read_output(out).select(["url", "doc_id", "seq"])
     filtered = aj(out_table)
     assert filtered.num_rows == 0
+
+
+def test_progress_heartbeats_survive_crash(sf_tiny, tmp_path):
+    """VERDICT r4 #7: the SSE-progress analog — a crashed run must leave a
+    mid-run progress trail (>=1 heartbeat row emitted BEFORE the crash),
+    and the resumed run appends to the same trail with monotone
+    rows_done within each epoch's commit stream."""
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        checkpoint.write_partitioned(_extracted(sf_tiny), crash_dir,
+                                     num_partitions=4, fail_after=1)
+    mid = checkpoint.read_progress(crash_dir)
+    assert len(mid) == 1  # one heartbeat per committed partition
+    assert all(r["stage"] == "commit" for r in mid)
+    assert [r["partitions_committed"] for r in mid] == [1]
+
+    checkpoint.write_partitioned(_extracted(sf_tiny), crash_dir,
+                                 num_partitions=4)
+    trail = checkpoint.read_progress(crash_dir)
+    assert len(trail) > len(mid)            # resume appended, kept history
+    done = [r["rows_done"] for r in trail[len(mid):]]
+    assert done == sorted(done)             # monotone within the resume run
+    total = checkpoint.read_output(crash_dir).num_rows
+    # the resumed run only re-writes the 2 uncommitted partitions, so its
+    # final rows_done counts those partitions' rows, not the full output
+    assert 0 < done[-1] <= total
+
+
+def test_sdk_load_dataset_roundtrip(sf_tiny, tmp_path):
+    """VERDICT r4 #9: the SDK-shaped reader sees exactly the committed
+    view — lazy handle, column prune, limit, len from the manifest, and
+    the 300MB-style guardrail raising instead of OOMing the driver."""
+    from pixcrawler_ray.sdk import load_dataset
+
+    out = str(tmp_path / "out")
+    checkpoint.write_partitioned(_extracted(sf_tiny), out, num_partitions=4)
+    full = checkpoint.read_output(out)
+
+    lds = load_dataset(out)
+    assert len(lds) == full.num_rows
+    assert lds.to_table().num_rows == full.num_rows
+    assert _canon(lds.to_table()) == _canon(full)
+
+    # column prune + lazy limit
+    small = load_dataset(out, columns=["url", "seq"], limit=5)
+    t = small.to_table()
+    assert t.column_names == ["url", "seq"] and t.num_rows == 5
+
+    # guardrail: a 1-byte budget must refuse eager materialization
+    import pytest as _pytest
+    tiny = load_dataset(out, max_memory_bytes=1)
+    with _pytest.raises(RuntimeError, match="exceeds memory limit"):
+        tiny.to_table()
+    # ... while the lazy handle still streams
+    assert sum(b.num_rows for b in
+               tiny.ds.iter_batches(batch_format="pyarrow")) == full.num_rows
+
+    # a crashed run exposes only the committed prefix
+    crash = str(tmp_path / "crash2")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        checkpoint.write_partitioned(_extracted(sf_tiny), crash,
+                                     num_partitions=4, fail_after=1)
+    partial = load_dataset(crash)
+    assert 0 < len(partial) < full.num_rows
+    assert partial.to_table().num_rows == len(partial)
+
+    # no committed output at all -> FileNotFoundError
+    with pytest.raises(FileNotFoundError):
+        load_dataset(str(tmp_path / "nope"))

@@ -337,3 +337,98 @@ def test_streaming_admission_under_exchange_fallback(ray_session,
             ray.kill(s)
     assert len(got) == n
     assert all(want[u] == r for u, r in zip(got["url"], got["round"]))
+
+
+def test_anti_by_key_paths(monkeypatch):
+    """anti_by_key (the retry/resume dedup-against-survivors primitive)
+    must drop exactly the seen keys, keep non-scalar payload columns
+    intact (no pandas round-trip), and agree between the custom exchange
+    and the built-in-shuffle fallback."""
+    from pixcrawler_ray.stages.shuffle import anti_by_key
+
+    n = 2000
+    left_df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64) % 700,
+        "payload": [[float(i), float(i + 1)] for i in range(n)],
+        "seq": np.arange(n, dtype=np.int64),
+    })
+    seen = pd.DataFrame({"k": np.arange(0, 700, 3, dtype=np.int64)})
+    expect = set(left_df.loc[~left_df.k.isin(set(seen.k)), "seq"])
+
+    left = rd.from_pandas(left_df).repartition(8)
+    right = rd.from_pandas(seen).repartition(4)
+    got = anti_by_key(left, right, "k", num_buckets=16).to_pandas()
+    assert set(got.seq) == expect
+    # list payload survived the shuffle with values intact
+    row = got.sort_values("seq").iloc[0]
+    assert list(row.payload) == [float(row.seq), float(row.seq + 1)]
+
+    monkeypatch.setattr(shuffle_mod, "_EXCHANGE_MAX_OBJECTS", 1)
+    got_fb = anti_by_key(left, right, "k", num_buckets=16).to_pandas()
+    assert set(got_fb.seq) == expect
+
+
+def test_anti_by_key_empty_right():
+    """An empty seen-set must be a no-op (first retry round)."""
+    from pixcrawler_ray.stages.shuffle import anti_by_key
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64),
+         "seq": np.arange(100, dtype=np.int64)}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": pd.array([], dtype="int64")}))
+    got = anti_by_key(left, right, "k", num_buckets=8).to_pandas()
+    assert set(got.seq) == set(range(100))
+
+
+def test_embedding_dup_tiled_block_guard(ray_session, tmp_path):
+    """VERDICT r4 #2: a skewed label (one hot block far over the cap) must
+    run the TILED exact sweep — bit-identical pairs to the one-shot matmul,
+    but peak memory bounded by the tile, never n² in the block."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 1500, 16
+    base = rng.standard_normal((60, dim))
+    # planted near-dups: each row is a jittered copy of one of 60 anchors
+    mat = base[rng.integers(0, 60, n)] + 0.02 * rng.standard_normal((n, dim))
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "label": pa.array(["hot"] * (n - 20) + ["cold"] * 20),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float64())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    sf = str(tmp_path)
+
+    def pairs(cap):
+        df = embedding_dup_pairs(sf, threshold=0.995,
+                                 max_block_rows=cap).to_pandas()
+        return set(zip(df.vec_a, df.vec_b))
+
+    one_shot = pairs(10**9)       # whole block in one matmul
+    tiled = pairs(128)            # 1480-row hot block -> 12x12 tile grid
+    assert len(one_shot) > 100    # the planted dups actually collide
+    assert tiled == one_shot
+
+
+def test_recompress_payloads_roundtrip(ray_session):
+    """M14: per-record zlib recompression — zero-copy buffer-sliced inputs
+    must roundtrip exactly, preserving nulls and empty payloads."""
+    import zlib
+    from pixcrawler_ray.pipelines.compress import recompress_payloads
+
+    payloads = [b"hello world " * 50, b"", None, bytes(range(256)) * 9,
+                b"x"]
+    t = pa.table({"seq": pa.array(range(5), type=pa.int64()),
+                  "html": pa.array(payloads, type=pa.binary())})
+    ds = rd.from_arrow(t).repartition(2)
+    got = recompress_payloads(ds, column="html", level=6).to_pandas() \
+        .sort_values("seq")
+    for orig, comp in zip(payloads, got.html):
+        if orig is None:
+            assert comp is None
+        else:
+            assert zlib.decompress(comp) == orig
+            assert comp == zlib.compress(orig, 6)
