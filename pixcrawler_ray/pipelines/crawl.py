@@ -130,7 +130,8 @@ def admit_frontier(frontier_ds, budget_per_round: int = 8,
 
 def admit_frontier_salted(frontier_ds, budget_per_round: int = 8,
                           num_buckets: int = 64, num_salts: int = 16,
-                          max_seq: int | None = None, stats: dict | None = None):
+                          max_seq: int | None = None, stats: dict | None = None,
+                          expansion: tuple | None = None):
     """Hot-host-safe admission: same output as :func:`admit_frontier`, but no
     single host ever lands in one bucket kernel.
 
@@ -161,7 +162,7 @@ def admit_frontier_salted(frontier_ds, budget_per_round: int = 8,
                                budget_per_round=budget_per_round,
                                num_buckets=num_buckets,
                                num_salts=num_salts, max_seq=max_seq,
-                               stats=stats)
+                               stats=stats, expansion=expansion)
     if fused is not None:
         return fused
     admitted = per_bucket_take(frontier_ds, ["doc_id"],
@@ -212,8 +213,11 @@ def build_frontier(config: CrawlConfig, sf_dir: str, depth: int = 0,
         fr = frontier_dataset(config, nd, depth=depth, page_size=page_size,
                               lean=True)
         max_seq = grid.num_rows * page_size
+        # expansion spec folds the first exchange split into the expansion
+        # tasks themselves (admit_salted_fused); fr stays the fallback plan
         adm = admit_frontier_salted(fr, budget_per_round=budget_per_round,
-                                    max_seq=max_seq, stats=stats)
+                                    max_seq=max_seq, stats=stats,
+                                    expansion=(grid, nd, page_size))
         grid_ref = _ray.put(grid.select(
             ["category", "keyword", "variation", "engine"]))
         return adm.map_batches(

@@ -333,6 +333,22 @@ def expand_units_lean_batch(batch: pa.Table, n_docs: int,
     })
 
 
+def expand_split_task(grid_slice: pa.Table, n_docs: int, page_size: int,
+                      num_buckets: int, p: int):
+    """Folded expansion->stamp->split wave (VERDICT r4 #4): one task expands
+    its grid slice to lean frontier rows, stamps hash(doc_id) buckets, and
+    returns the ``p`` exchange slices directly — the admission exchange's
+    first split is FREE (no 20M-row materialize barrier, no second read of
+    the expansion output, one task wave instead of two). Invoked as a
+    ``num_returns=p`` remote task by ``admit_salted_fused``."""
+    from pixcrawler_ray.stages.shuffle import _exchange_split, stamp_bucket
+
+    t = expand_units_lean_batch(grid_slice, n_docs=n_docs,
+                                page_size=page_size)
+    t = stamp_bucket(t, ["doc_id"], num_buckets)
+    return _exchange_split(t, p)
+
+
 # per-worker grid cache for hydration (same pattern as fetch._VF_CACHE)
 _GRID_CACHE: dict = {}
 

@@ -250,7 +250,8 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
                        budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,
                        num_buckets: int = 64, num_salts: int = 16,
                        max_seq: int | None = None,
-                       stats: dict | None = None):
+                       stats: dict | None = None,
+                       expansion: tuple | None = None):
     """Fused two-hop admission exchange: split(doc-hash) → ONE mid task per
     partition doing fuse + dedup/robots kernel + salt + re-split(host-hash)
     → fuse + rank. Row-identical to ``per_bucket_take(dedup)`` followed by
@@ -259,10 +260,18 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
     instead of 6, no inter-exchange barrier. Group counts ride the mid tasks
     (side aggregation) exactly as in the unfused path.
 
+    ``expansion=(grid, n_docs, page_size)`` folds the FIRST split into the
+    expansion itself (VERDICT r4 #4): each producer task expands a grid
+    slice, stamps doc-hash buckets, and emits the p split slices directly —
+    no 20M-row materialize barrier before the exchange and one task wave
+    fewer; ``frontier_ds`` is then only the fallback plan. Row-identical
+    (pytest: test_lean_folded_admission_equals_unfolded).
+
     Returns None when inapplicable (hash-shuffle off, unknown max_seq, or
     object-count cap exceeded) — the caller falls back to the two-exchange
     path.
     """
+    import math as _math
     import os as _os
 
     import ray as _ray
@@ -283,22 +292,34 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
         return None
     shift = max(0, int(max_seq).bit_length()
                 - int(num_salts - 1).bit_length())
-    stamped = _add_bucket(frontier_ds, ["doc_id"], num_buckets)
-    blocks, total_rows = _nonempty_block_refs(stamped)
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     ppc = int(_os.environ.get("GRAFT_EXCHANGE_PARTS_PER_CPU", "2"))
-    if not blocks:
-        return None
+    rpp = int(_os.environ.get("GRAFT_EXCHANGE_ROWS_PER_PART", "4096"))
+    blocks = None
+    if expansion is not None and int(_os.environ.get(
+            "GRAFT_FOLD_EXPANSION_SPLIT", "1")):
+        # folded producer wave: row count is known EXACTLY from the grid
+        # (each unit emits page_size rows) — no materialize, no metadata scan
+        grid, n_docs, page_size = expansion
+        total_rows = grid.num_rows * page_size
+        n_src = max(1, min(_math.ceil(total_rows / 32768), 512,
+                           grid.num_rows))
+    else:
+        expansion = None
+        stamped = _add_bucket(frontier_ds, ["doc_id"], num_buckets)
+        blocks, total_rows = _nonempty_block_refs(stamped)
+        if not blocks:
+            return None
+        n_src = len(blocks)
     # same size caps as _partition_by_bucket: tiny frontiers must not pay a
     # 64-partition exchange's task overhead
-    rpp = int(_os.environ.get("GRAFT_EXCHANGE_ROWS_PER_PART", "4096"))
     rows_cap = (num_buckets if total_rows is None
                 else max(1, -(-total_rows // rpp)))
-    p = max(2, min(num_buckets, cpus * ppc, 2 * len(blocks), rows_cap))
-    if len(blocks) * p > _EXCHANGE_MAX_OBJECTS:
+    p = max(2, min(num_buckets, cpus * ppc, 2 * n_src, rows_cap))
+    if n_src * p > _EXCHANGE_MAX_OBJECTS:
         return None
 
     def mid_fn(*parts):
@@ -326,8 +347,17 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
         return _exchange_split(t, p) \
             + (pa.Table.from_pandas(g, preserve_index=False),)
 
-    split = _ray.remote(num_returns=p)(_exchange_split)
-    srefs = [split.remote(b, p) for b in blocks]
+    if expansion is not None:
+        from pixcrawler_ray.stages.expand import expand_split_task
+        grid, n_docs, page_size = expansion
+        cuts = np.linspace(0, grid.num_rows, n_src + 1).astype(int)
+        prod = _ray.remote(num_returns=p)(expand_split_task)
+        srefs = [prod.remote(grid.slice(int(a), int(b - a)), n_docs,
+                             page_size, num_buckets, p)
+                 for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
+    else:
+        split = _ray.remote(num_returns=p)(_exchange_split)
+        srefs = [split.remote(b, p) for b in blocks]
     if p == 1:
         srefs = [[r] for r in srefs]
     mid = _ray.remote(num_returns=p + 1)(mid_fn)

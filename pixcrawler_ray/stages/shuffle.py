@@ -272,57 +272,67 @@ def _add_bucket(ds, key_cols: Sequence[str], num_buckets: int):
     keys = list(key_cols)
 
     def add(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column(BUCKET_COL,
-                                       pa.array([], type=pa.int64()))
-        key_types = [batch.schema.field(k).type for k in keys]
-        if (len(keys) == 1 and pa.types.is_fixed_size_binary(key_types[0])
-                and key_types[0].byte_width >= 8):
-            # vectorized: first 8 bytes of the fixed-width digest are already
-            # uniform (md5/sha) — view the raw buffer as uint64
-            col = batch.column(keys[0]).combine_chunks()
-            arr = col.chunks[0] if isinstance(col, pa.ChunkedArray) else col
-            w = key_types[0].byte_width
-            buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
-            off = arr.offset * w
-            mat = buf[off:off + len(arr) * w].reshape(len(arr), w)
-            h = mat[:, :8].copy().view(np.uint64).ravel()
-        elif all(pa.types.is_integer(t) for t in key_types):
-            h = batch.column(keys[0]).to_numpy().astype(np.uint64)
-            for k in keys[1:]:   # vectorized integer key mixing
-                h = fnv1a64_ints(
-                    batch.column(k).to_numpy().astype(np.uint64) ^ h)
-        elif (len(keys) == 1 and (pa.types.is_string(key_types[0])
-                                  or pa.types.is_large_string(key_types[0]))):
-            # hash each UNIQUE string once (dictionary-encode): bucketing
-            # string keys (urls, keywords) must not pay per-row blake2b
-            col = batch.column(keys[0]).combine_chunks()
-            d = col.dictionary_encode()
-            if isinstance(d, pa.ChunkedArray):
-                d = d.combine_chunks()
-            uniq_h = hash64_array(d.dictionary)
-            h = uniq_h[d.indices.to_numpy(zero_copy_only=False)]
-        else:
-            parts = []
-            for k in keys:
-                col = batch.column(k)
-                t = batch.schema.field(k).type
-                if pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t) \
-                        or pa.types.is_large_binary(t):
-                    parts.append([b"" if v is None else v
-                                  for v in col.to_pylist()])
-                elif pa.types.is_string(t) or pa.types.is_large_string(t):
-                    parts.append([b"" if v is None else v.encode("utf-8")
-                                  for v in col.to_pylist()])
-                else:
-                    parts.append([str(v).encode("utf-8")
-                                  for v in col.to_pylist()])
-            joined = [b"\x00".join(row) for row in zip(*parts)]
-            h = hash64_array(joined)
-        b = (h % np.uint64(num_buckets)).astype(np.int64)
-        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int64()))
+        return stamp_bucket(batch, keys, num_buckets)
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def stamp_bucket(batch: pa.Table, key_cols: Sequence[str],
+                 num_buckets: int) -> pa.Table:
+    """Append ``BUCKET_COL`` = hash(key) % num_buckets to ONE table —
+    the kernel behind :func:`_add_bucket`, exposed so producer tasks can
+    stamp (and split) their own output without a separate Dataset pass
+    (the folded expansion->split wave in ``admit_salted_fused``)."""
+    keys = list(key_cols)
+    if batch.num_rows == 0:
+        return batch.append_column(BUCKET_COL,
+                                   pa.array([], type=pa.int64()))
+    key_types = [batch.schema.field(k).type for k in keys]
+    if (len(keys) == 1 and pa.types.is_fixed_size_binary(key_types[0])
+            and key_types[0].byte_width >= 8):
+        # vectorized: first 8 bytes of the fixed-width digest are already
+        # uniform (md5/sha) — view the raw buffer as uint64
+        col = batch.column(keys[0]).combine_chunks()
+        arr = col.chunks[0] if isinstance(col, pa.ChunkedArray) else col
+        w = key_types[0].byte_width
+        buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        off = arr.offset * w
+        mat = buf[off:off + len(arr) * w].reshape(len(arr), w)
+        h = mat[:, :8].copy().view(np.uint64).ravel()
+    elif all(pa.types.is_integer(t) for t in key_types):
+        h = batch.column(keys[0]).to_numpy().astype(np.uint64)
+        for k in keys[1:]:   # vectorized integer key mixing
+            h = fnv1a64_ints(
+                batch.column(k).to_numpy().astype(np.uint64) ^ h)
+    elif (len(keys) == 1 and (pa.types.is_string(key_types[0])
+                              or pa.types.is_large_string(key_types[0]))):
+        # hash each UNIQUE string once (dictionary-encode): bucketing
+        # string keys (urls, keywords) must not pay per-row blake2b
+        col = batch.column(keys[0]).combine_chunks()
+        d = col.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq_h = hash64_array(d.dictionary)
+        h = uniq_h[d.indices.to_numpy(zero_copy_only=False)]
+    else:
+        parts = []
+        for k in keys:
+            col = batch.column(k)
+            t = batch.schema.field(k).type
+            if pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t) \
+                    or pa.types.is_large_binary(t):
+                parts.append([b"" if v is None else v
+                              for v in col.to_pylist()])
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                parts.append([b"" if v is None else v.encode("utf-8")
+                              for v in col.to_pylist()])
+            else:
+                parts.append([str(v).encode("utf-8")
+                              for v in col.to_pylist()])
+        joined = [b"\x00".join(row) for row in zip(*parts)]
+        h = hash64_array(joined)
+    b = (h % np.uint64(num_buckets)).astype(np.int64)
+    return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int64()))
 
 
 def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.DataFrame],

@@ -432,3 +432,26 @@ def test_recompress_payloads_roundtrip(ray_session):
         else:
             assert zlib.decompress(comp) == orig
             assert comp == zlib.compress(orig, 6)
+
+
+def test_lean_folded_admission_equals_unfolded(sf_tiny, monkeypatch):
+    """VERDICT r4 #4: folding the first exchange split into the expansion
+    tasks (expand->stamp->split in one wave, no materialize barrier) must
+    yield the identical admitted frontier as the unfolded lean path."""
+    from pixcrawler_ray.pipelines import crawl
+    from pixcrawler_ray.pipelines.crawl_queries import seeds_config
+
+    cfg = seeds_config(sf_tiny, max_images=20)
+
+    def admitted(fold: str):
+        monkeypatch.setenv("GRAFT_FOLD_EXPANSION_SPLIT", fold)
+        ds = crawl.build_frontier(cfg, sf_tiny, budget_per_round=8,
+                                  page_size=40, salted=True, lean=True)
+        df = ds.to_pandas().sort_values("seq").reset_index(drop=True)
+        return df[["url", "seq", "doc_id", "host_id", "priority",
+                   "host_rank", "round"]]
+
+    folded = admitted("1")
+    unfolded = admitted("0")
+    pd.testing.assert_frame_equal(folded, unfolded)
+    assert len(folded) > 0
