@@ -1,0 +1,370 @@
+"""Training-data preparation operators: PII scrubbing, segment-level
+(CCNet-style) dedup, inverted-index postings, shuffled context packing,
+and bigram-LM frequency scoring — over the ``documents`` table.
+
+The reference has no text-prep beyond keyword munging
+(``builder/_keywords.py``); these are the corpus-preparation stages an
+LLM-scale pipeline runs after the crawl (public-literature shapes: CCNet
+paragraph dedup [Wenzek et al.], n-gram LM quality scoring, sequence
+packing, PII redaction a la C4/Dolma), each a vectorized ``map_batches``
+stage with the wide steps expressed as keyed bucket shuffles.
+
+All oracled outputs are integer/string exact (no float accumulations —
+see the float-safety rule in the repo's oracle notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pixcrawler_ray.sources.readers import read_table
+
+# RE2 patterns — identical semantics in Arrow (RE2) and DuckDB (RE2), so
+# the scrub replays verbatim as regexp_replace/regexp_extract_all.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def scrub_pii_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Redact emails → phones → IPv4 (in that fixed order: an address that
+    survives an earlier pass can still match a later one, so both sides
+    chain identically). Adds ``clean_text`` plus per-pattern match counts,
+    each counted on the text as it stood BEFORE that pattern's replacement.
+    Pure Arrow RE2 kernels — zero per-row Python."""
+    s0 = t.column(col)
+    n_emails = pc.count_substring_regex(s0, PII_EMAIL)
+    s1 = pc.replace_substring_regex(s0, PII_EMAIL, "<EMAIL>")
+    n_phones = pc.count_substring_regex(s1, PII_PHONE)
+    s2 = pc.replace_substring_regex(s1, PII_PHONE, "<PHONE>")
+    n_ips = pc.count_substring_regex(s2, PII_IPV4)
+    s3 = pc.replace_substring_regex(s2, PII_IPV4, "<IP>")
+    t = t.append_column("clean_text", s3)
+    t = t.append_column("n_emails", n_emails.cast(pa.int64()))
+    t = t.append_column("n_phones", n_phones.cast(pa.int64()))
+    return t.append_column("n_ips", n_ips.cast(pa.int64()))
+
+
+def pii_scrub(sf_dir: str):
+    """PII-redaction query over ``documents``: the synthetic corpus has no
+    natural PII, so each doc is first augmented with a DETERMINISTIC contact
+    trailer derived from ``doc_id`` (email + phone + IP; docs with
+    doc_id%3==0 get a second email) — the identical expression is built in
+    the SQL oracle, so the scrub kernel itself is what's under test.
+    Output (doc_id, n_emails, n_phones, n_ips, clean_text)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = ids.astype(np.int64)
+        extra = np.where(d % 3 == 0, " and admin@corp.example.org", "")
+        trailer = pd.Series(
+            [" contact user%d@mail%d.example.com%s call +1-%d-%d from"
+             " 10.0.%d.%d" % (i, i % 7, e, 100 + i % 900, 1000 + i % 9000,
+                              i % 256, (i * 3) % 256)
+             for i, e in zip(d, extra)])
+        aug = pc.binary_join_element_wise(
+            t.column("text").cast(pa.string()),
+            pa.array(trailer, type=pa.string()), "")
+        out = scrub_pii_batch(pa.table({"doc_id": t.column("doc_id"),
+                                        "text": aug}))
+        return out.select(["doc_id", "n_emails", "n_phones", "n_ips",
+                           "clean_text"])
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _nonempty_words(col):
+    """(flat_words, doc_word_counts) with empty strings dropped — matches
+    DuckDB ``list_filter(string_split(text,' '), w -> w <> '')`` exactly
+    (Arrow's whitespace split yields '' segments where Python yields
+    nothing; both sides filter)."""
+    words = pc.utf8_split_whitespace(col)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = np.asarray(words.offsets, dtype=np.int64)
+    flat = pc.list_flatten(words)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    kept = np.asarray(keep.to_numpy(zero_copy_only=False), dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(kept)])
+    nw = cs[offs[1:]] - cs[offs[:-1]]
+    return flat.filter(keep), nw
+
+
+def explode_segments(t: pa.Table, k: int = 12) -> pa.Table:
+    """Explode docs into k-word segments (the corpus has no newlines, so the
+    CCNet 'paragraph' is a fixed k-word window; last segment may be short).
+    All-Arrow: the per-segment text is a ``binary_join`` over a re-offset
+    view of the SAME flat word buffer — no per-segment Python joins."""
+    flat, nw = _nonempty_words(t.column("text"))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nseg = -(-nw // k)                      # ceil; 0 for empty docs
+    total = int(nseg.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "seg_idx": pa.array([], type=pa.int64()),
+                         "n_segs": pa.array([], type=pa.int64()),
+                         "seg_text": pa.array([], type=pa.string())})
+    seg_local = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.concatenate([[0], np.cumsum(nseg)[:-1]]), nseg)
+    doc_start = np.concatenate([[0], np.cumsum(nw)[:-1]])
+    starts = np.repeat(doc_start, nseg) + seg_local * k
+    offsets = np.append(starts, int(nw.sum()))
+    seg_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                        flat)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids, nseg)),
+        "seg_idx": pa.array(seg_local),
+        "n_segs": pa.array(np.repeat(nseg, nseg)),
+        "seg_text": pc.binary_join(seg_list, " "),
+    })
+
+
+# global order key for segment keep-first: doc_id * 2^20 + seg_idx.
+# Assumes < 2^20 segments per doc and doc_id < 2^43 — fine for web docs
+# (a 2^20-segment doc is a ~12M-word page); overflow would need a
+# two-column order key in keep_first_n.
+_SEG_ORD = 1 << 20
+
+
+def segment_dedup(sf_dir: str, k: int = 12):
+    """CCNet-shape segment-level dedup: explode every doc into k-word
+    segments, keep the GLOBALLY first occurrence of each distinct segment
+    text (order = (doc_id, seg_idx)), and reassemble each doc from its kept
+    segments in order. Docs whose segments are all duplicates drop out
+    (CCNet drops empty docs too).
+
+    Scale shape: one keyed keep-first shuffle on seg_text (hash-bucketed —
+    the exact-dedup primitive), one doc-keyed shuffle to reassemble; the
+    reassembly join is an Arrow ``binary_join`` over the sorted segment
+    lists, no per-doc Python. Output (doc_id, n_segs, n_kept, clean_text).
+    """
+    from pixcrawler_ray.stages.shuffle import keep_first_n, per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        e = explode_segments(t, k=k)
+        ordv = pc.add(pc.multiply(e.column("doc_id"),
+                                  pa.scalar(_SEG_ORD, type=pa.int64())),
+                      e.column("seg_idx"))
+        return e.append_column("ord", ordv)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = keep_first_n(exploded, ["seg_text"], "ord", 1)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        ids, counts = np.unique(df["doc_id"].to_numpy(), return_counts=True)
+        # np.unique sorts ascending and df is doc-sorted, so counts align
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        seg_list = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(df["seg_text"].to_numpy(),
+                                        type=pa.string()))
+        clean = pc.binary_join(seg_list, " ")
+        first = df.groupby("doc_id", sort=True)["n_segs"].first()
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_segs": first.to_numpy().astype(np.int64),
+            "n_kept": counts.astype(np.int64),
+            "clean_text": clean.to_pandas().to_numpy(),
+        })
+
+    return per_bucket(kept, ["doc_id"], reassemble)
+
+
+def term_postings(sf_dir: str):
+    """Inverted-index build, posting-list summary form: per distinct term,
+    document frequency, total term frequency, and min/max/sum of the doc-id
+    posting list (order-insensitive integer summaries instead of the raw
+    list — list-valued outputs hash badly; the full postings are the same
+    groupby one ``collect_list`` away).
+
+    Scale shape: per-batch partial aggregation (docs never span batches, so
+    batch-distinct doc counts sum exactly), ONE tiny term-keyed bucket
+    exchange (vocab << corpus by Heaps' law) — the same map-side-combine
+    plan as ``textstats.top_terms``. Output
+    (term, df, tf, min_doc, max_doc, sum_doc)."""
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, nw = _nonempty_words(t.column("text"))
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docs = np.repeat(ids, nw)
+        df = pd.DataFrame({"term": flat.to_pandas().to_numpy(),
+                           "doc_id": docs})
+        per_doc = (df.groupby(["term", "doc_id"], sort=False)
+                   .size().rename("tf").reset_index())
+        g = per_doc.groupby("term", sort=False).agg(
+            df=("doc_id", "size"), tf=("tf", "sum"),
+            min_doc=("doc_id", "min"), max_doc=("doc_id", "max"),
+            sum_doc=("doc_id", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False).agg(
+            df=("df", "sum"), tf=("tf", "sum"), min_doc=("min_doc", "min"),
+            max_doc=("max_doc", "max"),
+            sum_doc=("sum_doc", "sum")).reset_index()
+
+    return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["term"], merge, num_buckets=4)
+
+
+_PACK_RANGES = 64
+_MERS31 = 2147483647
+
+
+def pack_contexts(sf_dir: str, budget: int = 256):
+    """Shuffled sequence packing: order docs by a seeded deterministic
+    shuffle key (the Lehmer rank — the global training shuffle), then
+    assign each doc to a fixed-token-budget context bin by CUMULATIVE token
+    count: ``bin_id = floor(prefix_tokens_before_me / budget)`` — the
+    sequence-packing step that turns a curated corpus into training
+    contexts.
+
+    The global prefix sum is distributed as a two-step scan (no sort, no
+    driver-side row loop):
+
+    1. shuffle ranks are uniform on [0, 2^31-1), so rank-range id
+       ``r = rank * R >> 31`` RANGE-partitions the order; per-range token
+       totals are map-side combined into an R-row table, exclusive-scanned
+       on the driver (R = 64 rows), and broadcast;
+    2. one range-keyed bucket shuffle; each range kernel sorts its ranks,
+       local-cumsums, and adds its broadcast base — exact global prefix.
+
+    Output (doc_id, shuffle_rank, n_tokens, bin_id), all int64. Ranks are
+    collision-free below 2^31-1 ids (Lehmer bijection), so the order — and
+    the packing — is total and resume-stable."""
+    from pixcrawler_ray.stages.sample import lehmer_rank
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        _, nw = _nonempty_words(t.column("text"))
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank = lehmer_rank(ids)
+        rng = (rank * _PACK_RANGES) >> 31
+        return pa.table({"doc_id": pa.array(ids),
+                         "shuffle_rank": pa.array(rank),
+                         "n_tokens": pa.array(nw),
+                         "rng": pa.array(rng)})
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow")
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"rng": t.column("rng").to_numpy(),
+                           "tok": t.column("n_tokens").to_numpy()})
+        g = df.groupby("rng", sort=False)["tok"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def range_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("rng", sort=False)["tok"].sum().reset_index()
+
+    totals = per_bucket(toks.map_batches(range_partial,
+                                         batch_format="pyarrow"),
+                        ["rng"], range_merge, num_buckets=2).to_pandas()
+    totals = totals.sort_values("rng")
+    base = dict(zip(totals["rng"].to_numpy(),
+                    np.concatenate([[0],
+                                    np.cumsum(totals["tok"].to_numpy())[:-1]
+                                    ]).astype(np.int64)))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("shuffle_rank", kind="mergesort")
+        tok = df["n_tokens"].to_numpy().astype(np.int64)
+        prev = np.concatenate([[0], np.cumsum(tok)[:-1]]) \
+            + base.get(int(df["rng"].iloc[0]), 0)
+        out = df[["doc_id", "shuffle_rank", "n_tokens"]].copy()
+        out["bin_id"] = prev // budget
+        return out
+
+    # each range is one key → lands whole in one kernel; ranges are
+    # uniform by construction so no hot bucket
+    return per_bucket(toks, ["rng"], pack, num_buckets=8)
+
+
+def bigram_lm_stats(sf_dir: str):
+    """Bigram language-model frequency scoring — the n-gram LM quality
+    signal (CCNet's KenLM-perplexity shape) with integer-exact outputs: for
+    each doc, the number of bigrams, and the sums over its bigrams of the
+    GLOBAL corpus counts C(w1,w2) and context counts C(w1·) (a doc of
+    common transitions scores high ≈ low perplexity; a doc of rare ones
+    scores low). The float log-prob is one vectorized log away but floats
+    don't value-hash — the sums are the oracle-stable core.
+
+    Two-pass broadcast plan (same as distinctive_terms): (1) global bigram
+    count table via per-batch partials + one tiny term-keyed exchange
+    (bigram vocab << corpus), broadcast via ``ray.put`` ONCE; (2) per-batch
+    doc bigrams scored by a vectorized merge against the broadcast table.
+    Output (doc_id, n_bigrams, sum_bigram_freq, sum_context_freq)."""
+    import ray
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_bigrams(t: pa.Table) -> pd.DataFrame:
+        flat, nw = _nonempty_words(t.column("text"))
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = flat.to_pandas().to_numpy()
+        if len(w) == 0:
+            return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
+        # consecutive pairs, masked to same-doc (position not last-in-doc)
+        ends = np.cumsum(nw)
+        last = np.zeros(len(w), dtype=bool)
+        last[ends[nw > 0] - 1] = True
+        keep = ~last
+        if len(w) > 1:
+            return pd.DataFrame({
+                "doc_id": np.repeat(ids, nw)[:-1][keep[:-1]],
+                "w1": w[:-1][keep[:-1]], "w2": w[1:][keep[:-1]]})
+        return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (doc_bigrams(t).groupby(["w1", "w2"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["w1", "w2"], sort=False)["n"].sum()
+                .reset_index())
+
+    big = per_bucket(ds.map_batches(count_partial, batch_format="pyarrow"),
+                     ["w1"], count_merge, num_buckets=4).to_pandas()
+    ctx = big.groupby("w1", sort=False)["n"].sum().rename("cn").reset_index()
+    big_ref = ray.put((big, ctx))
+
+    def score(t: pa.Table) -> pa.Table:
+        btab, ctab = ray.get(big_ref)
+        db = doc_bigrams(t)
+        if not len(db):
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("doc_id", "n_bigrams",
+                                       "sum_bigram_freq",
+                                       "sum_context_freq")})
+        m = db.merge(btab, on=["w1", "w2"], how="left") \
+              .merge(ctab, on="w1", how="left")
+        g = m.groupby("doc_id", sort=False).agg(
+            n_bigrams=("w1", "size"), sum_bigram_freq=("n", "sum"),
+            sum_context_freq=("cn", "sum")).reset_index()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+            "n_bigrams": pa.array(g["n_bigrams"].to_numpy(),
+                                  type=pa.int64()),
+            "sum_bigram_freq": pa.array(
+                g["sum_bigram_freq"].to_numpy().astype(np.int64)),
+            "sum_context_freq": pa.array(
+                g["sum_context_freq"].to_numpy().astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""Kernel-level tests for stages/textprep.py (the SQL-oracle parity is
+covered by test_queries_oracle; these pin the kernel semantics directly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pixcrawler_ray.stages import textprep as tp
+
+
+def test_scrub_pii_batch_redacts_and_counts():
+    t = pa.table({"doc_id": [0, 1, 2], "text": [
+        "mail a@b.co and c.d+x@e-f.org end",
+        "call +1-555-1234 or +1-800-0000 from 192.168.0.1",
+        "clean text no pii 1.2.3 not-an-ip 1234.5.6.7",
+    ]})
+    out = tp.scrub_pii_batch(t).to_pydict()
+    assert out["n_emails"] == [2, 0, 0]
+    assert out["n_phones"] == [0, 2, 0]
+    assert out["n_ips"] == [0, 1, 0]
+    assert out["clean_text"][0] == "mail <EMAIL> and <EMAIL> end"
+    assert out["clean_text"][1] == "call <PHONE> or <PHONE> from <IP>"
+    # 1.2.3 (three octets) and 1234.5.6.7 (4-digit octet w/ \b) don't match
+    assert out["clean_text"][2] == t.column("text")[2].as_py()
+
+
+def test_explode_segments_partitions_words():
+    texts = ["a b c d e", "x", "", "p q r"]
+    t = pa.table({"doc_id": [10, 11, 12, 13], "text": texts})
+    e = tp.explode_segments(t, k=2).to_pydict()
+    # doc 10: [a b][c d][e]; doc 11: [x]; doc 12: none; doc 13: [p q][r]
+    assert e["doc_id"] == [10, 10, 10, 11, 13, 13]
+    assert e["seg_idx"] == [0, 1, 2, 0, 0, 1]
+    assert e["n_segs"] == [3, 3, 3, 1, 2, 2]
+    assert e["seg_text"] == ["a b", "c d", "e", "x", "p q", "r"]
+
+
+def test_segment_dedup_keeps_global_first(ray_session, sf_tiny):
+    out = tp.segment_dedup(sf_tiny, k=12).to_pandas()
+    assert (out["n_kept"] <= out["n_segs"]).all()
+    assert (out["n_kept"] >= 1).all()
+    # reassembled text must be a subsequence of the doc's own segments:
+    # re-exploding clean_text yields segments that are globally unique
+    segs = []
+    for _, r in out.iterrows():
+        words = r["clean_text"].split(" ")
+        assert len(words) <= r["n_segs"] * 12
+    # global uniqueness of kept segments: explode every clean doc at the
+    # SAME k and assert no duplicate segment text — only exact for docs
+    # whose kept segments stayed k-aligned (n_kept == n_segs), so restrict
+    full = out[out["n_kept"] == out["n_segs"]]
+    t = pa.table({"doc_id": full["doc_id"].to_numpy(),
+                  "text": full["clean_text"].to_numpy()})
+    e = tp.explode_segments(t, k=12).to_pandas()
+    e_full = e[e["seg_text"].str.count(" ") == 11]
+    assert not e_full["seg_text"].duplicated().any() or \
+        len(e_full) == len(set(e_full["seg_text"]))
+
+
+def test_term_postings_matches_counter_spec(ray_session, sf_tiny):
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    spec: dict = {}
+    for _, r in docs.iterrows():
+        for w in r["text"].split():
+            s = spec.setdefault(w, {"docs": set(), "tf": 0})
+            s["docs"].add(r["doc_id"])
+            s["tf"] += 1
+    out = tp.term_postings(sf_tiny).to_pandas().set_index("term")
+    assert set(out.index) == set(spec)
+    for term, s in spec.items():
+        row = out.loc[term]
+        assert row["df"] == len(s["docs"])
+        assert row["tf"] == s["tf"]
+        assert row["min_doc"] == min(s["docs"])
+        assert row["max_doc"] == max(s["docs"])
+        assert row["sum_doc"] == sum(s["docs"])
+
+
+def test_pack_contexts_bins_are_cumulative(ray_session, sf_tiny):
+    budget = 128
+    out = (tp.pack_contexts(sf_tiny, budget=budget).to_pandas()
+           .sort_values("shuffle_rank").reset_index(drop=True))
+    prev = np.concatenate([[0], np.cumsum(out["n_tokens"].to_numpy())[:-1]])
+    assert (out["bin_id"].to_numpy() == prev // budget).all()
+    # bins are contiguous in shuffle order and non-decreasing
+    assert (np.diff(out["bin_id"].to_numpy()) >= 0).all()
+    # ranks are collision-free (Lehmer bijection below 2^31-1)
+    assert out["shuffle_rank"].is_unique
+
+
+def test_bigram_lm_stats_matches_python_spec(ray_session, sf_tiny):
+    import collections
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    big = collections.Counter()
+    per_doc: dict = {}
+    for _, r in docs.iterrows():
+        ws = r["text"].split()
+        bgs = list(zip(ws[:-1], ws[1:]))
+        per_doc[r["doc_id"]] = bgs
+        big.update(bgs)
+    ctx = collections.Counter()
+    for (w1, _), n in big.items():
+        ctx[w1] += n
+    out = tp.bigram_lm_stats(sf_tiny).to_pandas().set_index("doc_id")
+    for doc, bgs in per_doc.items():
+        if not bgs:
+            assert doc not in out.index
+            continue
+        row = out.loc[doc]
+        assert row["n_bigrams"] == len(bgs)
+        assert row["sum_bigram_freq"] == sum(big[b] for b in bgs)
+        assert row["sum_context_freq"] == sum(ctx[b[0]] for b in bgs)
