@@ -199,6 +199,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages import multimodal as mm
         return mm.sniff_metadata(mm.synthetic_media(sf_dir))
 
+    def tar_shards_q(sf_dir: str):
+        import hashlib as _hl
+        import os as _os
+        import shutil as _sh
+        import tempfile as _tf
+        from pixcrawler_ray.pipelines import shards as _shards
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        out = _os.path.join(_tf.gettempdir(), f"pxr_shards_{tag}")
+        _sh.rmtree(out, ignore_errors=True)
+        return _shards.shard_pages(sf_dir, out, samples_per_shard=64)
+
     def group_counts(sf_dir: str):
         # MERGED (one registry row): distinct_mktsegment +
         # order_priority_count + pages_per_host as (section, grp, n)
@@ -388,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": ts.bpe_token_counts,
         "doc_fingerprints": ts.doc_fingerprints,
         "distinct_urls_kmv": distinct_urls_kmv_q,
+        "tar_shards": tar_shards_q,   # oracled (mimic-verified) but beyond
+        #   the window: the tar-size arithmetic replays in SQL
     }
 
 
@@ -1339,6 +1352,25 @@ SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM bg b JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
           JOIN ctx x ON b.w1 = x.w1
 GROUP BY b.doc_id"""
+
+    # tar_shards: shard assignment, counts, payload bytes AND the tar byte
+    # size are pure arithmetic over the page html lengths — USTAR layout is
+    # 512 B header + payload padded to 512, closed with 1024 B of zero
+    # blocks and padded to the 10240 B record size
+    out["tar_shards"] = (
+        "WITH " + _PAGES_CTE + """, sizes AS (
+  SELECT doc_id, CAST(length(h) AS BIGINT) AS nb FROM pages
+), agg AS (
+  SELECT doc_id // 64 AS shard_id, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(nb) AS BIGINT) AS payload_bytes,
+         CAST(sum(512 + CAST(ceil(nb / 512.0) AS BIGINT) * 512) AS BIGINT)
+           AS entries_bytes
+  FROM sizes GROUP BY doc_id // 64
+)
+SELECT shard_id, n_samples, payload_bytes,
+       CAST(ceil((entries_bytes + 1024) / 10240.0) AS BIGINT) * 10240
+         AS tar_bytes
+FROM agg""")
 
     # superseded singles: merged above; the stage functions remain public
     # and pytest-covered, only the registry rows collapse
