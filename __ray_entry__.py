@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _sh.rmtree(out, ignore_errors=True)
         return _shards.shard_pages(sf_dir, out, samples_per_shard=64)
 
+    def heavy_hitters_q(sf_dir: str):
+        from pixcrawler_ray.stages.sketch import heavy_hitter_bigrams
+        return heavy_hitter_bigrams(sf_dir, k=1000)
+
     def group_counts(sf_dir: str):
         # MERGED (one registry row): distinct_mktsegment +
         # order_priority_count + pages_per_host as (section, grp, n)
@@ -401,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_urls_kmv": distinct_urls_kmv_q,
         "tar_shards": tar_shards_q,   # oracled (mimic-verified) but beyond
         #   the window: the tar-size arithmetic replays in SQL
+        "heavy_hitters": heavy_hitters_q,   # oracled (mimic-verified):
+        #   MG candidates + exact verify == GROUP BY ... HAVING
     }
 
 
@@ -1371,6 +1377,24 @@ SELECT shard_id, n_samples, payload_bytes,
        CAST(ceil((entries_bytes + 1024) / 10240.0) AS BIGINT) * 10240
          AS tar_bytes
 FROM agg""")
+
+    # heavy_hitters: the two-pass MG+verify plan is EXACT, so the oracle is
+    # the plain GROUP BY ... HAVING cnt*(k+1) > n it avoids computing
+    # domain-wide (k=1000)
+    out["heavy_hitters"] = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), bg0 AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ws
+), bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2 FROM bg0
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY w1, w2
+HAVING count(*) * 1001 > (SELECT n FROM tot)"""
 
     # superseded singles: merged above; the stage functions remain public
     # and pytest-covered, only the registry rows collapse

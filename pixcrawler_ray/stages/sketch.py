@@ -76,3 +76,104 @@ def distinct_urls_per_host(sf_dir: str, k: int = DEFAULT_K):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return per_bucket(partials, ["key"], merge, num_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pass + exact verification pass
+# ---------------------------------------------------------------------------
+
+def mg_batch_candidates(keys1: np.ndarray, keys2: np.ndarray,
+                        k: int) -> pd.DataFrame:
+    """Misra-Gries survivor superset for ONE batch of (w1, w2) keys: any key
+    with batch frequency > n_b/(k+1) — at most k keys, the MG-with-k-counters
+    guarantee set (Misra & Gries 1982). Keys absent here have batch count
+    <= n_b/(k+1), so summing over batches: a key missing from EVERY partial
+    has global count <= n/(k+1)."""
+    df = pd.DataFrame({"w1": keys1, "w2": keys2})
+    n_b = len(df)
+    c = (df.groupby(["w1", "w2"], sort=False).size().rename("cnt")
+         .reset_index())
+    return c[c["cnt"].to_numpy() * (k + 1) > n_b][["w1", "w2"]]
+
+
+def heavy_hitter_bigrams(sf_dir: str, k: int = 1000):
+    """Approximate-top-k heavy hitters over the corpus BIGRAM stream, made
+    EXACT (and SQL-oracled) by a two-pass plan — the at-scale shape for
+    "which keys exceed phi = 1/(k+1) of a 100 TB stream" when the key
+    domain (urls, hosts, n-grams) is too large to groupby exactly:
+
+    1. candidate pass: per-batch Misra-Gries survivor sets (each <= k keys,
+       a fixed-size partial independent of domain size) unioned on the
+       driver — by the MG bound this is a SUPERSET of every key with global
+       count > n/(k+1);
+    2. verify pass: candidates broadcast via ``ray.put``; each batch
+       exact-counts ONLY candidate keys (vectorized isin + value_counts
+       partials), merged through one tiny keyed exchange; the final filter
+       ``cnt*(k+1) > n`` is therefore the exact GROUP BY ... HAVING answer
+       without ever shuffling the full key domain.
+
+    Output (w1, w2, cnt) — deterministic (no merge-order dependence: the
+    approximation only ever widens the candidate set; counts are exact).
+    """
+    import ray
+
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+    from pixcrawler_ray.stages.textprep import _nonempty_words
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def batch_bigrams(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        flat, nw = _nonempty_words(t.column("text"))
+        w = flat.to_pandas().to_numpy()
+        if len(w) < 2:
+            e = np.array([], dtype=object)
+            return e, e
+        ends = np.cumsum(nw)
+        last = np.zeros(len(w), dtype=bool)
+        last[ends[nw > 0] - 1] = True
+        keep = ~last[:-1]
+        return w[:-1][keep], w[1:][keep]
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        a, b = batch_bigrams(t)
+        return pa.Table.from_pandas(mg_batch_candidates(a, b, k),
+                                    preserve_index=False)
+
+    import ray.data as rd
+
+    cands = (ds.map_batches(cand_partial, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    empty = pa.table({"w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if cands.empty:      # no key can exceed n/(k+1) — exact by the MG bound
+        return rd.from_arrow(empty)
+    cand_ref = ray.put(cands)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        a, b = batch_bigrams(t)
+        n_b = np.int64(len(a))
+        df = pd.DataFrame({"w1": a, "w2": b})
+        c = (df.groupby(["w1", "w2"], sort=False).size().rename("cnt")
+             .reset_index())
+        c = c.merge(cs, on=["w1", "w2"], how="inner")   # vectorized isin
+        c = pd.concat([c, pd.DataFrame(
+            {"w1": ["\x00total"], "w2": [""], "cnt": [n_b]})])
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["w1", "w2"], sort=False)["cnt"].sum()
+                .reset_index())
+
+    merged = per_bucket(ds.map_batches(exact_partial,
+                                       batch_format="pyarrow"),
+                        ["w1", "w2"], merge, num_buckets=4).to_pandas()
+    tot_rows = merged[merged["w1"] == "\x00total"]
+    n = int(tot_rows["cnt"].sum())
+    hh = merged[merged["w1"] != "\x00total"]
+    hh = hh[hh["cnt"].to_numpy() * (k + 1) > n]
+    hh = hh.sort_values(["w1", "w2"]).reset_index(drop=True)
+    hh["cnt"] = hh["cnt"].astype(np.int64)
+    return rd.from_pandas(hh) if len(hh) else rd.from_arrow(empty)

