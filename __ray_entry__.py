@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _sh.rmtree(out, ignore_errors=True)
         return _shards.shard_pages(sf_dir, out, samples_per_shard=64)
 
+    def domain_mixture_q(sf_dir: str):
+        from pixcrawler_ray.stages.sample import domain_mixture
+        return domain_mixture(sf_dir)
+
     def heavy_hitters_q(sf_dir: str):
         from pixcrawler_ray.stages.sketch import heavy_hitter_bigrams
         return heavy_hitter_bigrams(sf_dir, k=1000)
@@ -407,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   the window: the tar-size arithmetic replays in SQL
         "heavy_hitters": heavy_hitters_q,   # oracled (mimic-verified):
         #   MG candidates + exact verify == GROUP BY ... HAVING
+        "domain_mixture": domain_mixture_q,  # oracled (mimic-verified)
     }
 
 
@@ -1395,6 +1400,17 @@ WITH ws AS (
 SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
 FROM bg GROUP BY w1, w2
 HAVING count(*) * 1001 > (SELECT n FROM tot)"""
+
+    # domain_mixture: Lehmer-rank Bernoulli acceptance at
+    # MIXTURE_PCT[src_idx % 4] percent per source
+    out["domain_mixture"] = """
+SELECT doc_id, source,
+       ([100, 60, 30, 10])[CAST(regexp_replace(source, '^src', '')
+                                AS BIGINT) % 4 + 1] AS pct
+FROM documents
+WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 100
+      < ([100, 60, 30, 10])[CAST(regexp_replace(source, '^src', '')
+                                 AS BIGINT) % 4 + 1]"""
 
     # superseded singles: merged above; the stage functions remain public
     # and pytest-covered, only the registry rows collapse

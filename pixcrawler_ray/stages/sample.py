@@ -49,3 +49,36 @@ def sample_stratified(sf_dir: str, per_stratum: int = 50,
     return kept.map_batches(
         lambda t: t.select(["doc_id", stratum_col]),
         batch_format="pyarrow")
+
+
+# mixture weights as acceptance percentages by source index mod 4 — the
+# DoReMi/Pile-style static domain reweighting shape (upsample quality
+# domains, downsample noisy ones), deterministic so resumes re-pick the
+# same rows. Literal table => exact SQL replay.
+MIXTURE_PCT = (100, 60, 30, 10)
+
+
+def domain_mixture(sf_dir: str):
+    """Static domain-mixture resampling: keep a source-dependent fraction
+    of each domain via the Lehmer rank as the acceptance variable —
+    ``keep iff lehmer_rank(doc_id) % 100 < pct(source)`` with ``pct`` =
+    ``MIXTURE_PCT[src_idx % 4]``. One embarrassingly parallel pass (no
+    shuffle): the mixture is a per-row predicate, exactly reproducible
+    across reruns and partitions. Output (doc_id, source, pct)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source")
+        idx = pc.cast(pc.replace_substring_regex(src, "^src", ""),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        pct = np.asarray(MIXTURE_PCT, dtype=np.int64)[idx % 4]
+        keep = (lehmer_rank(ids) % 100) < pct
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "source": src,
+                        "pct": pa.array(pct)})
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -117,3 +117,23 @@ def test_bigram_lm_stats_matches_python_spec(ray_session, sf_tiny):
         assert row["n_bigrams"] == len(bgs)
         assert row["sum_bigram_freq"] == sum(big[b] for b in bgs)
         assert row["sum_context_freq"] == sum(ctx[b[0]] for b in bgs)
+
+
+def test_domain_mixture_rates(ray_session, sf_tiny):
+    from pixcrawler_ray.stages.sample import MIXTURE_PCT, domain_mixture
+    import pyarrow.parquet as pq
+    out = domain_mixture(sf_tiny).to_pandas()
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    per_src = docs.groupby("source").size()
+    kept = out.groupby("source").size()
+    for src, n in per_src.items():
+        pct = MIXTURE_PCT[int(src[3:]) % 4]
+        got = kept.get(src, 0)
+        # Lehmer ranks are uniform: acceptance within a loose band
+        assert got <= n
+        if pct == 100:
+            assert got == n
+    # deterministic rerun picks the identical rows
+    again = domain_mixture(sf_tiny).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
