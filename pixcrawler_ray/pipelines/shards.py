@@ -115,3 +115,34 @@ def shard_pages(sf_dir: str, out_dir: str, samples_per_shard: int = 64):
                                 name_suffix=".html")
     return manifest.map_batches(
         lambda t: t.drop_columns(["path"]), batch_format="pyarrow")
+
+
+def read_shards_dataset(out_dir: str):
+    """Stream shards back as a Dataset of (shard_id, name, payload) — the
+    dataloader side of the WebDataset convention. ``read_binary_files``
+    yields one row per shard (bytes + path); a flat ``map_batches`` untars
+    each in-memory. Shard files are bounded by construction
+    (samples_per_shard × payload), so per-task memory is bounded too; a
+    100 TB corpus is just more shard files, each an independent task."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(out_dir, include_paths=True)
+
+    def untar(t: pa.Table) -> pa.Table:
+        sids, names, payloads = [], [], []
+        for path, blob in zip(t.column("path").to_pylist(),
+                              t.column("bytes").to_pylist()):
+            base = os.path.basename(path)
+            if not (base.startswith("shard-") and base.endswith(".tar")):
+                continue
+            sid = int(base[len("shard-"):-len(".tar")])
+            with tarfile.open(fileobj=io.BytesIO(blob), mode="r") as tf:
+                for m in tf.getmembers():
+                    sids.append(sid)
+                    names.append(m.name)
+                    payloads.append(tf.extractfile(m).read())
+        return pa.table({"shard_id": pa.array(sids, type=pa.int64()),
+                         "name": pa.array(names, type=pa.string()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(untar, batch_format="pyarrow")

@@ -95,3 +95,19 @@ def test_heavy_hitter_bigrams_exact_and_k_invariant(ray_session, sf_tiny):
     got2 = heavy_hitter_bigrams(sf_tiny, k=k)  # deterministic rerun
     got2_t = sorted(zip(*(got2.to_pandas()[c] for c in ("w1", "w2", "cnt"))))
     assert got2_t == got_t
+
+
+def test_read_shards_dataset_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    payloads = {i: bytes([i % 7 + 1]) * (5 + i) for i in range(30)}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(payloads), "payload": list(payloads.values())}))
+    out = str(tmp_path / "w")
+    shards.write_tar_shards(ds, out, samples_per_shard=8).to_pandas()
+    back = shards.read_shards_dataset(out).to_pandas()
+    assert len(back) == 30
+    got = {int(n.split(".")[0]): p for n, p in zip(back["name"],
+                                                   back["payload"])}
+    assert got == payloads
+    assert (back["shard_id"] == back["name"].str.split(".").str[0]
+            .astype(int) // 8).all()
