@@ -205,7 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import shutil as _sh
         import tempfile as _tf
         from pixcrawler_ray.pipelines import shards as _shards
-        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        tag = _hl.md5(f"{sf_dir}|sps=64".encode()).hexdigest()[:8]
         out = _os.path.join(_tf.gettempdir(), f"pxr_shards_{tag}")
         _sh.rmtree(out, ignore_errors=True)
         return _shards.shard_pages(sf_dir, out, samples_per_shard=64)

@@ -55,7 +55,11 @@ def write_tar_shards(ds, out_dir: str, key_col: str = "doc_id",
     ``key_col`` must be a dense-enough integer id: ``shard_id =
     key // samples_per_shard`` (gaps just make smaller shards — still
     deterministic). Entries are named ``{key:012d}{name_suffix}`` and sorted
-    by key within the shard. Already-present shards are skipped (resume)."""
+    by key within the shard. Already-present shards are skipped (resume) —
+    which assumes ``out_dir`` is a SHARED filesystem (object store / NFS)
+    on a multi-node cluster, and that a given out_dir is never reused with
+    different sharding parameters (callers should key the directory by
+    them, as ``__ray_entry__.tar_shards_q`` does)."""
     from pixcrawler_ray.stages.shuffle import per_bucket
 
     os.makedirs(out_dir, exist_ok=True)
@@ -70,18 +74,21 @@ def write_tar_shards(ds, out_dir: str, key_col: str = "doc_id",
         rows = []
         for sid, g in df.groupby("shard_id", sort=True):
             g = g.sort_values(key_col, kind="mergesort")
-            names = [f"{int(k):012d}{name_suffix}" for k in g[key_col]]
             payloads = [bytes(p) for p in g[payload_col]]
-            blob = _tar_bytes(names, payloads)
             path = os.path.join(out_dir, f"shard-{int(sid):05d}.tar")
-            if not os.path.exists(path):      # resume: skip finished shards
+            if os.path.exists(path):          # resume: committed shards are
+                tar_len = os.path.getsize(path)   # free — no re-tar
+            else:
+                names = [f"{int(k):012d}{name_suffix}" for k in g[key_col]]
+                blob = _tar_bytes(names, payloads)
+                tar_len = len(blob)
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(blob)
                 os.replace(tmp, path)         # atomic commit
             rows.append({"shard_id": int(sid), "n_samples": len(g),
                          "payload_bytes": int(sum(map(len, payloads))),
-                         "tar_bytes": len(blob), "path": path})
+                         "tar_bytes": tar_len, "path": path})
         return pd.DataFrame(rows)
 
     return per_bucket(ds.map_batches(assign, batch_format="pyarrow"),

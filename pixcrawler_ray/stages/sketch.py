@@ -96,7 +96,8 @@ def mg_batch_candidates(keys1: np.ndarray, keys2: np.ndarray,
     return c[c["cnt"].to_numpy() * (k + 1) > n_b][["w1", "w2"]]
 
 
-def heavy_hitter_bigrams(sf_dir: str, k: int = 1000):
+def heavy_hitter_bigrams(sf_dir: str, k: int = 1000,
+                         candidate_k: int | None = None):
     """Approximate-top-k heavy hitters over the corpus BIGRAM stream, made
     EXACT (and SQL-oracled) by a two-pass plan — the at-scale shape for
     "which keys exceed phi = 1/(k+1) of a 100 TB stream" when the key
@@ -114,30 +115,28 @@ def heavy_hitter_bigrams(sf_dir: str, k: int = 1000):
 
     Output (w1, w2, cnt) — deterministic (no merge-order dependence: the
     approximation only ever widens the candidate set; counts are exact).
+    ``candidate_k`` (>= k) widens the candidate pass only — the final
+    filter stays at k, so the output is invariant in it (pytest-asserted).
     """
     import ray
 
     from pixcrawler_ray.sources.readers import read_table
     from pixcrawler_ray.stages.shuffle import per_bucket
-    from pixcrawler_ray.stages.textprep import _nonempty_words
+    from pixcrawler_ray.stages.textprep import doc_bigrams
 
+    cand_k = candidate_k if candidate_k is not None else k
+    if cand_k < k:
+        raise ValueError("candidate_k must be >= k (the candidate pass "
+                         "must be a superset of the final filter)")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def batch_bigrams(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        flat, nw = _nonempty_words(t.column("text"))
-        w = flat.to_pandas().to_numpy()
-        if len(w) < 2:
-            e = np.array([], dtype=object)
-            return e, e
-        ends = np.cumsum(nw)
-        last = np.zeros(len(w), dtype=bool)
-        last[ends[nw > 0] - 1] = True
-        keep = ~last[:-1]
-        return w[:-1][keep], w[1:][keep]
+        df = doc_bigrams(t)
+        return df["w1"].to_numpy(), df["w2"].to_numpy()
 
     def cand_partial(t: pa.Table) -> pa.Table:
         a, b = batch_bigrams(t)
-        return pa.Table.from_pandas(mg_batch_candidates(a, b, k),
+        return pa.Table.from_pandas(mg_batch_candidates(a, b, cand_k),
                                     preserve_index=False)
 
     import ray.data as rd

@@ -60,15 +60,25 @@ def pii_scrub(sf_dir: str):
     def kernel(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         d = ids.astype(np.int64)
-        extra = np.where(d % 3 == 0, " and admin@corp.example.org", "")
-        trailer = pd.Series(
-            [" contact user%d@mail%d.example.com%s call +1-%d-%d from"
-             " 10.0.%d.%d" % (i, i % 7, e, 100 + i % 900, 1000 + i % 9000,
-                              i % 256, (i * 3) % 256)
-             for i, e in zip(d, extra)])
+
+        def s(arr) -> pa.Array:   # int column -> string column (vectorized)
+            return pc.cast(pa.array(arr, type=pa.int64()), pa.string())
+
+        extra = pa.array(np.where(d % 3 == 0,
+                                  " and admin@corp.example.org", ""),
+                         type=pa.string())
+        n = t.num_rows
+
+        def const(v: str) -> pa.Array:
+            return pa.array([v] * n, type=pa.string())
+
         aug = pc.binary_join_element_wise(
             t.column("text").cast(pa.string()),
-            pa.array(trailer, type=pa.string()), "")
+            const(" contact user"), s(d), const("@mail"), s(d % 7),
+            const(".example.com"), extra, const(" call +1-"),
+            s(100 + d % 900), const("-"), s(1000 + d % 9000),
+            const(" from 10.0."), s(d % 256), const("."), s((d * 3) % 256),
+            "")
         out = scrub_pii_batch(pa.table({"doc_id": t.column("doc_id"),
                                         "text": aug}))
         return out.select(["doc_id", "n_emails", "n_phones", "n_ips",
@@ -130,7 +140,7 @@ def explode_segments(t: pa.Table, k: int = 12) -> pa.Table:
 _SEG_ORD = 1 << 20
 
 
-def segment_dedup(sf_dir: str, k: int = 12):
+def segment_dedup(sf_dir: str, k: int = 12, num_buckets: int = 32):
     """CCNet-shape segment-level dedup: explode every doc into k-word
     segments, keep the GLOBALLY first occurrence of each distinct segment
     text (order = (doc_id, seg_idx)), and reassemble each doc from its kept
@@ -154,7 +164,8 @@ def segment_dedup(sf_dir: str, k: int = 12):
         return e.append_column("ord", ordv)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    kept = keep_first_n(exploded, ["seg_text"], "ord", 1)
+    kept = keep_first_n(exploded, ["seg_text"], "ord", 1,
+                        num_buckets=num_buckets)
 
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
@@ -173,7 +184,8 @@ def segment_dedup(sf_dir: str, k: int = 12):
             "clean_text": clean.to_pandas().to_numpy(),
         })
 
-    return per_bucket(kept, ["doc_id"], reassemble)
+    return per_bucket(kept, ["doc_id"], reassemble,
+                      num_buckets=num_buckets)
 
 
 def term_postings(sf_dir: str):
@@ -279,10 +291,22 @@ def pack_contexts(sf_dir: str, budget: int = 256):
                                     ]).astype(np.int64)))
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("shuffle_rank", kind="mergesort")
+        # per_bucket hands a UNION of ranges (bucket = hash(rng) % B) —
+        # the scan must restart at each range's own broadcast base, so
+        # sort by (rng, rank) and subtract each range's running start
+        df = df.sort_values(["rng", "shuffle_rank"], kind="mergesort")
         tok = df["n_tokens"].to_numpy().astype(np.int64)
-        prev = np.concatenate([[0], np.cumsum(tok)[:-1]]) \
-            + base.get(int(df["rng"].iloc[0]), 0)
+        rng = df["rng"].to_numpy().astype(np.int64)
+        cum_prev = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        starts = np.flatnonzero(np.concatenate(
+            [[True], rng[1:] != rng[:-1]]))
+        # zero the cumsum at each range boundary, then add that range's base
+        prev = cum_prev - np.repeat(cum_prev[starts],
+                                    np.diff(np.append(starts, len(rng))))
+        bases = np.array([base.get(int(r), 0) for r in rng[starts]],
+                         dtype=np.int64)
+        prev = prev + np.repeat(bases,
+                                np.diff(np.append(starts, len(rng))))
         out = df[["doc_id", "shuffle_rank", "n_tokens"]].copy()
         out["bin_id"] = prev // budget
         return out
@@ -290,6 +314,26 @@ def pack_contexts(sf_dir: str, budget: int = 256):
     # each range is one key → lands whole in one kernel; ranges are
     # uniform by construction so no hot bucket
     return per_bucket(toks, ["rng"], pack, num_buckets=8)
+
+
+def doc_bigrams(t: pa.Table) -> pd.DataFrame:
+    """Consecutive same-doc word pairs of one batch as (doc_id, w1, w2) —
+    the single shared bigram extractor (bigram_lm_stats, sketch heavy
+    hitters). Pairs never cross doc boundaries: the mask drops each doc's
+    last word from the w1 position."""
+    flat, nw = _nonempty_words(t.column("text"))
+    ids = t.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    w = flat.to_pandas().to_numpy()
+    if len(w) < 2:
+        return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
+    ends = np.cumsum(nw)
+    last = np.zeros(len(w), dtype=bool)
+    last[ends[nw > 0] - 1] = True
+    keep = ~last[:-1]
+    return pd.DataFrame({
+        "doc_id": np.repeat(ids, nw)[:-1][keep],
+        "w1": w[:-1][keep], "w2": w[1:][keep]})
 
 
 def bigram_lm_stats(sf_dir: str):
@@ -311,24 +355,6 @@ def bigram_lm_stats(sf_dir: str):
     from pixcrawler_ray.stages.shuffle import per_bucket
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def doc_bigrams(t: pa.Table) -> pd.DataFrame:
-        flat, nw = _nonempty_words(t.column("text"))
-        ids = t.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        w = flat.to_pandas().to_numpy()
-        if len(w) == 0:
-            return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
-        # consecutive pairs, masked to same-doc (position not last-in-doc)
-        ends = np.cumsum(nw)
-        last = np.zeros(len(w), dtype=bool)
-        last[ends[nw > 0] - 1] = True
-        keep = ~last
-        if len(w) > 1:
-            return pd.DataFrame({
-                "doc_id": np.repeat(ids, nw)[:-1][keep[:-1]],
-                "w1": w[:-1][keep[:-1]], "w2": w[1:][keep[:-1]]})
-        return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = (doc_bigrams(t).groupby(["w1", "w2"], sort=False)

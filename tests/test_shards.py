@@ -90,9 +90,10 @@ def test_heavy_hitter_bigrams_exact_and_k_invariant(ray_session, sf_tiny):
     got_t = sorted(zip(got["w1"], got["w2"], got["cnt"]))
     assert got_t == want
     assert len(want) > 0
-    # same k-threshold applied, but candidate pass run at a larger budget:
-    # output must be identical (supersets never change the exact filter)
-    got2 = heavy_hitter_bigrams(sf_tiny, k=k)  # deterministic rerun
+    # same k-threshold applied, but candidate pass run at a 5x larger
+    # budget: output must be identical — a wider candidate superset never
+    # changes the exact final filter
+    got2 = heavy_hitter_bigrams(sf_tiny, k=k, candidate_k=5 * k)
     got2_t = sorted(zip(*(got2.to_pandas()[c] for c in ("w1", "w2", "cnt"))))
     assert got2_t == got_t
 

@@ -139,25 +139,59 @@ def test_domain_mixture_rates(ray_session, sf_tiny):
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
 
 
-def test_pack_contexts_range_partition_invariance(ray_session, sf_tiny,
+def _write_spread_docs(tmp_path) -> str:
+    """Synthetic documents.parquet whose doc_ids spread the Lehmer ranks
+    over ALL rank ranges (sf fixtures only reach range 0: id*48271 <
+    2^31/64 for id < ~44k) — required to exercise the multi-range
+    distributed-scan merge."""
+    import pyarrow.parquet as pq
+    ids = np.arange(0, 500) * 4_001 + 7          # ranks span [0, 2^31)
+    texts = [("w%d " % (i % 17)) * (3 + i % 23) for i in ids]
+    sf = tmp_path / "spread"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts, type=pa.string())}),
+                   str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_pack_contexts_multirange_matches_spec(ray_session, tmp_path):
+    """doc_ids occupying MANY rank ranges (the realistic regime the sf
+    fixtures never reach) must still produce the exact global cumulative
+    bins — this is the per_bucket multi-key union case where each kernel
+    call holds several non-contiguous ranges."""
+    from pixcrawler_ray.stages.sample import lehmer_rank
+    sf = _write_spread_docs(tmp_path)
+    budget = 64
+    out = (tp.pack_contexts(sf, budget=budget).to_pandas()
+           .sort_values("shuffle_rank").reset_index(drop=True))
+    ranks = lehmer_rank(out["doc_id"].to_numpy())
+    n_ranges = len(set((ranks * tp._PACK_RANGES) >> 31))
+    assert n_ranges > 16, f"fixture must span many ranges, got {n_ranges}"
+    prev = np.concatenate([[0], np.cumsum(out["n_tokens"].to_numpy())[:-1]])
+    assert (out["bin_id"].to_numpy() == prev // budget).all()
+
+
+def test_pack_contexts_range_partition_invariance(ray_session, tmp_path,
                                                   monkeypatch):
     """The two-step distributed prefix scan must be invariant to the range
-    partition count — the scan is exact, not approximate, at any R."""
+    partition count — exact, not approximate, at any R (checked on the
+    multi-range fixture so the merge logic actually runs)."""
     from pixcrawler_ray.stages import textprep as tp_mod
-    base = (tp_mod.pack_contexts(sf_tiny, budget=256).to_pandas()
+    sf = _write_spread_docs(tmp_path)
+    base = (tp_mod.pack_contexts(sf, budget=256).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     monkeypatch.setattr(tp_mod, "_PACK_RANGES", 7)
-    alt = (tp_mod.pack_contexts(sf_tiny, budget=256).to_pandas()
+    alt = (tp_mod.pack_contexts(sf, budget=256).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(base, alt)
 
 
 def test_segment_dedup_bucket_invariance(ray_session, sf_tiny):
     """Keyed keep-first + reassembly must not depend on shuffle bucketing
-    width (per_bucket is hash-partitioned; any B gives the same rows)."""
-    from pixcrawler_ray.stages.shuffle import DEFAULT_BUCKETS  # noqa: F401
-    a = (tp.segment_dedup(sf_tiny, k=7).to_pandas()
+    width — run at B=3 and B=32 and compare rows."""
+    a = (tp.segment_dedup(sf_tiny, k=7, num_buckets=32).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
-    b = (tp.segment_dedup(sf_tiny, k=7).to_pandas()
+    b = (tp.segment_dedup(sf_tiny, k=7, num_buckets=3).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
