@@ -218,6 +218,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.sketch import heavy_hitter_bigrams
         return heavy_hitter_bigrams(sf_dir, k=1000)
 
+    def bigram_lm_both_q(sf_dir: str):
+        # MERGED (one registry row): BOTH size-switch paths of
+        # bigram_lm_stats — broadcast (vocab under the cap) and the
+        # w1-bucketed join (the 100 TB vocab path) — tagged and unioned so
+        # the driver value-hashes each against the same per-doc oracle
+        import pyarrow as _pa
+
+        def tag(path):
+            def f(t):
+                return t.append_column(
+                    "path", _pa.array([path] * t.num_rows,
+                                      type=_pa.string()))
+            return f
+
+        a = tp.bigram_lm_stats(sf_dir).map_batches(
+            tag("broadcast"), batch_format="pyarrow")
+        b = tp.bigram_lm_stats(sf_dir, broadcast_max_rows=0).map_batches(
+            tag("join"), batch_format="pyarrow")
+        return a.union(b)
+
     def group_counts(sf_dir: str):
         # MERGED (one registry row): distinct_mktsegment +
         # order_priority_count + pages_per_host as (section, grp, n)
@@ -382,7 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": tp.segment_dedup,
         "term_postings": tp.term_postings,
         "pack_contexts": lambda sf: tp.pack_contexts(sf, budget=256),
-        "bigram_lm_stats": tp.bigram_lm_stats,
+        "bigram_lm_stats": bigram_lm_both_q,   # both size-switch paths
         # --- frontier URL normalization / robots / graph (oracled) ---
         "url_canonical_dedup": url_canonical_dedup_q,  # canon + collapse
         "robots_parse": robots_parse_q,
@@ -1343,7 +1363,9 @@ SELECT doc_id, shuffle_rank, n_tokens,
             AS BIGINT) AS bin_id
 FROM toks"""
 
-    # bigram_lm_stats: global bigram/context counts joined back per doc
+    # bigram_lm_stats: global bigram/context counts joined back per doc;
+    # the engine runs BOTH size-switch paths (broadcast + bucketed join),
+    # so the oracle emits every row twice with the path tag
     out["bigram_lm_stats"] = """
 WITH ws AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
@@ -1357,12 +1379,16 @@ WITH ws AS (
 ), ctx AS (
   SELECT w1, CAST(sum(n) AS BIGINT) AS cn FROM counts GROUP BY w1
 )
-SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(c.n) AS BIGINT) AS sum_bigram_freq,
-       CAST(sum(x.cn) AS BIGINT) AS sum_context_freq
-FROM bg b JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
-          JOIN ctx x ON b.w1 = x.w1
-GROUP BY b.doc_id"""
+, base AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c.n) AS BIGINT) AS sum_bigram_freq,
+         CAST(sum(x.cn) AS BIGINT) AS sum_context_freq
+  FROM bg b JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN ctx x ON b.w1 = x.w1
+  GROUP BY b.doc_id
+)
+SELECT base.*, p.path FROM base
+CROSS JOIN (VALUES ('broadcast'), ('join')) AS p(path)"""
 
     # tar_shards: shard assignment, counts, payload bytes AND the tar byte
     # size are pure arithmetic over the page html lengths — USTAR layout is

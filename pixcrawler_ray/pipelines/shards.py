@@ -45,6 +45,14 @@ def _tar_bytes(names: list[str], payloads: list[bytes]) -> bytes:
     return buf.getvalue()
 
 
+def _tar_len(payload_sizes) -> int:
+    """Deterministic USTAR archive size for the given payload sizes (the
+    same arithmetic the SQL oracle replays): 512 B header + 512-padded data
+    per entry, 1024 B end marker, padded to the 10240 B record size."""
+    body = sum(512 + -(-int(n) // 512) * 512 for n in payload_sizes) + 1024
+    return -(-body // 10240) * 10240
+
+
 def write_tar_shards(ds, out_dir: str, key_col: str = "doc_id",
                      payload_col: str = "payload",
                      samples_per_shard: int = 64,
@@ -76,8 +84,13 @@ def write_tar_shards(ds, out_dir: str, key_col: str = "doc_id",
             g = g.sort_values(key_col, kind="mergesort")
             payloads = [bytes(p) for p in g[payload_col]]
             path = os.path.join(out_dir, f"shard-{int(sid):05d}.tar")
-            if os.path.exists(path):          # resume: committed shards are
-                tar_len = os.path.getsize(path)   # free — no re-tar
+            # resume: a committed shard is free — but only if its size
+            # matches the deterministic USTAR size of the CURRENT payloads
+            # (a stale file from a changed corpus is rewritten, not mixed
+            # into the manifest)
+            expect = _tar_len(len(p) for p in payloads)
+            if os.path.exists(path) and os.path.getsize(path) == expect:
+                tar_len = expect
             else:
                 names = [f"{int(k):012d}{name_suffix}" for k in g[key_col]]
                 blob = _tar_bytes(names, payloads)

@@ -304,6 +304,10 @@ def admit_salted_fused(frontier_ds, dedup_kernel,
         # folded producer wave: row count is known EXACTLY from the grid
         # (each unit emits page_size rows) — no materialize, no metadata scan
         grid, n_docs, page_size = expansion
+        if grid.num_rows == 0:
+            # empty grid: the producer-slice math below degenerates (zero
+            # srefs -> _exchange_fuse on no parts raises) — fall back
+            return None
         total_rows = grid.num_rows * page_size
         n_src = max(1, min(_math.ceil(total_rows / 32768), 512,
                            grid.num_rows))

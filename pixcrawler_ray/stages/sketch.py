@@ -97,16 +97,20 @@ def mg_batch_candidates(keys1: np.ndarray, keys2: np.ndarray,
 
 
 def heavy_hitter_bigrams(sf_dir: str, k: int = 1000,
-                         candidate_k: int | None = None):
+                         candidate_k: int | None = None,
+                         stats: dict | None = None):
     """Approximate-top-k heavy hitters over the corpus BIGRAM stream, made
     EXACT (and SQL-oracled) by a two-pass plan — the at-scale shape for
     "which keys exceed phi = 1/(k+1) of a 100 TB stream" when the key
     domain (urls, hosts, n-grams) is too large to groupby exactly:
 
     1. candidate pass: per-batch Misra-Gries survivor sets (each <= k keys,
-       a fixed-size partial independent of domain size) unioned on the
-       driver — by the MG bound this is a SUPERSET of every key with global
-       count > n/(k+1);
+       a fixed-size partial independent of domain size) deduplicated
+       DISTRIBUTEDLY (one keyed drop-duplicates exchange) before the driver
+       collects them — the driver-side materialization is bounded by the
+       number of DISTINCT candidates, not O(k x num_batches); by the MG
+       bound the set is a SUPERSET of every key with global count >
+       n/(k+1);
     2. verify pass: candidates broadcast via ``ray.put``; each batch
        exact-counts ONLY candidate keys (vectorized isin + value_counts
        partials), merged through one tiny keyed exchange; the final filter
@@ -136,13 +140,28 @@ def heavy_hitter_bigrams(sf_dir: str, k: int = 1000,
 
     def cand_partial(t: pa.Table) -> pa.Table:
         a, b = batch_bigrams(t)
-        return pa.Table.from_pandas(mg_batch_candidates(a, b, cand_k),
-                                    preserve_index=False)
+        c = mg_batch_candidates(a, b, cand_k)
+        # explicit string schema: an empty partial must not infer null-typed
+        # columns and break unification / bucket stamping
+        return pa.table({
+            "w1": pa.array(np.asarray(c["w1"], dtype=object),
+                           type=pa.string()),
+            "w2": pa.array(np.asarray(c["w2"], dtype=object),
+                           type=pa.string())})
 
     import ray.data as rd
 
-    cands = (ds.map_batches(cand_partial, batch_format="pyarrow")
-             .to_pandas().drop_duplicates())
+    def cand_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    # distributed dedup BEFORE the driver collect: the collect is bounded
+    # by |distinct candidates| (<= vocab of true heavy hitters' superset),
+    # never O(k x num_batches)
+    cands = per_bucket(ds.map_batches(cand_partial, batch_format="pyarrow"),
+                       ["w1", "w2"], cand_dedup,
+                       num_buckets=16).to_pandas()
+    if stats is not None:
+        stats["driver_candidate_rows"] = int(len(cands))
     empty = pa.table({"w1": pa.array([], type=pa.string()),
                       "w2": pa.array([], type=pa.string()),
                       "cnt": pa.array([], type=pa.int64())})

@@ -123,8 +123,10 @@ def explode_segments(t: pa.Table, k: int = 12) -> pa.Table:
     doc_start = np.concatenate([[0], np.cumsum(nw)[:-1]])
     starts = np.repeat(doc_start, nseg) + seg_local * k
     offsets = np.append(starts, int(nw.sum()))
-    seg_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
-                                        flat)
+    # int64 offsets (LargeList): a batch with >2^31 total words must not
+    # silently wrap segment boundaries
+    seg_list = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), flat)
     return pa.table({
         "doc_id": pa.array(np.repeat(ids, nseg)),
         "seg_idx": pa.array(seg_local),
@@ -326,7 +328,11 @@ def doc_bigrams(t: pa.Table) -> pd.DataFrame:
         zero_copy_only=False).astype(np.int64)
     w = flat.to_pandas().to_numpy()
     if len(w) < 2:
-        return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
+        # typed empty frame: object-dtype [] would infer null-typed Arrow
+        # columns and break schema unification across blocks
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "w1": pd.Series([], dtype="string"),
+                             "w2": pd.Series([], dtype="string")})
     ends = np.cumsum(nw)
     last = np.zeros(len(w), dtype=bool)
     last[ends[nw > 0] - 1] = True
@@ -336,7 +342,7 @@ def doc_bigrams(t: pa.Table) -> pd.DataFrame:
         "w1": w[:-1][keep], "w2": w[1:][keep]})
 
 
-def bigram_lm_stats(sf_dir: str):
+def bigram_lm_stats(sf_dir: str, broadcast_max_rows: int = 2_000_000):
     """Bigram language-model frequency scoring — the n-gram LM quality
     signal (CCNet's KenLM-perplexity shape) with integer-exact outputs: for
     each doc, the number of bigrams, and the sums over its bigrams of the
@@ -345,10 +351,21 @@ def bigram_lm_stats(sf_dir: str):
     scores low). The float log-prob is one vectorized log away but floats
     don't value-hash — the sums are the oracle-stable core.
 
-    Two-pass broadcast plan (same as distinctive_terms): (1) global bigram
-    count table via per-batch partials + one tiny term-keyed exchange
-    (bigram vocab << corpus), broadcast via ``ray.put`` ONCE; (2) per-batch
-    doc bigrams scored by a vectorized merge against the broadcast table.
+    Size-switched plan (same shape as dedup's ``_filter_by_ids``): the
+    global bigram count table is built via per-batch partials + one
+    w1-keyed exchange, then
+    - **broadcast path** (vocab <= ``broadcast_max_rows``): table shipped
+      ONCE via ``ray.put``; per-batch doc bigrams scored by a vectorized
+      merge — the fast path at test scale;
+    - **join path** (vocab above the cap — bigram vocabulary at 100 TB is
+      billions of pairs, not a broadcastable object): doc bigrams exploded
+      once and joined to the count table through a w1-keyed bucket
+      exchange (context counts C(w1.) recomputed INSIDE the bucket, since
+      all (w1,*) count rows co-locate with it), then per-doc partials
+      summed through one doc_id-keyed exchange — two keyed exchanges, no
+      driver or broadcast structure proportional to the vocabulary.
+    Both paths are row-identical (pytest:
+    test_bigram_lm_join_path_matches_broadcast).
     Output (doc_id, n_bigrams, sum_bigram_freq, sum_context_freq)."""
     import ray
 
@@ -365,8 +382,14 @@ def bigram_lm_stats(sf_dir: str):
         return (g.groupby(["w1", "w2"], sort=False)["n"].sum()
                 .reset_index())
 
-    big = per_bucket(ds.map_batches(count_partial, batch_format="pyarrow"),
-                     ["w1"], count_merge, num_buckets=4).to_pandas()
+    big_ds = per_bucket(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["w1"], count_merge, num_buckets=4).materialize()
+
+    if big_ds.count() > broadcast_max_rows:
+        return _bigram_lm_join_path(ds, big_ds)
+
+    big = big_ds.to_pandas()
     ctx = big.groupby("w1", sort=False)["n"].sum().rename("cn").reset_index()
     big_ref = ray.put((big, ctx))
 
@@ -394,3 +417,61 @@ def bigram_lm_stats(sf_dir: str):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _bigram_lm_join_path(ds, big_ds):
+    """Vocabulary-scale scoring path for :func:`bigram_lm_stats` (see its
+    docstring): ``big_ds`` — the global (w1, w2, n) count table — is NEVER
+    collected or broadcast. Doc bigrams and count rows meet in a w1-keyed
+    bucket exchange (a count row for (w1, w2) hashes to the same bucket as
+    every doc bigram with that w1, so the kernel can both merge C(w1,w2)
+    and recompute the context count C(w1.) locally); per-doc partials are
+    then summed through one doc_id-keyed exchange."""
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    def explode(t: pa.Table) -> pa.Table:
+        db = doc_bigrams(t)
+        return pa.table({
+            "doc_id": pa.array(db["doc_id"].to_numpy().astype(np.int64)),
+            "w1": pa.array(np.asarray(db["w1"], dtype=object),
+                           type=pa.string()),
+            "w2": pa.array(np.asarray(db["w2"], dtype=object),
+                           type=pa.string()),
+            "n": pa.array(np.zeros(len(db), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(db), dtype=np.int64))})
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        return pa.table({
+            "doc_id": pa.array(np.full(nr, -1, dtype=np.int64)),
+            "w1": t.column("w1").cast(pa.string()),
+            "w2": t.column("w2").cast(pa.string()),
+            "n": t.column("n").cast(pa.int64()),
+            "side": pa.array(np.ones(nr, dtype=np.int64))})
+
+    uni = ds.map_batches(explode, batch_format="pyarrow").union(
+        big_ds.map_batches(tag_counts, batch_format="pyarrow"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        ctx = (c.groupby("w1", sort=False)["n"].sum().rename("cn")
+               .reset_index())
+        m = (d[["doc_id", "w1", "w2"]]
+             .merge(c[["w1", "w2", "n"]], on=["w1", "w2"], how="left")
+             .merge(ctx, on="w1", how="left"))
+        p = m.groupby("doc_id", sort=False).agg(
+            n_bigrams=("w1", "size"), sum_bigram_freq=("n", "sum"),
+            sum_context_freq=("cn", "sum")).reset_index()
+        return p.astype({c2: np.int64 for c2 in p.columns})
+
+    partials = per_bucket(uni, ["w1"], kernel, num_buckets=16)
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False).agg(
+            n_bigrams=("n_bigrams", "sum"),
+            sum_bigram_freq=("sum_bigram_freq", "sum"),
+            sum_context_freq=("sum_context_freq", "sum")).reset_index()
+        return out.astype({c2: np.int64 for c2 in out.columns})
+
+    return per_bucket(partials, ["doc_id"], sum_partials, num_buckets=16)

@@ -112,3 +112,49 @@ def test_read_shards_dataset_roundtrip(ray_session, tmp_path):
     assert got == payloads
     assert (back["shard_id"] == back["name"].str.split(".").str[0]
             .astype(int) // 8).all()
+
+
+def test_heavy_hitter_candidate_collect_is_bounded(ray_session, tmp_path):
+    """The driver-side candidate collect must be bounded by the DISTINCT
+    candidate count (the distributed dedup), not O(k x num_batches): 4000
+    one-line docs force multiple map batches, all emitting the SAME three
+    bigrams — the driver must see exactly 3 candidate rows."""
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.sketch import heavy_hitter_bigrams
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    n = 4000
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["alpha beta alpha gamma"] * n)}),
+        f"{sf}/documents.parquet")
+    stats = {}
+    got = heavy_hitter_bigrams(sf, k=10, stats=stats).to_pandas()
+    # distinct bigrams: (alpha,beta) (beta,alpha) (alpha,gamma)
+    assert stats["driver_candidate_rows"] == 3
+    assert sorted(zip(got["w1"], got["w2"])) == [
+        ("alpha", "beta"), ("alpha", "gamma"), ("beta", "alpha")]
+    assert (got["cnt"] == n).all()
+
+
+def test_stale_shard_is_rewritten(ray_session, tmp_path):
+    """Resume must not silently reuse a shard file whose size disagrees
+    with the deterministic USTAR size of the CURRENT payloads."""
+    import ray.data as rd
+
+    out = str(tmp_path / "t")
+    ds1 = rd.from_arrow(pa.table({
+        "doc_id": list(range(10)), "payload": [b"x" * 8] * 10}))
+    shards.write_tar_shards(ds1, out, samples_per_shard=10).to_pandas()
+    d1 = _digest_dir(out)
+    # corpus changed underneath the same out_dir: payload sizes differ
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": list(range(10)), "payload": [b"y" * 9000] * 10}))
+    m2 = shards.write_tar_shards(ds2, out, samples_per_shard=10).to_pandas()
+    d2 = _digest_dir(out)
+    assert d1 != d2, "stale shard was reused"
+    assert int(m2["payload_bytes"].iloc[0]) == 90000
+    assert int(m2["tar_bytes"].iloc[0]) == os.path.getsize(
+        f"{out}/shard-00000.tar")

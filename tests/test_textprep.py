@@ -195,3 +195,18 @@ def test_segment_dedup_bucket_invariance(ray_session, sf_tiny):
     b = (tp.segment_dedup(sf_tiny, k=7, num_buckets=3).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bigram_lm_join_path_matches_broadcast(ray_session, sf_tiny):
+    """The size-switched join path (vocab above the broadcast cap) must be
+    row-identical to the broadcast path — same pattern as
+    test_minhash_join_path_matches_broadcast."""
+    from pixcrawler_ray.stages.textprep import bigram_lm_stats
+
+    cols = ["doc_id", "n_bigrams", "sum_bigram_freq", "sum_context_freq"]
+    a = (bigram_lm_stats(sf_tiny).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True)[cols])
+    b = (bigram_lm_stats(sf_tiny, broadcast_max_rows=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True)[cols])
+    assert a.equals(b), "join path diverges from broadcast path"
+    assert len(a) > 0
