@@ -58,13 +58,18 @@ def sample_stratified(sf_dir: str, per_stratum: int = 50,
 MIXTURE_PCT = (100, 60, 30, 10)
 
 
-def domain_mixture(sf_dir: str):
+def domain_mixture(sf_dir: str, weights: dict[str, int] | None = None):
     """Static domain-mixture resampling: keep a source-dependent fraction
     of each domain via the Lehmer rank as the acceptance variable —
-    ``keep iff lehmer_rank(doc_id) % 100 < pct(source)`` with ``pct`` =
-    ``MIXTURE_PCT[src_idx % 4]``. One embarrassingly parallel pass (no
-    shuffle): the mixture is a per-row predicate, exactly reproducible
-    across reruns and partitions. Output (doc_id, source, pct)."""
+    ``keep iff lehmer_rank(doc_id) % 100 < pct(source)``.
+
+    ``weights`` maps source name -> acceptance percentage (DoReMi-style
+    weights are learned PER DOMAIN, so callers pass their own map; a source
+    absent from the map defaults to 100 = keep all). When ``weights`` is
+    None the literal ``MIXTURE_PCT[src_idx % 4]`` table applies — the
+    SQL-replayable default. One embarrassingly parallel pass (no shuffle):
+    the mixture is a per-row predicate, exactly reproducible across reruns
+    and partitions. Output (doc_id, source, pct)."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
@@ -72,9 +77,17 @@ def domain_mixture(sf_dir: str):
     def kernel(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         src = t.column("source")
-        idx = pc.cast(pc.replace_substring_regex(src, "^src", ""),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        pct = np.asarray(MIXTURE_PCT, dtype=np.int64)[idx % 4]
+        if weights is None:
+            idx = pc.cast(pc.replace_substring_regex(src, "^src", ""),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+            pct = np.asarray(MIXTURE_PCT, dtype=np.int64)[idx % 4]
+        else:
+            # vectorized dict lookup: map each UNIQUE source once
+            d = src.combine_chunks().dictionary_encode()
+            upct = np.array([int(weights.get(str(v), 100))
+                             for v in d.dictionary.to_pylist()],
+                            dtype=np.int64)
+            pct = upct[d.indices.to_numpy(zero_copy_only=False)]
         keep = (lehmer_rank(ids) % 100) < pct
         out = pa.table({"doc_id": t.column("doc_id"),
                         "source": src,

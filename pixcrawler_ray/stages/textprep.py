@@ -190,7 +190,7 @@ def segment_dedup(sf_dir: str, k: int = 12, num_buckets: int = 32):
                       num_buckets=num_buckets)
 
 
-def term_postings(sf_dir: str):
+def term_postings(sf_dir: str, num_buckets: int = 16):
     """Inverted-index build, posting-list summary form: per distinct term,
     document frequency, total term frequency, and min/max/sum of the doc-id
     posting list (order-insensitive integer summaries instead of the raw
@@ -228,7 +228,7 @@ def term_postings(sf_dir: str):
             sum_doc=("sum_doc", "sum")).reset_index()
 
     return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
-                      ["term"], merge, num_buckets=4)
+                      ["term"], merge, num_buckets=num_buckets)
 
 
 _PACK_RANGES = 64

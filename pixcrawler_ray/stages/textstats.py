@@ -718,25 +718,48 @@ def decontaminate(sf_dir: str, window: int = 8, flag_pct: int = 20):
     hold_ref = ray.put(hold)            # sorted — np.isin fast path
 
     def score(t: pa.Table) -> pa.Table:
+        # vectorized (VERDICT r4 #5): one segment-lexsort over the
+        # concatenated fingerprint buffer replaces the per-doc
+        # unique+isin loop — distinct representatives are marked by a
+        # shift-compare, membership is one searchsorted against the
+        # sorted broadcast holdout, counts are segment reduceats
         hset = ray.get(hold_ref)
         ids, texts, fps = fp_rows(t)
-        rows = {"doc_id": [], "n_fps": [], "n_contaminated": [],
-                "contaminated": []}
-        for d, x, f in zip(ids, texts, fps):
-            if d % 50 == 7 or len(x or "") < window or len(f) == 0:
-                continue
-            u = np.unique(f)
-            hits = int(np.isin(u, hset, assume_unique=True).sum())
-            rows["doc_id"].append(int(d))
-            rows["n_fps"].append(len(u))
-            rows["n_contaminated"].append(hits)
-            rows["contaminated"].append(100 * hits >= flag_pct * len(u))
+        lens = np.array([len(f) for f in fps], dtype=np.int64)
+        tlen = np.array([len(x or "") for x in texts], dtype=np.int64)
+        d = ids.astype(np.int64)
+        idx = np.flatnonzero((d % 50 != 7) & (tlen >= window) & (lens > 0))
+        if len(idx) == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_fps": pa.array([], type=pa.int64()),
+                "n_contaminated": pa.array([], type=pa.int64()),
+                "contaminated": pa.array([], type=pa.bool_())})
+        flat = np.concatenate([fps[i] for i in idx])
+        seg = np.repeat(np.arange(len(idx), dtype=np.int64), lens[idx])
+        order = np.lexsort((flat, seg))     # by doc, then by value
+        fs = flat[order]
+        starts = np.concatenate(
+            [[0], np.cumsum(lens[idx])[:-1]]).astype(np.int64)
+        first = np.zeros(len(fs), dtype=bool)
+        first[starts] = True
+        distinct = first.copy()
+        distinct[1:] |= fs[1:] != fs[:-1]
+        if len(hset):
+            pos = np.searchsorted(hset, fs)
+            found = np.zeros(len(fs), dtype=bool)
+            inb = pos < len(hset)
+            found[inb] = hset[pos[inb]] == fs[inb]
+        else:
+            found = np.zeros(len(fs), dtype=bool)
+        n_u = np.add.reduceat(distinct.astype(np.int64), starts)
+        hits = np.add.reduceat((distinct & found).astype(np.int64), starts)
         return pa.table({
-            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-            "n_fps": pa.array(rows["n_fps"], type=pa.int64()),
-            "n_contaminated": pa.array(rows["n_contaminated"],
-                                       type=pa.int64()),
-            "contaminated": pa.array(rows["contaminated"], type=pa.bool_()),
+            "doc_id": pa.array(d[idx], type=pa.int64()),
+            "n_fps": pa.array(n_u),
+            "n_contaminated": pa.array(hits),
+            "contaminated": pa.array(100 * hits >= flag_pct * n_u,
+                                     type=pa.bool_()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")

@@ -210,3 +210,37 @@ def test_bigram_lm_join_path_matches_broadcast(ray_session, sf_tiny):
          .sort_values("doc_id").reset_index(drop=True)[cols])
     assert a.equals(b), "join path diverges from broadcast path"
     assert len(a) > 0
+
+
+def test_domain_mixture_custom_weight_map(ray_session, sf_tiny):
+    """Per-source weight maps (DoReMi-shape) must be honored exactly: the
+    kept set equals the locally-computed Lehmer predicate per source, a
+    0-pct source vanishes, and unmapped sources default to keep-all."""
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.sample import domain_mixture, lehmer_rank
+
+    w = {"src0": 50, "src1": 0, "src2": 25}   # src3 unmapped -> 100
+    out = domain_mixture(sf_tiny, weights=w).to_pandas()
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    pct = docs["source"].map(w).fillna(100).to_numpy().astype(np.int64)
+    keep = (lehmer_rank(docs["doc_id"].to_numpy()) % 100) < pct
+    want = set(docs["doc_id"].to_numpy()[keep])
+    assert set(out["doc_id"]) == want
+    assert not (out["source"] == "src1").any()
+    srcs = set(docs["source"])
+    if "src3" in srcs:
+        n3 = int((docs["source"] == "src3").sum())
+        assert int((out["source"] == "src3").sum()) == n3
+    assert dict(zip(out["source"], out["pct"])) == {
+        s: w.get(s, 100) for s in set(out["source"])}
+
+
+def test_term_postings_bucket_invariance(ray_session, sf_tiny):
+    """The term exchange width is a tuning knob, never a semantics knob."""
+    a = (tp.term_postings(sf_tiny, num_buckets=2).to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    b = (tp.term_postings(sf_tiny, num_buckets=32).to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    assert a.equals(b)
