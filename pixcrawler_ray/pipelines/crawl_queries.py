@@ -360,9 +360,52 @@ units AS (
 """
 
 
-def _sql_cand(page_size: int = PAGE_SIZE) -> str:
+def _selected_var_values(dims_dir: str = "/root/testdata/sf0.001") -> str:
+    """Inline VALUES of the SEEDED variation selection (M2) per keyword.
+
+    The hash64-seeded permutation in ``select_variations`` is not
+    SQL-expressible, but it is a pure function of the FIXED dimension
+    tables (region/nation are scale-invariant: byte-identical at
+    sf0.001/0.01/0.1), so the selected lists are computed once here and
+    inlined; the SQL joins them back on keyword name. This is what lets
+    the flagship — which runs the DEFAULT seeded-selection expansion, not
+    the fixed-template oracle mode — replay end-to-end in DuckDB."""
+    from pixcrawler_ray.functions.variations import select_variations
+
+    cfg = seeds_config(dims_dir)
+    rows = []
+    for cat, kw in cfg.prepared_keywords():
+        for var_i, v in enumerate(select_variations(
+                cfg.dataset_name, cat, kw, cfg.max_images)):
+            kq = kw.replace("'", "''")
+            vq = v.replace("'", "''")
+            rows.append(f"('{kq}', {var_i}, '{vq}')")
+    return ("(VALUES " + ", ".join(rows)
+            + ") AS v(keyword, var_i, variation)")
+
+
+def _sql_units_selected() -> str:
+    """units CTE for the DEFAULT expansion mode (seeded variation
+    selection) — same shape as ``_sql_units`` with the template cross
+    join replaced by the inlined per-keyword selection."""
+    return f"""
+WITH {SQL_KW.strip()},
+units AS (
+  SELECT k.category, k.keyword, e.engine, v.variation,
+         e.off_val AS "offset", e.priority,
+         k.cat_i, k.kw_i, e.eng_i, v.var_i, e.off_i,
+         ROW_NUMBER() OVER (ORDER BY k.kw_i, e.eng_i, v.var_i, e.off_i) - 1
+           AS unit_seq
+  FROM kw k JOIN {_selected_var_values()} ON v.keyword = k.keyword
+  CROSS JOIN {_engines_values()}
+)
+"""
+
+
+def _sql_cand(page_size: int = PAGE_SIZE,
+              units_sql: str | None = None) -> str:
     """CTE chain: units -> candidates with url/host arithmetic -> dedup."""
-    return _sql_units() + f""",
+    return (units_sql if units_sql is not None else _sql_units()) + f""",
 nd AS (SELECT count(*) AS n FROM documents),
 cand AS (
   SELECT u.*, s.slot,
@@ -490,6 +533,37 @@ SELECT s.url, s.seq,
 FROM statused s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.status = 200
 QUALIFY ROW_NUMBER() OVER (PARTITION BY s.keyword ORDER BY s.seq)
+        <= {ORACLE_MAX_IMAGES}"""
+    # crawl_e2e — the FLAGSHIP composed across retry generations (VERDICT
+    # r4 #3). run_crawl's multi-generation dataflow is pure arithmetic:
+    # gen 0 fetches the admitted frontier (503 iff doc%89==3 at depth 0,
+    # 415 iff malformed doc%97==13, else 200), budgets per keyword, then
+    # dedups extracted content; gen 1 re-fetches ONLY the 503 rows at
+    # depth 1 where the transient clause no longer applies (fetch.Fetcher
+    # gates transient on depth==0), so they resolve to 200/415 by the same
+    # corpus arithmetic — and gen 2+ are empty (no 503 source at depth>0).
+    # content_md5/phash dedup groups are replayed as distinct-text groups:
+    # both signatures are pure functions of the extracted text ==
+    # documents.text for valid pages (simhash verified collision-free on
+    # this corpus — same pin as dedup_simhash_kept). The final global
+    # dedup + cumulative keyword budget replay run_crawl's merge step.
+    def _gen_cte(status_pred: str) -> str:
+        return f"""(
+  SELECT s.url, s.keyword, s.seq, d.text
+  FROM (SELECT * FROM statused WHERE {status_pred}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
+                <= {ORACLE_MAX_IMAGES}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.text ORDER BY s.seq) = 1
+)"""
+    out["crawl_e2e"] = _sql_cand(units_sql=_sql_units_selected()) + f""",
+g0 AS {_gen_cte("status = 200")},
+g1 AS {_gen_cte("status = 503 AND doc_id % 97 <> 13")},
+uni AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1),
+dd AS (SELECT * FROM uni
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY seq) = 1)
+SELECT url, keyword, seq, TRUE AS valid FROM dd
+QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
         <= {ORACLE_MAX_IMAGES}"""
     out["pages_per_host"] = """
 SELECT 'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
