@@ -73,9 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = ss.topk_ivf(sf_dir, query_vec_ids=[0, 1, 2], k=10)
         return df[["query_vec_id", "vec_id", "rank"]]
 
-    def simsearch_ivf_partitioned(sf_dir: str):
-        # build the cell-partitioned layout under /tmp, then probe with
-        # path-level partition pruning (the 100 TB IVF shape)
+    def _ivf_layout(sf_dir: str) -> str:
         import hashlib
         import os
         import shutil
@@ -84,6 +82,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = os.path.join(tempfile.gettempdir(), f"pxr_ivf_{tag}")
         shutil.rmtree(idx, ignore_errors=True)
         ss.build_ivf_index(sf_dir, idx, n_cells=16, sample_rows=4096)
+        return idx
+
+    def simsearch_ivf_partitioned(sf_dir: str):
+        # ORACLED (VERDICT r4 #4): probe the cell-partitioned layout with
+        # nprobe = n_cells — the probe is then EXHAUSTIVE, so the result
+        # must equal the brute-force top-k and value-hashes against the
+        # same SQL oracle. The whole IVF machinery (index build, hive
+        # partitioning, partition-filtered read, per-cell scoring, merge)
+        # is on the path; only the pruning SELECTIVITY is not (that is
+        # approximate by nature — see simsearch_ivf_pruned in the tail +
+        # the recall pytest).
+        idx = _ivf_layout(sf_dir)
+        df = ss.topk_ivf_partitioned(idx, sf_dir, query_vec_ids=[0, 1, 2],
+                                     k=10, nprobe=16)
+        return df[["query_vec_id", "vec_id", "rank"]]
+
+    def simsearch_ivf_pruned(sf_dir: str):
+        # rows-only: the genuinely approximate pruned probe (nprobe <
+        # n_cells) over the same layout — path-level partition pruning is
+        # the 100 TB read shape; recall pinned in pytest
+        idx = _ivf_layout(sf_dir)
         df = ss.topk_ivf_partitioned(idx, sf_dir, query_vec_ids=[0, 1, 2],
                                      k=10, nprobe=4)
         return df[["query_vec_id", "vec_id", "rank"]]
@@ -414,12 +433,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_sniff": multimodal_sniff,
         # --- similarity search ---
         "simsearch_topk": simsearch_topk,             # oracled (#49)
-        "simsearch_ivf_partitioned": simsearch_ivf_partitioned,  # rows-only,
-        #   the IVF scale path — pruned-partition probe (#50)
+        "simsearch_ivf_partitioned": simsearch_ivf_partitioned,  # oracled:
+        #   exhaustive probe over the partitioned layout == brute-force (#50)
         # ====== tail: rows-only, pytest-oracled (blake2b / seeded-RNG /
         # greedy-merge internals have no SQL analog) — beyond the driver's
         # 50-row capture window by design, each verified in tests/ ======
         "simsearch_ivf": simsearch_ivf,
+        "simsearch_ivf_pruned": simsearch_ivf_pruned,  # approximate probe
+        #   (partition pruning active); recall pinned in pytest
         "simhash_near_pairs":
             lambda sf: dd.simhash_near_pairs(sf, radius=3),
         "embedding_srp_pairs":
@@ -1099,6 +1120,11 @@ SELECT q.query_vec_id, e.vec_id,
 FROM embeddings e CROSS JOIN q
 WHERE e.vec_id <> q.query_vec_id
 QUALIFY rank <= 10"""
+
+    # simsearch_ivf_partitioned runs the SAME query with nprobe = n_cells:
+    # an exhaustive probe over the cell-partitioned layout must equal the
+    # brute-force top-k, so it shares the oracle verbatim
+    out["simsearch_ivf_partitioned"] = out["simsearch_topk"]
 
     # frame sampling is a pure function of the SQL-replayable page render
     # (corpus.render_html): rebuild the html string, take its byte length,
