@@ -228,6 +228,19 @@ class FakeDecoder:
         got = self._pil_decode(payload)
         if got is not None:
             return got[0]
+        # vendored pure-python PNG decode (functions/pngcodec.py): REAL
+        # pixel decode with no image library — complete 8-bit gray/RGB
+        # PNGs decode here; header-only synthetics return None and fall
+        # through, so the fake-kernel oracle arithmetic is untouched
+        from pixcrawler_ray.functions.pngcodec import decode_png
+        png = decode_png(payload)
+        if png is not None:
+            arr = png[0]
+            if arr.ndim == 3:       # ITU-R 601-2 luminance (PIL 'L' parity)
+                arr = ((299 * arr[:, :, 0].astype(np.int64)
+                        + 587 * arr[:, :, 1]
+                        + 114 * arr[:, :, 2]) // 1000).astype(np.uint8)
+            return arr
         if self.strict:
             raise NotImplementedError(
                 "real image/audio decode requires PIL/ffmpeg (not in this "

@@ -202,3 +202,89 @@ def test_fake_decode_unchanged_without_pil(ray_session, sf_tiny):
         reps = int(np.ceil(1024 / len(arr)))
         tiled = np.tile(arr, reps)[:1024].astype(np.int64)
         assert round(sum(lst) * 16) == int(tiled.sum())
+
+
+def test_vendored_png_decode_real_pixels():
+    """VERDICT r4 #8: the real-decode path must run WITHOUT PIL — the
+    vendored pure-python PNG codec decodes complete images to their true
+    pixels through the decoder stage, and the result agrees with the
+    byte-level dimension sniffing."""
+    from pixcrawler_ray.functions.mediameta import sniff_dims
+    from pixcrawler_ray.functions.pngcodec import decode_png, encode_png
+    from pixcrawler_ray.stages.multimodal import FakeDecoder
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    payload = encode_png(img)
+    # roundtrip
+    got = decode_png(payload)
+    assert got is not None
+    arr, w, h = got
+    assert (w, h) == (8, 6)
+    assert np.array_equal(arr, img)
+    # dims agree with the header sniffer
+    fmts, ws, hs = sniff_dims([payload])
+    assert fmts[0] == "png" and (int(ws[0]), int(hs[0])) == (8, 6)
+    # through the decode stage with PIL pinned OFF: true pixels, not fake
+    dec = FakeDecoder(use_pil=False)
+    assert np.array_equal(dec._decode(payload), img)
+    # RGB decodes through ITU-R 601-2 luminance
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    lum = dec._decode(encode_png(rgb))
+    assert lum.shape == (4, 4) and (lum == 200 * 299 // 1000).all()
+    # header-only / truncated payloads fall through to the fake kernel
+    assert decode_png(payload[:40]) is None
+
+
+def test_vendored_png_all_filters_roundtrip():
+    """The de-filtering must invert every spec filter (0-4): forward-filter
+    a seeded image per the spec in the test, decode, compare."""
+    import struct
+    import zlib
+
+    from pixcrawler_ray.functions.pngcodec import decode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    h, w = img.shape
+
+    def forward(f: int) -> bytes:
+        rows = []
+        prev = np.zeros(w, dtype=np.int32)
+        for y in range(h):
+            cur = img[y].astype(np.int32)
+            left = np.concatenate([[0], cur[:-1]])
+            ul = np.concatenate([[0], prev[:-1]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = (cur - left) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            else:
+                p = left + prev - ul
+                pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                               np.abs(p - ul))
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) & 0xFF
+            rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(rows)
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload)
+                                  & 0xFFFFFFFF))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0,
+                                             0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    for f in range(5):
+        got = decode_png(forward(f))
+        assert got is not None, f"filter {f} failed to decode"
+        assert np.array_equal(got[0], img), f"filter {f} wrong pixels"
