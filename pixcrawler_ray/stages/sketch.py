@@ -66,13 +66,28 @@ def distinct_urls_per_host(sf_dir: str, k: int = DEFAULT_K):
                                     preserve_index=False)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for key, grp in g.groupby("key", sort=False):
-            est, exact = kmv_estimate(grp, k)
-            rows.append({"host": key, "n_distinct_est": est,
-                         "is_exact": exact})
-        return pd.DataFrame(rows,
-                            columns=["host", "n_distinct_est", "is_exact"])
+        # vectorized k-min merge (no per-host loop): sort distinct (key, h)
+        # once, rank within key, keep the k smallest, then one aggregation
+        # yields both the exact-below-k count and the k-th minimum
+        d = (g[["key", "h"]].drop_duplicates()
+             .sort_values(["key", "h"], kind="mergesort"))
+        d = d[d.groupby("key", sort=False).cumcount().to_numpy() < k]
+        if not len(d):
+            return pd.DataFrame({"host": pd.Series([], dtype="string"),
+                                 "n_distinct_est": pd.Series(
+                                     [], dtype="int64"),
+                                 "is_exact": pd.Series([], dtype="bool")})
+        agg = d.groupby("key", sort=False)["h"].agg(["count", "max"])
+        n = agg["count"].to_numpy().astype(np.int64)
+        exact = n < k
+        kth = agg["max"].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore"):
+            est = np.where(exact, n,
+                           np.round((k - 1) / (kth / _U64_MAX))
+                           ).astype(np.int64)
+        return pd.DataFrame({"host": agg.index.to_numpy(),
+                             "n_distinct_est": est,
+                             "is_exact": exact})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return per_bucket(partials, ["key"], merge, num_buckets=8)
