@@ -257,6 +257,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("join"), batch_format="pyarrow")
         return a.union(b)
 
+    def pii_norm_q(sf_dir: str):
+        # MERGED (one registry row): pii_scrub + text_normalize,
+        # section-tagged on a common (doc_id, a, b, c, text_out) schema
+        import pyarrow as _pa
+
+        def tag(section, a, b, c, txt):
+            def f(t):
+                return _pa.table({
+                    "section": _pa.array([section] * t.num_rows,
+                                         type=_pa.string()),
+                    "doc_id": t.column("doc_id").cast(_pa.int64()),
+                    "a": t.column(a).cast(_pa.int64()),
+                    "b": t.column(b).cast(_pa.int64()),
+                    "c": t.column(c).cast(_pa.int64()),
+                    "text_out": t.column(txt).cast(_pa.string()),
+                })
+            return f
+
+        p = tp.pii_scrub(sf_dir).map_batches(
+            tag("pii", "n_emails", "n_phones", "n_ips", "clean_text"),
+            batch_format="pyarrow")
+        n = tp.text_normalize(sf_dir).map_batches(
+            tag("norm", "n_before", "n_after", "changed", "norm_text"),
+            batch_format="pyarrow")
+        return p.union(n)
+
     def group_counts(sf_dir: str):
         # MERGED (one registry row): distinct_mktsegment +
         # order_priority_count + pages_per_host as (section, grp, n)
@@ -417,7 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_containment":
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
         # --- training-data prep (oracled) ---
-        "pii_scrub": tp.pii_scrub,
+        "pii_scrub": pii_norm_q,   # MERGED: pii_scrub + text_normalize
         "segment_dedup": tp.segment_dedup,
         "term_postings": tp.term_postings,
         "pack_contexts": lambda sf: tp.pack_contexts(sf, budget=256),
@@ -1213,7 +1239,11 @@ FROM preds GROUP BY lang, lang_pred""")
         "r AS (" + out["repetition_stats"] + """)
 SELECT q.doc_id, q.n_tokens, q.stop_hits, q.max_word_len, q.sum_word_len,
        q.quality_ok, r.n_distinct_tokens, r.dup_tokens, r.top_bigram_count,
-       r.rep_ok
+       r.rep_ok,
+       CAST(50 * q.n_tokens + 200 * q.stop_hits - 30 * r.dup_tokens
+            - 2 * q.sum_word_len - 1000 AS BIGINT) AS lr_margin,
+       (50 * q.n_tokens + 200 * q.stop_hits - 30 * r.dup_tokens
+        - 2 * q.sum_word_len - 1000) > 0 AS lr_ok
 FROM q JOIN r ON r.doc_id = q.doc_id""")
 
     # fused curation gate: quality AND repetition AND language agreement —
@@ -1299,7 +1329,7 @@ UNION ALL SELECT *, 'kwgen' AS mode FROM kw_grid""")
     # pii_scrub: the deterministic contact trailer is rebuilt in SQL, then
     # the same RE2 email -> phone -> IPv4 chain replays as regexp_replace /
     # regexp_extract_all (DuckDB is RE2 too — identical match semantics)
-    out["pii_scrub"] = r"""
+    pii_sql = r"""
 WITH aug AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
@@ -1332,6 +1362,38 @@ SELECT doc_id, n_emails, n_phones,
        regexp_replace(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
          AS clean_text
 FROM s2"""
+
+    # text_normalize: rebuild the deterministic dirty trailer with chr()
+    # (NFD e+U+0301, tab, 1-3 space run, BEL on even ids), then replay
+    # NFC -> control strip -> whitespace collapse -> trim. DuckDB
+    # nfc_normalize == Arrow utf8_normalize(NFC); both regexes are RE2.
+    norm_sql = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || repeat(' ', CAST(1 + doc_id % 3 AS BIGINT))
+              || 'e' || chr(769) || 'cole' || chr(9) || 'fin'
+              || CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+         trim(regexp_replace(regexp_replace(nfc_normalize(t),
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+              '[ \t\r\n\f\v]+', ' ', 'g'), ' ') AS nt
+  FROM aug
+)
+SELECT doc_id, n_before, CAST(length(nt) AS BIGINT) AS n_after,
+       CAST(n_before <> length(nt) AS BIGINT) AS changed,
+       nt AS norm_text
+FROM s1"""
+
+    # pii_scrub registry row = pii_scrub + text_normalize, section-tagged
+    out["pii_scrub"] = (
+        "WITH p AS (" + pii_sql + "),\n"
+        "nrm AS (" + norm_sql + """)
+SELECT 'pii' AS section, doc_id, n_emails AS a, n_phones AS b, n_ips AS c,
+       clean_text AS text_out FROM p
+UNION ALL
+SELECT 'norm', doc_id, n_before, n_after, changed, norm_text FROM nrm""")
 
     # segment_dedup: k=12-word segments, global keep-first by
     # (doc_id, seg_idx), docs reassembled from kept segments in order

@@ -87,6 +87,85 @@ def pii_scrub(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+# text_normalize RE2 patterns — identical semantics in Arrow and DuckDB
+# (both RE2; the \xNN escapes are interpreted by RE2 itself, so the same
+# pattern string works verbatim on both sides).
+NORM_CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+NORM_WS = r"[ \t\r\n\f\v]+"
+
+
+def normalize_text_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Unicode/whitespace normalization (C4/Dolma-style cleanup): NFC
+    normalize -> strip C0/DEL control chars -> collapse ASCII whitespace
+    runs to single spaces -> trim. Adds ``norm_text`` plus codepoint
+    lengths before/after and a ``changed`` flag.
+
+    NFC uses the ICU quick-check shape: ASCII is NFC by construction, so
+    an Arrow RE2 scan flags only rows containing non-ASCII codepoints and
+    the scalar ``unicodedata.normalize`` touches just that subset (this
+    build's ``pc.utf8_normalize`` decomposes regardless of ``form`` —
+    verified NFC(precomposed) growing 5->6 codepoints — so it cannot be
+    the compose step). Everything else is vectorized Arrow kernels."""
+    import unicodedata
+
+    s0 = t.column(col).cast(pa.string())
+    if isinstance(s0, pa.ChunkedArray):
+        s0 = s0.combine_chunks()
+    n_before = pc.utf8_length(s0)
+    non_ascii = pc.match_substring_regex(s0, r"[^\x00-\x7f]")
+    mask = non_ascii.to_numpy(zero_copy_only=False)
+    if mask.any():
+        idx = np.nonzero(mask)[0]
+        vals = s0.take(pa.array(idx)).to_pylist()
+        comp = pa.array(
+            [None if v is None else unicodedata.normalize("NFC", v)
+             for v in vals], type=pa.string())
+        s1 = pc.replace_with_mask(s0, non_ascii, comp)
+    else:
+        s1 = s0
+    s2 = pc.replace_substring_regex(s1, NORM_CTRL, "")
+    s3 = pc.replace_substring_regex(s2, NORM_WS, " ")
+    s4 = pc.utf8_trim(s3, " ")
+    n_after = pc.utf8_length(s4)
+    t = t.append_column("norm_text", s4)
+    t = t.append_column("n_before", n_before.cast(pa.int64()))
+    t = t.append_column("n_after", n_after.cast(pa.int64()))
+    return t.append_column(
+        "changed", pc.cast(pc.not_equal(n_before, n_after), pa.int64()))
+
+
+def text_normalize(sf_dir: str):
+    """Normalization query over ``documents``: the synthetic corpus is
+    ASCII-clean, so each doc is first augmented with a DETERMINISTIC dirty
+    trailer derived from ``doc_id`` (an NFD combining sequence, a tab, a
+    variable-width space run, and a BEL control char on even ids) — the
+    identical expression is built in the SQL oracle with ``chr()``, so the
+    normalization kernel itself is what's under test.
+    Output (doc_id, n_before, n_after, changed, norm_text)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = ids.astype(np.int64)
+        n = t.num_rows
+
+        def const(v: str) -> pa.Array:
+            return pa.array([v] * n, type=pa.string())
+
+        spaces = pa.array([" " * (1 + int(x % 3)) for x in d],
+                          type=pa.string())
+        bel = pa.array(np.where(d % 2 == 0, "\x07", ""), type=pa.string())
+        aug = pc.binary_join_element_wise(
+            t.column("text").cast(pa.string()),
+            spaces, const("école\tfin"), bel, "")
+        out = normalize_text_batch(pa.table({"doc_id": t.column("doc_id"),
+                                             "text": aug}))
+        return out.select(["doc_id", "n_before", "n_after", "changed",
+                           "norm_text"])
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def _nonempty_words(col):
     """(flat_words, doc_word_counts) with empty strings dropped — matches
     DuckDB ``list_filter(string_split(text,' '), w -> w <> '')`` exactly

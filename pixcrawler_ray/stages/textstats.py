@@ -167,7 +167,18 @@ def quality_repetition(sf_dir: str):
         for c in ("n_distinct_tokens", "dup_tokens", "top_bigram_count",
                   "rep_ok"):
             q = q.append_column(c, r.column(c))
-        return q
+        # fastText-style linear quality classifier stand-in: an integer
+        # fixed-point margin over the signals above (a trained model would
+        # load its weights in an actor __init__ the same way; weights here
+        # are a documented literal so the margin replays exactly in SQL)
+        n_tok = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        stop = q.column("stop_hits").to_numpy(zero_copy_only=False)
+        dup = q.column("dup_tokens").to_numpy(zero_copy_only=False)
+        sw = q.column("sum_word_len").to_numpy(zero_copy_only=False)
+        margin = 50 * n_tok + 200 * stop - 30 * dup - 2 * sw - 1000
+        q = q.append_column("lr_margin",
+                            pa.array(margin, type=pa.int64()))
+        return q.append_column("lr_ok", pa.array(margin > 0))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 

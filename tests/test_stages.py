@@ -618,3 +618,16 @@ def test_rolling_fingerprints_batch_matches_scalar(sf_tiny):
     for t, b in zip(texts, batch):
         assert [int(x) for x in b] == [int(x)
                                        for x in rolling_fingerprint(t or "")]
+
+
+def test_quality_lr_margin_matches_spec(ray_session, sf_tiny):
+    """The linear-classifier margin is exactly the documented integer dot
+    product over the already-verified quality/repetition signals."""
+    from pixcrawler_ray.stages import textstats as ts
+
+    df = ts.quality_repetition(sf_tiny).to_pandas()
+    want = (50 * df["n_tokens"] + 200 * df["stop_hits"]
+            - 30 * df["dup_tokens"] - 2 * df["sum_word_len"] - 1000)
+    assert (df["lr_margin"] == want).all()
+    assert (df["lr_ok"] == (want > 0)).all()
+    assert df["lr_ok"].any() and not df["lr_ok"].all()   # non-degenerate

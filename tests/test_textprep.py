@@ -244,3 +244,31 @@ def test_term_postings_bucket_invariance(ray_session, sf_tiny):
     b = (tp.term_postings(sf_tiny, num_buckets=32).to_pandas()
          .sort_values("term").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_normalize_text_batch_nfc_ctrl_whitespace():
+    nfd = "e" + chr(0x301) + "cole"          # NFD combining sequence
+    nfc = chr(0xE9) + "cole"                 # precomposed
+    t = pa.table({"doc_id": [0, 1, 2], "text": [
+        "hello  world " + nfd + "\tfin\x07",
+        "  already clean  ",
+        nfc + " stays",                      # NFC input passes unchanged
+    ]})
+    out = tp.normalize_text_batch(t).to_pydict()
+    assert out["norm_text"] == [
+        "hello world " + nfc + " fin", "already clean", nfc + " stays"]
+    assert out["n_before"] == [24, 17, 11]
+    assert out["n_after"] == [21, 13, 11]
+    assert out["changed"] == [1, 1, 0]
+
+
+def test_text_normalize_query_idempotent(ray_session, sf_tiny):
+    """normalize(normalize(x)) == normalize(x): the fixed point of the
+    cleanup chain (the defining property of a normalizer)."""
+    df = tp.text_normalize(sf_tiny).to_pandas()
+    t2 = tp.normalize_text_batch(
+        pa.table({"doc_id": df["doc_id"].to_numpy(),
+                  "text": df["norm_text"].astype(str).to_numpy()}))
+    d2 = t2.to_pydict()
+    assert d2["norm_text"] == list(df["norm_text"])
+    assert d2["changed"] == [0] * len(df)
