@@ -257,6 +257,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("join"), batch_format="pyarrow")
         return a.union(b)
 
+    def simsearch_pq_q(sf_dir: str):
+        # MERGED tail row: the pure ADC code scan (32 B/vector, the 100 TB
+        # artifact) and the ADC+R exact-rerank path, path-tagged
+        import pandas as _pd
+        a = ss.topk_pq(sf_dir, query_vec_ids=[0, 1, 2], k=10)
+        b = ss.topk_pq(sf_dir, query_vec_ids=[0, 1, 2], k=10, refine=50)
+        a = a[["query_vec_id", "vec_id", "rank"]].assign(path="adc")
+        b = b[["query_vec_id", "vec_id", "rank"]].assign(path="refine")
+        return _pd.concat([a, b], ignore_index=True)
+
     def pii_norm_q(sf_dir: str):
         # MERGED (one registry row): pii_scrub + text_normalize,
         # section-tagged on a common (doc_id, a, b, c, text_out) schema
@@ -479,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": heavy_hitters_q,   # oracled (mimic-verified):
         #   MG candidates + exact verify == GROUP BY ... HAVING
         "domain_mixture": domain_mixture_q,  # oracled (mimic-verified)
+        "simsearch_pq": simsearch_pq_q,      # PQ/ADC + ADC+R refine paths;
+        #   recall + shortlist-refine bounds pinned in pytest
     }
 
 

@@ -287,3 +287,198 @@ def topk_ivf_partitioned(index_dir: str, sf_dir: str,
     partials = ds.map_batches(PrunedScorer(qn), batch_format="pandas",
                               batch_size=4096).to_pandas()
     return _merge_topk(partials, query_vec_ids, k)
+
+
+class PQCodebook:
+    """Product quantizer (Jegou et al. 2011, TPAMI — public PQ/ADC shape):
+    the D-dim space splits into ``m`` subspaces; each subspace gets its own
+    seeded k-means-lite codebook of ``ksub`` centroids fit on a driver-side
+    sample. Vectors are L2-normalized FIRST, so cosine decomposes into a
+    sum of per-subspace inner products and ADC scan is exact w.r.t. the
+    quantized codes. Codes are m bytes per vector — a 64-dim float32
+    embedding compresses 32x (256 -> 8 bytes), which is the whole reason PQ
+    is the 100 TB path: the code table for a billion vectors fits a node.
+    """
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = codebooks          # (m, ksub, dsub)
+        self.m, self.ksub, self.dsub = codebooks.shape
+
+    @classmethod
+    def fit(cls, sample: np.ndarray, m: int = 8, ksub: int = 16,
+            iters: int = 8, seed: int = 7) -> "PQCodebook":
+        sample = _normalize(sample.astype(np.float64))
+        n, d = sample.shape
+        assert d % m == 0, f"dim {d} not divisible by m={m}"
+        dsub = d // m
+        rng = np.random.default_rng(seed)
+        books = np.empty((m, ksub, dsub))
+        for j in range(m):
+            sub = sample[:, j * dsub:(j + 1) * dsub]
+            cent = sub[rng.choice(n, size=min(ksub, n), replace=False)]
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(len(cent)):
+                    msk = assign == c
+                    if msk.any():
+                        cent[c] = sub[msk].mean(axis=0)
+            books[j, :len(cent)] = cent
+            if len(cent) < ksub:            # degenerate tiny-sample case
+                books[j, len(cent):] = cent[-1]
+        return cls(books)
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, d) -> (n, m) uint8 codes; one argmin per subspace,
+        vectorized over the batch."""
+        mat = _normalize(mat.astype(np.float64))
+        n = mat.shape[0]
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = mat[:, j * self.dsub:(j + 1) * self.dsub]
+            d2 = ((sub[:, None, :] - self.codebooks[j][None, :, :]) ** 2
+                  ).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return codes
+
+    def adc_tables(self, q: np.ndarray) -> np.ndarray:
+        """(nq, d) queries -> (nq, m, ksub) inner-product lookup tables."""
+        qn = _normalize(q.astype(np.float64))
+        nq = qn.shape[0]
+        tabs = np.empty((nq, self.m, self.ksub))
+        for j in range(self.m):
+            qs = qn[:, j * self.dsub:(j + 1) * self.dsub]  # (nq, dsub)
+            tabs[:, j, :] = qs @ self.codebooks[j].T
+        return tabs
+
+
+def pq_encode(sf_dir: str, pq_index: "PQCodebook"):
+    """Distributed encode: one Dataset pass, m bytes/vector out. The
+    codebook is a tiny closure constant (m*ksub*dsub floats), shipped once."""
+
+    class Encoder:
+        def __init__(self, book: PQCodebook):
+            self.book = book
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in t.column("embedding").to_pylist()])
+            codes = self.book.encode(mat)
+            return pa.table({
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()),
+                    self.book.m),
+            })
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(Encoder(pq_index), batch_format="pyarrow")
+
+
+def topk_pq(sf_dir: str, query_vec_ids: list[int], k: int = 10,
+            m: int = 32, ksub: int = 128, sample_rows: int = 4096,
+            refine: int = 0, exclude_self: bool = True) -> pd.DataFrame:
+    """Approximate top-k via PQ/ADC: fit on a sample, encode distributed,
+    then scan CODES ONLY (m bytes/vector) against per-query lookup tables —
+    per batch one fancy-index gather + row sum, partial top-k, tiny driver
+    merge. At 100 TB the encode output is the persisted artifact (32x
+    smaller than the raw embeddings) and re-scans never touch raw floats.
+
+    ``refine > 0`` adds the standard ADC+R step (Jegou et al. §V): the ADC
+    scan keeps a per-query shortlist of ``refine`` candidates, then ONLY
+    those ids are re-scored with exact cosine (a broadcast-id filtered
+    second pass over the raw embeddings — nq*refine rows, never the
+    corpus). Returns (query_vec_id, vec_id, rank) like
+    :func:`topk_bruteforce`; recall vs the exact baseline is pinned in
+    pytest."""
+    sample = _sample_embeddings(sf_dir, sample_rows)
+    book = PQCodebook.fit(sample, m=m, ksub=ksub)
+    q = load_query_vectors(sf_dir, query_vec_ids)
+    tabs = book.adc_tables(q)               # (nq, m, ksub)
+    codes_ds = pq_encode(sf_dir, book)
+    mcols = np.arange(book.m)
+
+    class AdcScanner:
+        """Task-pool callable: lookup tables are tiny closure constants."""
+
+        def __init__(self, tabs: np.ndarray, k: int):
+            self.tabs = tabs
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            flat = t.column("code").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+            codes = flat.reshape(len(ids), -1)         # (n, m) uint8
+            out = {"query_idx": [], "vec_id": [], "cosine": []}
+            for qi in range(self.tabs.shape[0]):
+                # ADC: score = sum_j LUT[qi, j, code[:, j]]
+                scores = self.tabs[qi][mcols[None, :], codes].sum(axis=1)
+                if len(scores) > self.k:
+                    top = np.argpartition(-scores, self.k)[: self.k]
+                else:
+                    top = np.arange(len(scores))
+                out["query_idx"].extend([qi] * len(top))
+                out["vec_id"].extend(int(ids[i]) for i in top)
+                out["cosine"].extend(float(scores[i]) for i in top)
+            return pd.DataFrame(out)
+
+    shortlist = k + (1 if exclude_self else 0)
+    if refine > 0:
+        shortlist = max(shortlist, refine)
+    partials = codes_ds.map_batches(
+        AdcScanner(tabs, shortlist),
+        batch_format="pyarrow", batch_size=4096).to_pandas()
+    if refine <= 0:
+        return _merge_topk(partials, query_vec_ids, k,
+                           exclude_self=exclude_self)
+
+    # ADC+R: exact cosine re-rank of the per-query shortlist only. The
+    # candidate id set is nq*refine rows (driver-small by construction);
+    # the second pass filters the raw embeddings by that broadcast set.
+    cand: dict[int, set[int]] = {}
+    for qi in range(len(query_vec_ids)):
+        part = partials[partials.query_idx == qi]
+        part = part.sort_values(["cosine", "vec_id"],
+                                ascending=[False, True], kind="mergesort")
+        cand[qi] = set(int(v) for v in part.head(refine).vec_id)
+    union_ids = sorted(set().union(*cand.values()))
+    qn = _normalize(q)
+
+    class RefineScorer:
+        """Exact cosine on shortlist rows only (id set is a tiny closure
+        constant); everything else is filtered out batch-side."""
+
+        def __init__(self, wanted_ids: np.ndarray, q: np.ndarray):
+            self.wanted = wanted_ids
+            self.q = q
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy()
+            msk = np.isin(ids, self.wanted)
+            if not msk.any():
+                return pd.DataFrame({"query_idx": pd.Series([], dtype=int),
+                                     "vec_id": pd.Series([], dtype=int),
+                                     "cosine": pd.Series([], dtype=float)})
+            sub = df[msk]
+            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                       for v in sub["embedding"]]))
+            sims = mat @ self.q.T
+            out = {"query_idx": [], "vec_id": [], "cosine": []}
+            sids = sub["vec_id"].to_numpy()
+            for qi in range(self.q.shape[0]):
+                for t_, vid in enumerate(sids):
+                    out["query_idx"].append(qi)
+                    out["vec_id"].append(int(vid))
+                    out["cosine"].append(float(sims[t_, qi]))
+            return pd.DataFrame(out)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = ds.map_batches(
+        RefineScorer(np.asarray(union_ids, dtype=np.int64), qn),
+        batch_format="pandas", batch_size=4096).to_pandas()
+    # keep each query's own shortlist only, then exact merge
+    keep = [row.vec_id in cand[row.query_idx]
+            for row in exact.itertuples()]
+    return _merge_topk(exact[np.asarray(keep, dtype=bool)],
+                       query_vec_ids, k, exclude_self=exclude_self)

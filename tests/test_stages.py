@@ -631,3 +631,39 @@ def test_quality_lr_margin_matches_spec(ray_session, sf_tiny):
     assert (df["lr_margin"] == want).all()
     assert (df["lr_ok"] == (want > 0)).all()
     assert df["lr_ok"].any() and not df["lr_ok"].all()   # non-degenerate
+
+
+def test_simsearch_pq_recall_and_refine(sf_tiny):
+    """PQ/ADC (Jegou-shape) quality bounds: the pure code scan recalls
+    >=0.8 of the exact top-10 at m=32/ksub=128; the ADC+R refined path
+    (exact cosine over the 50-candidate shortlist) recalls >=0.95; both
+    are deterministic run-to-run; codes are m bytes per vector."""
+    from pixcrawler_ray.stages.simsearch import (
+        PQCodebook,
+        _sample_embeddings,
+        pq_encode,
+        topk_bruteforce,
+        topk_pq,
+    )
+
+    exact = topk_bruteforce(sf_tiny, [0, 1, 2], k=10)
+    adc = topk_pq(sf_tiny, [0, 1, 2], k=10)
+    ref = topk_pq(sf_tiny, [0, 1, 2], k=10, refine=50)
+
+    def rec(df):
+        hits = 0
+        for q in (0, 1, 2):
+            e = set(exact[exact.query_vec_id == q].vec_id)
+            a = set(df[df.query_vec_id == q].vec_id)
+            hits += len(e & a)
+        return hits / len(exact)
+
+    assert rec(adc) >= 0.8
+    assert rec(ref) >= 0.95
+    # deterministic (seeded fit + argmin encode): rerun == first run
+    adc2 = topk_pq(sf_tiny, [0, 1, 2], k=10)
+    assert adc.equals(adc2)
+    # the persisted artifact is m bytes/vector
+    book = PQCodebook.fit(_sample_embeddings(sf_tiny, 4096))
+    codes = pq_encode(sf_tiny, book).take_batch(5, batch_format="pyarrow")
+    assert codes["code"].type == pa.list_(pa.uint8(), book.m)
