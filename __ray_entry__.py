@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("join"), batch_format="pyarrow")
         return a.union(b)
 
+    def bpe_train_q(sf_dir: str):
+        from pixcrawler_ray.stages.bpetrain import bpe_train
+        return bpe_train(sf_dir, num_merges=12)
+
     def simsearch_pq_q(sf_dir: str):
         # MERGED tail row: the pure ADC code scan (32 B/vector, the 100 TB
         # artifact) and the ADC+R exact-rerank path, path-tagged
@@ -491,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mixture": domain_mixture_q,  # oracled (mimic-verified)
         "simsearch_pq": simsearch_pq_q,      # PQ/ADC + ADC+R refine paths;
         #   recall + shortlist-refine bounds pinned in pytest
+        "bpe_train": bpe_train_q,            # distributed merge learning;
+        #   sequence == serial Sennrich spec, pinned in pytest
     }
 
 

@@ -61,3 +61,38 @@ class BpeCounter:
                 n += c
             out[i] = n
         return out
+
+
+def train_bpe_serial(word_counts: dict[str, int],
+                     num_merges: int) -> list[tuple[str, str]]:
+    """Serial Sennrich trainer spec (learn_bpe shape): count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent
+    (ties: lexicographic smallest (a, b)), repeat. The distributed
+    ``stages.bpetrain.bpe_train`` must produce this exact sequence."""
+    parts = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        acc: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            p = parts[w]
+            for i in range(len(p) - 1):
+                k = (p[i], p[i + 1])
+                acc[k] = acc.get(k, 0) + c
+        if not acc:
+            break
+        best = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, p in parts.items():
+            if len(p) < 2:
+                continue
+            q, i, n = [], 0, len(p)
+            while i < n:
+                if i < n - 1 and p[i] == a and p[i + 1] == b:
+                    q.append(a + b)
+                    i += 2
+                else:
+                    q.append(p[i])
+                    i += 1
+            parts[w] = q
+    return merges

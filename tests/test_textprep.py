@@ -272,3 +272,31 @@ def test_text_normalize_query_idempotent(ray_session, sf_tiny):
     d2 = t2.to_pydict()
     assert d2["norm_text"] == list(df["norm_text"])
     assert d2["changed"] == [0] * len(df)
+
+
+def test_bpe_train_matches_serial_spec(ray_session, sf_tiny):
+    """The distributed trainer's merge sequence equals the serial Sennrich
+    spec on the same corpus (same count, same (cnt, a, b) tie-break)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.functions.bpe import train_bpe_serial
+    from pixcrawler_ray.stages.bpetrain import bpe_train
+
+    got = bpe_train(sf_tiny, num_merges=8)
+    texts = pq.read_table(f"{sf_tiny}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    wc = Counter(w for x in texts for w in (x or "").split())
+    want = train_bpe_serial(dict(wc), 8)
+    assert list(zip(got["a"], got["b"])) == want
+    assert list(got["rank"]) == list(range(len(want)))
+
+
+def test_bpe_train_bucket_invariance(ray_session, sf_tiny):
+    """Exchange width is a tuning knob, never a semantics knob."""
+    from pixcrawler_ray.stages.bpetrain import bpe_train
+
+    a = bpe_train(sf_tiny, num_merges=4, num_buckets=2)
+    b = bpe_train(sf_tiny, num_merges=4, num_buckets=32)
+    assert a.equals(b)
