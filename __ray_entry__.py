@@ -54,8 +54,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["url", "keyword", "seq", "valid"])
 
     def minhash_dedup(sf_dir: str):
-        survivors, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
-        return survivors
+        # MERGED (one registry row): keep-min-doc-id survivors ('minroot')
+        # + highest-quality-member-per-cluster survivors ('bestrep',
+        # dedup_best_rep — RefinedWeb-style representative selection),
+        # section-tagged; both replay in the one recursive-CTE oracle
+        import pyarrow as _pa
+
+        def tag(section):
+            def f(t):
+                return _pa.table({
+                    "section": _pa.array([section] * t.num_rows,
+                                         type=_pa.string()),
+                    "doc_id": t.column("doc_id").cast(_pa.int64())})
+            return f
+
+        surv, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
+        best = dd.dedup_best_rep(sf_dir, threshold=0.8)
+        return surv.map_batches(tag("minroot"),
+                                batch_format="pyarrow").union(
+            best.map_batches(tag("bestrep"), batch_format="pyarrow"))
 
     def dedup_simhash_kept(sf_dir: str):
         # project to doc_id only: the simhash VALUE is blake2b-derived and
@@ -1543,6 +1560,31 @@ FROM documents
 WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 100
       < ([100, 60, 30, 10])[CAST(regexp_replace(source, '^src', '')
                                  AS BIGINT) % 4 + 1]"""
+
+    # dedup_minhash row widens to minroot + bestrep sections: the recursive
+    # lbl CTE is shared, bestrep picks argmax(lr_margin, tie min doc) per
+    # cluster from the same quality/repetition replays used above
+    mh = out["dedup_minhash"]
+    _mh_prefix = mh[:mh.rindex("\nSELECT doc_id FROM documents")]
+    out["dedup_minhash"] = (
+        _mh_prefix + ",\n"
+        "q AS (" + out["quality_scores"] + "),\n"
+        "r AS (" + out["repetition_stats"] + """),
+m AS (
+  SELECT q.doc_id, 50 * q.n_tokens + 200 * q.stop_hits - 30 * r.dup_tokens
+         - 2 * q.sum_word_len - 1000 AS margin
+  FROM q JOIN r ON r.doc_id = q.doc_id
+), best AS (
+  SELECT lbl.doc FROM lbl JOIN m ON m.doc_id = lbl.doc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY lbl.label
+                             ORDER BY m.margin DESC, lbl.doc) = 1
+)
+SELECT 'minroot' AS section, doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM lbl WHERE label < doc)
+UNION ALL
+SELECT 'bestrep', doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM lbl)
+   OR doc_id IN (SELECT doc FROM best)""")
 
     # superseded singles: merged above; the stage functions remain public
     # and pytest-covered, only the registry rows collapse

@@ -754,3 +754,50 @@ def embedding_srp_pairs(sf_dir: str, threshold: float = 0.98,
                        num_buckets=32)
     deduped = keep_first_by(pairs, ["pair_key"], "pair_key", num_buckets=16)
     return deduped.drop_columns(["pair_key"])
+
+
+def dedup_best_rep(sf_dir: str, threshold: float = 0.8,
+                   num_perms: int = 128, shingle_k: int = 3,
+                   bands: int = 16, num_buckets: int = 16):
+    """Near-dup cluster REPRESENTATIVE selection (the RefinedWeb/CCNet
+    curation shape): same MinHash-LSH verify + min-label clustering as
+    :func:`dedup_minhash`, but instead of keep-min-doc-id, keep the
+    highest-QUALITY member of each cluster (``lr_margin`` desc, tie min
+    doc_id — the linear quality classifier from stages/textstats.py).
+
+    Scale shape: margins are a corpus-sized map pass (no shuffle); the
+    labels table is dup-docs-sized; their join is bucketed on doc id; the
+    per-cluster argmax is one keyed exchange on label; the final survivor
+    filter reuses the size-switched broadcast/anti-join. Returns a Dataset
+    of surviving doc_ids.
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join, per_bucket
+    from pixcrawler_ray.stages.textstats import quality_repetition
+
+    verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
+                                      shingle_k, bands).materialize()
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    if verified.count() == 0:
+        return docs
+    labels = min_label_components(verified, num_buckets=num_buckets)
+
+    margins = quality_repetition(sf_dir).map_batches(
+        lambda t: pa.table({"doc": t.column("doc_id").cast(pa.int64()),
+                            "margin": t.column("lr_margin")}),
+        batch_format="pyarrow")
+    joined = bucketed_join(labels, margins, on="doc",
+                           num_buckets=num_buckets)
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        # union-of-buckets rule: group by the true key (label) internally
+        g = g.sort_values(["label", "margin", "doc"],
+                          ascending=[True, False, True], kind="mergesort")
+        drop = g[g.duplicated("label", keep="first")]
+        return pd.DataFrame({"doc_id": drop["doc"].to_numpy(np.int64)})
+
+    dropped = per_bucket(joined, ["label"], losers,
+                         num_buckets=num_buckets).materialize()
+    n_drop = dropped.count()
+    if n_drop == 0:
+        return docs
+    return _filter_by_ids(docs, dropped, n_drop, keep=False)

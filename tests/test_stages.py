@@ -667,3 +667,34 @@ def test_simsearch_pq_recall_and_refine(sf_tiny):
     book = PQCodebook.fit(_sample_embeddings(sf_tiny, 4096))
     codes = pq_encode(sf_tiny, book).take_batch(5, batch_format="pyarrow")
     assert codes["code"].type == pa.list_(pa.uint8(), book.m)
+
+
+def test_dedup_best_rep_planted_cluster(ray_session, tmp_path):
+    """A planted 3-member near-dup cluster must keep exactly the member
+    with the highest lr_margin (not the min doc_id)."""
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.dedup import dedup_best_rep
+    from pixcrawler_ray.stages.textstats import quality_repetition
+
+    # three near-identical docs (one shingle-set), plus unrelated docs.
+    # doc 12 carries extra stopword-rich text -> highest margin.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = {
+        10: base,
+        11: base,
+        12: base + " and the of to in is",
+        20: "totally different content here about rockets",
+        21: "yet another unrelated document on gardening",
+    }
+    sf = tmp_path / "planted"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), type=pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])}),
+        str(sf / "documents.parquet"))
+    kept = set(dedup_best_rep(str(sf), threshold=0.5).to_pandas()["doc_id"])
+    m = (quality_repetition(str(sf)).to_pandas()
+         .set_index("doc_id")["lr_margin"])
+    assert m[12] > m[10] == m[11]
+    assert kept == {12, 20, 21}, kept
