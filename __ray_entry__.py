@@ -351,6 +351,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         b = b[["query_vec_id", "vec_id", "rank"]].assign(path="refine")
         return _pd.concat([a, b], ignore_index=True)
 
+    def segment_spans_q(sf_dir: str):
+        # MERGED (one registry row): CCNet segment_dedup + Lee-et-al
+        # exact_substr_spans (duplicated w-gram window spans), section-
+        # tagged on a common (section, doc_id, a, b, txt) schema
+        import pyarrow as _pa
+
+        def seg(t):
+            return _pa.table({
+                "section": _pa.array(["segment"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "a": t.column("n_segs").cast(_pa.int64()),
+                "b": t.column("n_kept").cast(_pa.int64()),
+                "txt": t.column("clean_text").cast(_pa.string()),
+            })
+
+        def sp(t):
+            return _pa.table({
+                "section": _pa.array(["spans"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "a": t.column("span_start").cast(_pa.int64()),
+                "b": t.column("span_end").cast(_pa.int64()),
+                "txt": _pa.array([""] * t.num_rows, type=_pa.string()),
+            })
+
+        a = tp.segment_dedup(sf_dir).map_batches(
+            seg, batch_format="pyarrow")
+        b = tp.exact_substr_spans(sf_dir, w=8).map_batches(
+            sp, batch_format="pyarrow")
+        return a.union(b)
+
     def pii_norm_q(sf_dir: str):
         # MERGED (one registry row): pii_scrub + text_normalize,
         # section-tagged on a common (doc_id, a, b, c, text_out) schema
@@ -537,7 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ts.fingerprint_containment(sf, threshold=0.8),
         # --- training-data prep (oracled) ---
         "pii_scrub": pii_norm_q,   # MERGED: pii_scrub + text_normalize
-        "segment_dedup": tp.segment_dedup,
+        "segment_dedup": segment_spans_q,   # MERGED: + exact_substr_spans
         "term_postings": tp.term_postings,
         "pack_contexts": lambda sf: tp.pack_contexts(sf, budget=256),
         "bigram_lm_stats": bigram_lm_both_q,   # both size-switch paths
@@ -1515,6 +1547,44 @@ SELECT doc_id, any_value(n_segs) AS n_segs,
        CAST(count(*) AS BIGINT) AS n_kept,
        string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
 FROM kept GROUP BY doc_id"""
+
+    # exact_substr_spans (Lee et al. ExactSubstr shape): every duplicated
+    # 8-word window marks [pos, pos+8); islands merge per doc via
+    # gaps-and-islands. Merged into the segment_dedup registry row below.
+    _spans_sql = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g0 AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 8 + 1, 0))) AS p
+  FROM ws
+), g AS (
+  SELECT doc_id, p, array_to_string(w[(p + 1):(p + 8)], chr(31)) AS ng
+  FROM g0
+), dup AS (
+  SELECT ng FROM g GROUP BY ng HAVING count(*) > 1
+), hits AS (
+  SELECT g.doc_id, g.p FROM g JOIN dup USING (ng)
+), isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + 8 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, gid"""
+
+    out["segment_dedup"] = (
+        "WITH sd AS (" + out["segment_dedup"] + "),\n"
+        "sp AS (" + _spans_sql + """)
+SELECT 'segment' AS section, doc_id, n_segs AS a, n_kept AS b,
+       clean_text AS txt FROM sd
+UNION ALL
+SELECT 'spans', doc_id, span_start, span_end, '' FROM sp""")
 
     # term_postings: posting-list summary per term (df/tf/min/max/sum of
     # distinct doc ids)

@@ -269,6 +269,93 @@ def segment_dedup(sf_dir: str, k: int = 12, num_buckets: int = 32):
                       num_buckets=num_buckets)
 
 
+def explode_ngrams(t: pa.Table, w: int = 8) -> pa.Table:
+    """(doc_id, pos, ngram) for every w-word window of each doc (the
+    Lee et al. 2022 ExactSubstr explode; ``pos`` is the 0-based word index
+    of the window start). Windows overlap, so a single list-offsets view is
+    impossible — instead the ngram strings are one
+    ``binary_join_element_wise`` over ``w`` shifted gathers of the SAME
+    flat word buffer: w vectorized takes + one Arrow join, no per-window
+    Python. Separator is US (0x1f) so joined windows can't collide across
+    word boundaries."""
+    flat, nw = _nonempty_words(t.column("text"))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    npos = np.maximum(nw - w + 1, 0)
+    total = int(npos.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "pos": pa.array([], type=pa.int64()),
+                         "ngram": pa.array([], type=pa.string())})
+    pos_local = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.concatenate([[0], np.cumsum(npos)[:-1]]), npos)
+    doc_start = np.concatenate([[0], np.cumsum(nw)[:-1]])
+    starts = np.repeat(doc_start, npos) + pos_local
+    cols = [flat.take(pa.array(starts + j)) for j in range(w)]
+    ng = pc.binary_join_element_wise(*cols, "\x1f")
+    return pa.table({"doc_id": pa.array(np.repeat(ids, npos)),
+                     "pos": pa.array(pos_local),
+                     "ngram": ng})
+
+
+def exact_substr_spans(sf_dir: str, w: int = 8, num_buckets: int = 32):
+    """ExactSubstr-shape duplicate-span finder (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    w-word window occurring more than once in the corpus — across OR within
+    docs, exactly the suffix-array criterion — marks its [pos, pos+w) token
+    span; overlapping/adjacent marked spans per doc merge into maximal
+    spans, the ranges ExactSubstr would cut. SQL-oracled.
+
+    Distributed shape (the paper's suffix array is a single-machine
+    artifact; the streaming equivalent is this explode): ngram-keyed bucket
+    exchange -> duplicated-window locations (groups are complete per
+    bucket, so the >1 count is global) -> doc-keyed bucket exchange ->
+    vectorized island merge. Nothing corpus-sized transits the driver; the
+    explode is w gathers per batch. At 100 TB, ``w`` windows ship ~w x the
+    corpus bytes through one exchange — the standard mitigation (hash each
+    window to uint64 before the shuffle) drops that to 8 B/window and is a
+    one-line swap, kept as strings here for SQL-oracle parity.
+
+    Output (doc_id, span_start, span_end) in 0-based word indices,
+    span_end exclusive.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    exploded = ds.map_batches(lambda t: explode_ngrams(t, w=w),
+                              batch_format="pyarrow")
+
+    def dup_locs(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("ngram", sort=False)["doc_id"].transform("size")
+        out = df.loc[n.to_numpy() > 1, ["doc_id", "pos"]]
+        if not len(out):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64)})
+        return out
+
+    hits = per_bucket(exploded, ["ngram"], dup_locs,
+                      num_buckets=num_buckets)
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "span_start": pd.Series(dtype=np.int64),
+                                 "span_end": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        p = df["pos"].to_numpy().astype(np.int64)
+        brk = np.ones(len(p), dtype=bool)
+        # new island at a doc change or a gap wider than the window (equal
+        # widths: spans [a,a+w) and [b,b+w) with b>a merge iff b-a <= w,
+        # i.e. they overlap or touch)
+        brk[1:] = (ids[1:] != ids[:-1]) | (p[1:] - p[:-1] > w)
+        si = np.flatnonzero(brk)
+        ei = np.append(si[1:], len(p)) - 1
+        return pd.DataFrame({"doc_id": ids[si], "span_start": p[si],
+                             "span_end": p[ei] + w})
+
+    return per_bucket(hits, ["doc_id"], spans, num_buckets=num_buckets)
+
+
 def term_postings(sf_dir: str, num_buckets: int = 16):
     """Inverted-index build, posting-list summary form: per distinct term,
     document frequency, total term frequency, and min/max/sum of the doc-id

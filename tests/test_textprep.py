@@ -300,3 +300,75 @@ def test_bpe_train_bucket_invariance(ray_session, sf_tiny):
     a = bpe_train(sf_tiny, num_merges=4, num_buckets=2)
     b = bpe_train(sf_tiny, num_merges=4, num_buckets=32)
     assert a.equals(b)
+
+
+def test_explode_ngrams_windows_and_positions():
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a b c d", "x y", ""]})
+    e = tp.explode_ngrams(t, w=3).to_pydict()
+    # doc 1: windows at 0,1; doc 2 too short; doc 3 empty
+    assert e["doc_id"] == [1, 1]
+    assert e["pos"] == [0, 1]
+    assert e["ngram"] == ["a\x1fb\x1fc", "b\x1fc\x1fd"]
+
+
+def test_exact_substr_spans_planted(ray_session, tmp_path):
+    """Plant a shared 5-word run in docs 0/1 (offset differently), a
+    within-doc repeat in doc 2, and a unique doc 3; spans must be the
+    merged maximal windows of the serial spec."""
+    import pyarrow.parquet as pq
+
+    run = "q w e r t"                     # the duplicated 5-gram
+    texts = [
+        f"u0 u1 {run} z0 z1 z2",          # run at words 2..6
+        f"v0 {run} y0",                   # run at words 1..5
+        f"{run} mid0 mid1 {run}",         # twice within one doc
+        "solo only words here never repeated at all",
+    ]
+    sf = tmp_path / "planted"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}),
+        str(sf / "documents.parquet"))
+
+    w = 3
+    out = (tp.exact_substr_spans(str(sf), w=w).to_pandas()
+           .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+
+    # serial spec: every w-gram with global multiplicity > 1 marks
+    # [pos, pos+w); merge islands with gap <= w
+    from collections import Counter
+    grams: list[tuple[int, int, str]] = []
+    for d, txt in enumerate(texts):
+        ws = [x for x in txt.split(" ") if x]
+        for p in range(len(ws) - w + 1):
+            grams.append((d, p, "\x1f".join(ws[p:p + w])))
+    cnt = Counter(g for _, _, g in grams)
+    marks: dict[int, list[int]] = {}
+    for d, p, g in grams:
+        if cnt[g] > 1:
+            marks.setdefault(d, []).append(p)
+    exp = []
+    for d, ps in sorted(marks.items()):
+        ps.sort()
+        s = e = ps[0]
+        for p in ps[1:]:
+            if p - e > w:
+                exp.append((d, s, e + w))
+                s = p
+            e = p
+        exp.append((d, s, e + w))
+    exp_df = pd.DataFrame(exp, columns=["doc_id", "span_start", "span_end"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  exp_df.astype("int64"))
+    # the planted run must be caught in all three docs, doc 3 clean
+    assert set(out["doc_id"]) == {0, 1, 2}
+
+
+def test_exact_substr_spans_bucket_invariance(ray_session, sf_tiny):
+    a = (tp.exact_substr_spans(sf_tiny, w=8, num_buckets=32).to_pandas()
+         .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    b = (tp.exact_substr_spans(sf_tiny, w=8, num_buckets=3).to_pandas()
+         .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0          # the corpus has exact-dup docs by design
