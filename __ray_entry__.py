@@ -337,6 +337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("join"), batch_format="pyarrow")
         return a.union(b)
 
+    def semdedup_q(sf_dir: str):
+        from pixcrawler_ray.stages.dedup import semdedup
+        return semdedup(sf_dir, eps=0.4)
+
     def bpe_train_q(sf_dir: str):
         from pixcrawler_ray.stages.bpetrain import bpe_train
         return bpe_train(sf_dir, num_merges=12)
@@ -606,6 +610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   recall + shortlist-refine bounds pinned in pytest
         "bpe_train": bpe_train_q,            # distributed merge learning;
         #   sequence == serial Sennrich spec, pinned in pytest
+        "semdedup": semdedup_q,              # SemDeDup greedy cluster
+        #   sweep == serial spec, pinned in pytest (seeded k-means has no
+        #   SQL analog)
     }
 
 

@@ -698,3 +698,49 @@ def test_dedup_best_rep_planted_cluster(ray_session, tmp_path):
          .set_index("doc_id")["lr_margin"])
     assert m[12] > m[10] == m[11]
     assert kept == {12, 20, 21}, kept
+
+
+def test_semdedup_matches_serial_spec(ray_session, sf_tiny):
+    """The distributed SemDeDup sweep must equal the plain serial greedy:
+    same seeded centroids, ascending-centroid-similarity visit order, drop
+    at cosine >= eps against the kept set."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.dedup import semdedup
+    from pixcrawler_ray.stages.simsearch import IVFIndex, _sample_embeddings
+
+    eps, n_clusters = 0.4, 16
+    out = (semdedup(sf_tiny, n_clusters=n_clusters, eps=eps,
+                    sweep_block=7)   # tiny blocks: exercise the chain
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet").to_pandas()
+    idx = IVFIndex.fit(_sample_embeddings(sf_tiny, 4096), n_clusters, seed=7)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ idx.centroids.T
+    cid = np.argmax(sims, axis=1)
+    cs = np.rint(sims[np.arange(len(cid)), cid] * 1e6).astype(np.int64)
+    ids = t["vec_id"].to_numpy()
+
+    kept = {}
+    for c in np.unique(cid):
+        rows = np.flatnonzero(cid == c)
+        order = rows[np.lexsort((ids[rows], cs[rows]))]
+        chosen = []
+        for r in order:
+            if not chosen or (mat[r] @ mat[chosen].T).max() < eps:
+                chosen.append(r)
+                kept[ids[r]] = True
+            else:
+                kept[ids[r]] = False
+
+    exp = pd.DataFrame({
+        "vec_id": ids, "cluster_id": cid.astype(np.int64),
+        "cent_sim_e6": cs,
+        "kept": [kept[i] for i in ids],
+    }).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+    assert (~exp["kept"]).sum() > 0     # the corpus plants embedding dups
