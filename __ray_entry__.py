@@ -320,22 +320,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bigram_lm_both_q(sf_dir: str):
         # MERGED (one registry row): BOTH size-switch paths of
         # bigram_lm_stats — broadcast (vocab under the cap) and the
-        # w1-bucketed join (the 100 TB vocab path) — tagged and unioned so
-        # the driver value-hashes each against the same per-doc oracle
+        # w1-bucketed join (the 100 TB vocab path) — plus the CCNet
+        # head/middle/tail lm_quality_buckets tercile split, tagged and
+        # unioned so the driver value-hashes each against the same oracle;
+        # -1 / '' = n/a for a section
         import pyarrow as _pa
 
         def tag(path):
             def f(t):
-                return t.append_column(
+                neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+                t = t.append_column(
                     "path", _pa.array([path] * t.num_rows,
                                       type=_pa.string()))
+                t = t.append_column("score_q", neg)
+                return t.append_column(
+                    "bucket", _pa.array([""] * t.num_rows,
+                                        type=_pa.string()))
             return f
+
+        def bk(t):
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            return _pa.table({
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "n_bigrams": neg, "sum_bigram_freq": neg,
+                "sum_context_freq": neg,
+                "path": _pa.array(["bucket"] * t.num_rows,
+                                  type=_pa.string()),
+                "score_q": t.column("score_q").cast(_pa.int64()),
+                "bucket": t.column("bucket").cast(_pa.string()),
+            })
 
         a = tp.bigram_lm_stats(sf_dir).map_batches(
             tag("broadcast"), batch_format="pyarrow")
         b = tp.bigram_lm_stats(sf_dir, broadcast_max_rows=0).map_batches(
             tag("join"), batch_format="pyarrow")
-        return a.union(b)
+        c = tp.lm_quality_buckets(sf_dir).map_batches(
+            bk, batch_format="pyarrow")
+        return a.union(b).union(c)
+
+    def kmeans_train_q(sf_dir: str):
+        from pixcrawler_ray.stages.simsearch import kmeans_fit_full
+        asg, _cent = kmeans_fit_full(sf_dir, k=16, iters=3)
+        return asg
 
     def semdedup_q(sf_dir: str):
         from pixcrawler_ray.stages.dedup import semdedup
@@ -613,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": semdedup_q,              # SemDeDup greedy cluster
         #   sweep == serial spec, pinned in pytest (seeded k-means has no
         #   SQL analog)
+        "kmeans_train": kmeans_train_q,      # full-corpus Lloyd; integer-
+        #   exact reduction == serial replay bit-identically, pinned in
+        #   pytest
     }
 
 
@@ -1646,9 +1675,24 @@ WITH ws AS (
   FROM bg b JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
             JOIN ctx x ON b.w1 = x.w1
   GROUP BY b.doc_id
+), sq AS (
+  SELECT doc_id,
+         least(sum_bigram_freq * 1000 // n_bigrams, 1048576) AS score_q
+  FROM base
+), qc AS (
+  SELECT quantile_disc(score_q, 1.0/3) AS c1,
+         quantile_disc(score_q, 2.0/3) AS c2
+  FROM sq
 )
-SELECT base.*, p.path FROM base
-CROSS JOIN (VALUES ('broadcast'), ('join')) AS p(path)"""
+SELECT base.*, p.path, CAST(-1 AS BIGINT) AS score_q, '' AS bucket
+FROM base CROSS JOIN (VALUES ('broadcast'), ('join')) AS p(path)
+UNION ALL
+SELECT sq.doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), 'bucket', sq.score_q,
+       CASE WHEN sq.score_q <= qc.c1 THEN 'tail'
+            WHEN sq.score_q <= qc.c2 THEN 'middle'
+            ELSE 'head' END
+FROM sq, qc"""
 
     # tar_shards: shard assignment, counts, payload bytes AND the tar byte
     # size are pure arithmetic over the page html lengths — USTAR layout is

@@ -482,3 +482,106 @@ def topk_pq(sf_dir: str, query_vec_ids: list[int], k: int = 10,
             for row in exact.itertuples()]
     return _merge_topk(exact[np.asarray(keep, dtype=bool)],
                        query_vec_ids, k, exclude_self=exclude_self)
+
+
+def kmeans_fit_full(sf_dir: str, k: int = 16, iters: int = 5,
+                    seed: int = 7, sample_rows: int = 4096,
+                    num_buckets: int = 4):
+    """Full-corpus distributed Lloyd k-means over the embedding column —
+    the training loop behind IVF/PQ/SemDeDup cells, run on ALL rows instead
+    of a head sample (a 100 TB corpus needs corpus-representative cells).
+
+    Determinism at any parallelism: embeddings AND centroids are quantized
+    to int64 fixed-point (x 2^20); assignments are the argmax of the exact
+    INTEGER dot products (a float BLAS dot can change its last bits with
+    the gemm batch shape, flipping near-tie argmaxes between runs — seen
+    in testing), and every per-iteration reduction sums integers —
+    associative and exact. Batch order / concurrency cannot change a
+    single bit of the result, and the serial replay in pytest is
+    row-identical. Per iteration: one streaming assign pass emits k-row
+    (cid, count, 64 int sums) partials per batch, one keyed exchange merges
+    them, and the driver holds only the k x (dim+1) update (constant).
+    Init = the same seeded head-sample choice as ``IVFIndex.fit``.
+
+    Returns (assignments_dataset, centroids): the final-iteration
+    (vec_id, cluster_id) dataset and the float64 centroid matrix.
+    """
+    import ray
+
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    Q = 1 << 20
+    rng = np.random.default_rng(seed)
+    sample = _normalize(_sample_embeddings(sf_dir, sample_rows))
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                             replace=False)].copy()
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = np.asarray(emb.offsets)
+        vals = np.asarray(emb.values, dtype=np.float64)
+        m = vals[offs[0]:offs[-1]].reshape(t.num_rows, -1)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    dim = sample.shape[1]
+    sum_cols = [f"s{j}" for j in range(dim)]
+
+    def _qcent(c: np.ndarray) -> np.ndarray:
+        return np.rint(c * Q).astype(np.int64)
+
+    for _ in range(iters):
+        cent_ref = ray.put(_qcent(cent))
+
+        def partial(t: pa.Table) -> pa.Table:
+            qc = ray.get(cent_ref)
+            m = _mat(t)
+            qm = np.rint(m * Q).astype(np.int64)     # exact integer domain
+            cid = np.argmax(qm @ qc.T, axis=1)       # exact int dots:
+            # |vals| <= 2^20, so a 64-dim dot is <= 2^46 — no overflow
+            out = {"cid": pa.array(np.arange(len(qc), dtype=np.int64)),
+                   "cnt": pa.array(np.bincount(cid, minlength=len(qc))
+                                   .astype(np.int64))}
+            sums = np.zeros((len(qc), dim), dtype=np.int64)
+            np.add.at(sums, cid, qm)
+            for j, name in enumerate(sum_cols):
+                out[name] = pa.array(sums[:, j])
+            return pa.table(out)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("cid", sort=True)[["cnt"] + sum_cols]
+                    .sum().reset_index())
+
+        agg = per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["cid"], merge,
+                         num_buckets=num_buckets).to_pandas()
+        agg = agg.groupby("cid", sort=True).sum().reindex(range(k))
+        cnt = agg["cnt"].to_numpy()
+        sums = agg[sum_cols].to_numpy(dtype=np.float64) / Q
+        upd = cent.copy()
+        nz = np.nan_to_num(cnt) > 0
+        v = sums[nz] / cnt[nz, None]
+        # explicit sqrt-sum-of-squares: np.linalg.norm's row-wise and
+        # single-vector paths (einsum vs BLAS dnrm2) differ in the last
+        # bit, which would break the bit-exact serial replay
+        norm = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        norm[norm == 0] = 1.0
+        upd[nz] = v / norm
+        cent = upd
+
+    cent_ref = ray.put(_qcent(cent))
+
+    def assign(t: pa.Table) -> pa.Table:
+        qc = ray.get(cent_ref)
+        qm = np.rint(_mat(t) * Q).astype(np.int64)
+        cid = np.argmax(qm @ qc.T, axis=1)
+        return pa.table({"vec_id": t.column("vec_id").cast(pa.int64()),
+                         "cluster_id": pa.array(cid.astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow"), cent

@@ -641,3 +641,74 @@ def _bigram_lm_join_path(ds, big_ds):
         return out.astype({c2: np.int64 for c2 in out.columns})
 
     return per_bucket(partials, ["doc_id"], sum_partials, num_buckets=16)
+
+
+def lm_quality_buckets(sf_dir: str, cap: int = 1 << 20,
+                       broadcast_max_rows: int = 2_000_000):
+    """CCNet head/middle/tail LM-quality split (Wenzek et al. 2020 §4.3):
+    docs bucket into terciles of an integer LM-quality score — here the
+    per-doc average global bigram frequency in x1000 fixed point,
+    ``sum_bigram_freq * 1000 // n_bigrams`` from :func:`bigram_lm_stats`
+    (high avg frequency = common transitions ≈ low perplexity = 'head'),
+    clipped to ``cap``. The x1000 resolution keeps the score domain fine
+    enough that tercile cuts don't degenerate on tie-heavy corpora while
+    the clip still bounds the histogram.
+
+    Scale shape: the clip bounds the score domain, so the tercile cuts
+    come from a CONSTANT-sized histogram (<= cap+1 rows: per-batch
+    (score_q, cnt) partials, one keyed exchange, driver readoff — the
+    token_quantiles plan), never a corpus-wide sort or rank. The compact
+    (doc_id, score_q) table (16 B/doc) is materialized once in the object
+    store and reused for the cut pass and the assignment pass, instead of
+    recomputing the bigram count exchange twice. Cut rule matches DuckDB
+    ``quantile_disc``: idx = max(0, ceil(q*n) - 1). Docs with < 2 words
+    have no bigrams and no bucket (CCNet drops them upstream).
+
+    Output (doc_id, score_q, bucket) with bucket in head/middle/tail.
+    """
+    import math
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    stats = bigram_lm_stats(sf_dir, broadcast_max_rows=broadcast_max_rows)
+
+    def add_q(t: pa.Table) -> pa.Table:
+        nb = t.column("n_bigrams").to_numpy(zero_copy_only=False)
+        sbf = t.column("sum_bigram_freq").to_numpy(zero_copy_only=False)
+        q = np.minimum(sbf * 1000 // np.maximum(nb, 1),
+                       cap).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "score_q": pa.array(q)})
+
+    scored = stats.map_batches(add_q, batch_format="pyarrow").materialize()
+
+    def hpart(t: pa.Table) -> pa.Table:
+        g = (t.select(["score_q"]).to_pandas()
+             .groupby("score_q", sort=False).size().rename("cnt")
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def hmerge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("score_q", sort=False)["cnt"].sum()
+                .reset_index())
+
+    hist = (per_bucket(scored.map_batches(hpart, batch_format="pyarrow"),
+                       ["score_q"], hmerge, num_buckets=4)
+            .to_pandas().sort_values("score_q"))
+    counts = hist["cnt"].to_numpy()
+    values = hist["score_q"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    cuts = []
+    for q in (1.0 / 3, 2.0 / 3):
+        idx = max(0, math.ceil(q * n) - 1)
+        cuts.append(int(values[np.searchsorted(cum, idx + 1)]))
+    c1, c2 = cuts if n else (0, 0)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        s = t.column("score_q").to_numpy(zero_copy_only=False)
+        lab = np.where(s <= c1, "tail",
+                       np.where(s <= c2, "middle", "head"))
+        return t.append_column("bucket", pa.array(lab, type=pa.string()))
+
+    return scored.map_batches(bucketize, batch_format="pyarrow")

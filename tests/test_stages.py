@@ -744,3 +744,52 @@ def test_semdedup_matches_serial_spec(ray_session, sf_tiny):
     }).sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp)
     assert (~exp["kept"]).sum() > 0     # the corpus plants embedding dups
+
+
+def test_kmeans_fit_full_matches_serial_and_is_exact(ray_session, sf_tiny):
+    """Integer-quantized Lloyd must be BIT-identical to the serial replay
+    (associative int sums => parallelism cannot change the result), at two
+    bucket widths."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.simsearch import (_normalize,
+                                                 _sample_embeddings,
+                                                 kmeans_fit_full)
+
+    k, iters, Q = 8, 3, 1 << 20
+    asg_ds, cent = kmeans_fit_full(sf_tiny, k=k, iters=iters)
+    asg = (asg_ds.to_pandas().sort_values("vec_id")
+           .reset_index(drop=True))
+
+    # serial replay
+    rng = np.random.default_rng(7)
+    sample = _normalize(_sample_embeddings(sf_tiny, 4096))
+    c = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet").to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    _n = np.linalg.norm(m, axis=1, keepdims=True)
+    _n[_n == 0] = 1.0
+    m = m / _n
+    qm = np.rint(m * Q).astype(np.int64)
+    for _ in range(iters):
+        qc = np.rint(c * Q).astype(np.int64)
+        cid = np.argmax(qm @ qc.T, axis=1)   # integer dots, the exact spec
+        for j in range(k):
+            sel = cid == j
+            if sel.any():
+                v = (qm[sel].sum(axis=0).astype(np.float64) / Q) / sel.sum()
+                n = np.sqrt((v * v).sum())
+                c[j] = v / (n if n > 0 else 1.0)
+    exp_cid = np.argmax(qm @ np.rint(c * Q).astype(np.int64).T, axis=1)
+
+    assert np.array_equal(cent, c)            # bit-identical centroids
+    exp = pd.DataFrame({"vec_id": t["vec_id"].to_numpy().astype(np.int64),
+                        "cluster_id": exp_cid.astype(np.int64)}) \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(asg, exp)
+
+    asg2_ds, cent2 = kmeans_fit_full(sf_tiny, k=k, iters=iters,
+                                     num_buckets=2)
+    assert np.array_equal(cent, cent2)

@@ -372,3 +372,19 @@ def test_exact_substr_spans_bucket_invariance(ray_session, sf_tiny):
          .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0          # the corpus has exact-dup docs by design
+
+
+def test_lm_quality_buckets_terciles(ray_session, sf_tiny):
+    """Bucket labels must be monotone in score (all tail <= all middle <=
+    all head) and every tercile non-empty on the natural corpus."""
+    out = tp.lm_quality_buckets(sf_tiny).to_pandas()
+    assert set(out["bucket"]) == {"head", "middle", "tail"}
+    t_max = out.loc[out["bucket"] == "tail", "score_q"].max()
+    m = out.loc[out["bucket"] == "middle", "score_q"]
+    h_min = out.loc[out["bucket"] == "head", "score_q"].min()
+    assert t_max < m.min() and m.max() < h_min
+    # tercile balance: cut rule puts |tail| within one histogram step of
+    # n/3 only when values are distinct; with ties it can lean, but no
+    # bucket may take more than half the corpus on this distribution
+    n = len(out)
+    assert out["bucket"].value_counts().max() <= n * 0.55
