@@ -806,7 +806,13 @@ SELECT * FROM (
   FROM documents
   QUALIFY ROW_NUMBER() OVER (
       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-      ORDER BY doc_id) = 1)"""
+      ORDER BY doc_id) = 1)
+UNION ALL
+SELECT doc_id, md5(text) AS key_md5, 'incremental' AS mode
+FROM documents
+WHERE doc_id % 10 >= 7
+  AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                        WHERE doc_id % 10 < 7)"""
 
     # multimodal_sniff: the Ray side encodes real png/gif/bmp/jpeg headers
     # with doc_id-derived dimensions and parses them back with the byte-level

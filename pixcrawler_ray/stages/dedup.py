@@ -91,11 +91,43 @@ def dedup_normalized(sf_dir: str):
     return keep_first_by(hashed, ["norm_md5"], "doc_id", num_buckets=32)
 
 
+def dedup_incremental(sf_dir: str, num_buckets: int = 32):
+    """Incremental snapshot dedup — the recrawl shape: dedup a NEW crawl
+    batch against an EXISTING corpus without re-deduping the corpus. The
+    synthetic split is deterministic (prior snapshot = doc_id % 10 < 7,
+    new batch = the rest; SQL-replayable); production passes two real
+    datasets. New docs whose exact md5(text) already exists in the prior
+    snapshot drop via the dataset-native ``anti_by_key`` — ONE keyed
+    exchange, prior keys never collected to the driver or broadcast.
+    Output (doc_id, text_md5) of surviving new docs.
+    """
+    from pixcrawler_ray.stages.shuffle import anti_by_key
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_md5_split(t: pa.Table) -> pa.Table:
+        md5 = _md5_hexdigests([x or ""
+                               for x in t.column("text").to_pylist()])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text_md5": pa.array(md5, type=pa.string()),
+                         "is_new": pa.array(ids % 10 >= 7)})
+
+    hashed = ds.map_batches(add_md5_split, batch_format="pyarrow")
+    new = hashed.filter(expr="is_new == True").drop_columns(["is_new"])
+    prior_keys = (hashed.filter(expr="is_new == False")
+                  .select_columns(["text_md5"]))
+    return anti_by_key(new, prior_keys, "text_md5",
+                       num_buckets=num_buckets)
+
+
 def dedup_keep_first(sf_dir: str):
-    """Exact + normalized keep-first dedup as ONE registry query (the
-    driver's correctness artifact caps at 50 rows — VERDICT r4 #1): both
-    passes run their own hash-bucketed keep-first shuffle and union with a
-    ``mode`` tag. Output (doc_id, key_md5, mode)."""
+    """Exact + normalized + incremental keep-first dedup as ONE registry
+    query (the driver's correctness artifact caps at 50 rows — VERDICT r4
+    #1): the exact/normalized passes run their own hash-bucketed
+    keep-first shuffle, the incremental pass anti-joins the new-batch
+    split against the prior snapshot, and all three union with a ``mode``
+    tag. Output (doc_id, key_md5, mode)."""
 
     def tag(key_col: str, mode: str):
         def f(t: pa.Table) -> pa.Table:
@@ -110,7 +142,9 @@ def dedup_keep_first(sf_dir: str):
                                          batch_format="pyarrow")
     no = dedup_normalized(sf_dir).map_batches(tag("norm_md5", "normalized"),
                                               batch_format="pyarrow")
-    return ex.union(no)
+    inc = dedup_incremental(sf_dir).map_batches(
+        tag("text_md5", "incremental"), batch_format="pyarrow")
+    return ex.union(no).union(inc)
 
 
 class MinHasher:
