@@ -358,6 +358,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bk, batch_format="pyarrow")
         return a.union(b).union(c)
 
+    def events_running_q(sf_dir: str):
+        return rel.q_events_running(sf_dir)
+
+    def table_profile_q(sf_dir: str):
+        # profiles orders + documents in one row, table-tagged
+        import pyarrow as _pa
+        from pixcrawler_ray.stages.profile import profile_table
+
+        def tag(tbl):
+            def f(t):
+                return t.append_column(
+                    "tbl", _pa.array([tbl] * t.num_rows,
+                                     type=_pa.string()))
+            return f
+
+        a = profile_table(sf_dir, "orders").map_batches(
+            tag("orders"), batch_format="pyarrow")
+        b = profile_table(sf_dir, "documents").map_batches(
+            tag("documents"), batch_format="pyarrow")
+        return a.union(b)
+
     def kmeans_train_q(sf_dir: str):
         from pixcrawler_ray.stages.simsearch import kmeans_fit_full
         asg, _cent = kmeans_fit_full(sf_dir, k=16, iters=3)
@@ -642,6 +663,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": kmeans_train_q,      # full-corpus Lloyd; integer-
         #   exact reduction == serial replay bit-identically, pinned in
         #   pytest
+        "events_running": events_running_q,  # oracled (mimic-verified):
+        #   cumulative window family == SUM/ROW_NUMBER OVER (PARTITION BY)
+        "table_profile": table_profile_q,    # oracled (mimic-verified):
+        #   per-column n/nulls/min/max == UNION ALL of SQL aggregates
     }
 
 
@@ -1795,6 +1820,38 @@ SELECT 'frames', media_id, frame_idx, frame_bytes, CAST(-1 AS BIGINT), ''
 FROM fr
 UNION ALL
 SELECT 'audio', media_id, frame_idx, energy, sample_rate, '' FROM au""")
+
+    # events_running: the cumulative window family replayed verbatim
+    out["events_running"] = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS run_cents,
+       COALESCE(CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT),
+                -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+    # table_profile: per-column sufficient statistics as UNION ALL of the
+    # plain SQL aggregates, built from the SAME column specs the engine
+    # profiles (floats compared in exact cents on both sides)
+    from pixcrawler_ray.stages.profile import DEFAULT_SPECS as _PSPECS
+
+    def _profile_sql(table: str) -> str:
+        parts = []
+        for col, kind in _PSPECS[table]:
+            expr = (f"CAST(round({col} * 100) AS BIGINT)"
+                    if kind == "cents" else col)
+            parts.append(
+                f"SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n, "
+                f"CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
+                f"CAST(min({expr}) AS VARCHAR) AS min_v, "
+                f"CAST(max({expr}) AS VARCHAR) AS max_v, "
+                f"'{table}' AS tbl FROM {table}")
+        return "\nUNION ALL\n".join(parts)
+
+    out["table_profile"] = (_profile_sql("orders") + "\nUNION ALL\n"
+                            + _profile_sql("documents"))
 
     # lang_id widens to per-doc predictions + the confusion matrix over the
     # same replay, on (section, k1, lang, lang_pred, n)

@@ -378,3 +378,43 @@ def q_sequential_rename(sf_dir: str):
         return g
 
     return per_bucket(ds, ["lang", "source"], kernel, num_buckets=16)
+
+
+def q_events_running(sf_dir: str, num_buckets: int = 32):
+    """Per-user running window aggregates — the cumulative-window operator
+    family (SUM/COUNT ... OVER (PARTITION BY user ORDER BY ts)): for every
+    event, the user's running event rank, running value total (integer
+    cents — float sums don't value-hash), and the gap to the previous
+    event in microseconds (-1 for the first; us so the lag arithmetic is
+    integer-exact on both sides). One user-keyed exchange, then a
+    vectorized per-user cumsum/shift — the partitioning assumption is the
+    window's PARTITION BY key, so no cross-bucket state exists by
+    construction. Ties on ts order by event_id (both sides).
+
+    Output (event_id, user_id, rn, run_cents, gap_s).
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                               "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        grp = g.groupby("user_id", sort=False)
+        rn = grp.cumcount().to_numpy() + 1
+        run = pd.Series(cents).groupby(
+            g["user_id"].to_numpy()).cumsum().to_numpy()
+        prev = grp["ts"].shift()
+        delta = g["ts"] - prev
+        gap = (delta.dt.days.astype("float64") * 86_400_000_000
+               + delta.dt.seconds.astype("float64") * 1_000_000
+               + delta.dt.microseconds.astype("float64"))
+        gap = gap.fillna(-1).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy().astype(np.int64),
+            "user_id": g["user_id"].to_numpy().astype(np.int64),
+            "rn": rn.astype(np.int64),
+            "run_cents": run.astype(np.int64),
+            "gap_us": gap.to_numpy(),
+        })
+
+    return per_bucket(ds, ["user_id"], kernel, num_buckets=num_buckets)
