@@ -358,6 +358,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bk, batch_format="pyarrow")
         return a.union(b).union(c)
 
+    def quality_train_q(sf_dir: str):
+        from pixcrawler_ray.stages.classify import logreg_train_quality
+        ds, _w = logreg_train_quality(sf_dir)
+        return ds
+
     def events_running_q(sf_dir: str):
         return rel.q_events_running(sf_dir)
 
@@ -663,6 +668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": kmeans_train_q,      # full-corpus Lloyd; integer-
         #   exact reduction == serial replay bit-identically, pinned in
         #   pytest
+        "quality_train": quality_train_q,    # distributed logreg trainer;
+        #   bit-exact vs serial GD replay + separation bound, pinned in
+        #   pytest (sigmoid floats have no SQL analog)
         "events_running": events_running_q,  # oracled (mimic-verified):
         #   cumulative window family == SUM/ROW_NUMBER OVER (PARTITION BY)
         "table_profile": table_profile_q,    # oracled (mimic-verified):

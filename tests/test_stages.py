@@ -793,3 +793,44 @@ def test_kmeans_fit_full_matches_serial_and_is_exact(ray_session, sf_tiny):
     asg2_ds, cent2 = kmeans_fit_full(sf_tiny, k=k, iters=iters,
                                      num_buckets=2)
     assert np.array_equal(cent, cent2)
+
+
+def test_logreg_train_quality_exact_and_separates(ray_session, sf_tiny):
+    """The distributed trainer must be BIT-identical to the serial GD
+    replay (int64-quantized per-sample gradients sum associatively) and
+    must beat the majority-class base rate by a real margin."""
+    import numpy as np
+    import pandas as pd
+
+    from pixcrawler_ray.stages.classify import (FEATURE_SCALE, FEATURES,
+                                                GRAD_Q,
+                                                logreg_train_quality)
+    from pixcrawler_ray.stages.textstats import quality_repetition
+
+    iters, lr = 20, 10.0
+    ds, w = logreg_train_quality(sf_tiny, iters=iters, lr=lr)
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # serial replay
+    stats = (quality_repetition(sf_tiny).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    x = stats[list(FEATURES)].to_numpy(dtype=np.float64) / FEATURE_SCALE
+    x = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+    y = stats["lr_ok"].to_numpy().astype(np.float64)
+    wv = np.zeros(x.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(x @ wv)))
+        qg = np.rint((p - y)[:, None] * x * GRAD_Q).astype(np.int64)
+        wv = wv - lr * (qg.sum(axis=0).astype(np.float64) / GRAD_Q) / len(x)
+    assert np.array_equal(w, wv)                     # bit-identical
+
+    # same result at another bucket width
+    _, w2 = logreg_train_quality(sf_tiny, iters=iters, lr=lr, num_buckets=2)
+    assert np.array_equal(w, w2)
+
+    # full-strength run separates better than always-majority
+    ds3, _ = logreg_train_quality(sf_tiny)
+    df3 = ds3.to_pandas()
+    base = max(df3["label"].mean(), 1 - df3["label"].mean())
+    acc = (df3["label"] == df3["pred"]).mean()
+    assert acc >= base + 0.05
