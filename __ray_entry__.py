@@ -358,6 +358,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bk, batch_format="pyarrow")
         return a.union(b).union(c)
 
+    def pivot_lang_source_q(sf_dir: str):
+        return rel.q_pivot_lang_source(sf_dir)
+
+    def dsir_scores_q(sf_dir: str):
+        from pixcrawler_ray.stages.classify import dsir_scores
+        return dsir_scores(sf_dir)
+
     def quality_train_q(sf_dir: str):
         from pixcrawler_ray.stages.classify import logreg_train_quality
         ds, _w = logreg_train_quality(sf_dir)
@@ -668,6 +675,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": kmeans_train_q,      # full-corpus Lloyd; integer-
         #   exact reduction == serial replay bit-identically, pinned in
         #   pytest
+        "dsir_scores": dsir_scores_q,        # DSIR importance scoring;
+        #   integer dot vs quantized log-ratio == serial replay, pinned in
+        #   pytest
         "quality_train": quality_train_q,    # distributed logreg trainer;
         #   bit-exact vs serial GD replay + separation bound, pinned in
         #   pytest (sigmoid floats have no SQL analog)
@@ -675,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   cumulative window family == SUM/ROW_NUMBER OVER (PARTITION BY)
         "table_profile": table_profile_q,    # oracled (mimic-verified):
         #   per-column n/nulls/min/max == UNION ALL of SQL aggregates
+        "pivot_lang_source": pivot_lang_source_q,  # oracled (mimic):
+        #   conditional-aggregation pivot == FILTER(WHERE) columns
     }
 
 
@@ -1860,6 +1872,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
     out["table_profile"] = (_profile_sql("orders") + "\nUNION ALL\n"
                             + _profile_sql("documents"))
+
+    # pivot: conditional aggregation replayed as FILTER(WHERE) columns
+    out["pivot_lang_source"] = """
+WITH d AS (
+  SELECT lang,
+         CAST(regexp_replace(source, '^src', '') AS BIGINT) % 4 AS cls
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) FILTER (WHERE cls = 0) AS BIGINT) AS c0,
+       CAST(count(*) FILTER (WHERE cls = 1) AS BIGINT) AS c1,
+       CAST(count(*) FILTER (WHERE cls = 2) AS BIGINT) AS c2,
+       CAST(count(*) FILTER (WHERE cls = 3) AS BIGINT) AS c3,
+       CAST(count(*) AS BIGINT) AS total
+FROM d GROUP BY lang"""
 
     # lang_id widens to per-doc predictions + the confusion matrix over the
     # same replay, on (section, k1, lang, lang_pred, n)

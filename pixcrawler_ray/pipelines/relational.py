@@ -418,3 +418,43 @@ def q_events_running(sf_dir: str, num_buckets: int = 32):
         })
 
     return per_bucket(ds, ["user_id"], kernel, num_buckets=num_buckets)
+
+
+def q_pivot_lang_source(sf_dir: str, num_buckets: int = 4):
+    """Pivot / conditional-aggregation family: the lang x source doc-count
+    matrix as one row per lang with a column per source (the reshape every
+    corpus dashboard needs). Map-side combine collapses each batch to at
+    most |langs| x |sources| cells, one lang-keyed exchange merges, and the
+    pivot itself happens on the constant-sized merged cells — no row-level
+    shuffle. Sources are the fixed src0..src3 domain; absent cells are 0.
+
+    The pivot key is the source CLASS (source index mod 4 — the same
+    4-class notion domain_mixture weights by), so the fixed column set
+    covers the whole src0..srcN domain. Output (lang, c0, c1, c2, c3,
+    total).
+    """
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+    ccols = [f"c{i}" for i in range(4)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cls"] = (df["source"].str.slice(3).astype(np.int64) % 4)
+        g = (df.groupby(["lang", "cls"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cells = (g.groupby(["lang", "cls"], sort=False)["n"].sum()
+                 .reset_index())
+        out = []
+        for lang, grp in cells.groupby("lang", sort=True):
+            by_cls = dict(zip(grp["cls"], grp["n"]))
+            row = {"lang": lang}
+            for i, cname in enumerate(ccols):
+                row[cname] = int(by_cls.get(i, 0))
+            row["total"] = int(grp["n"].sum())
+            out.append(row)
+        return pd.DataFrame(out, columns=["lang"] + ccols + ["total"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return per_bucket(partials, ["lang"], merge, num_buckets=num_buckets)

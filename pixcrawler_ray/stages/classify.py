@@ -98,3 +98,79 @@ def logreg_train_quality(sf_dir: str, iters: int = 60, lr: float = 10.0,
         })
 
     return compact.map_batches(predict, batch_format="pyarrow"), w
+
+
+DSIR_FEATS = 64
+DSIR_RATIO_Q = 1_000_000
+
+
+def dsir_scores(sf_dir: str, target_lang: str = "en",
+                num_buckets: int = 4):
+    """DSIR-shape importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    score each raw doc by how target-like its hashed-unigram distribution
+    is. The target stand-in is the ``lang == target_lang`` slice;
+    production passes a real high-quality sample.
+
+    Two passes, both scale-shaped: (1) ONE streaming pass emits per-batch
+    (feature, target_cnt, raw_cnt) partials over ``DSIR_FEATS`` hashed
+    word buckets — a constant-width histogram exchange; the driver turns
+    the merged 64 rows into Laplace-smoothed log-ratio weights, quantized
+    to int64 x 1e6 so (2) every per-doc score is an exact INTEGER dot
+    product of the doc's feature counts with the broadcast ratio vector —
+    bit-identical at any parallelism, serial-replayable in pytest.
+    Output (doc_id, lang, score_fp, selected) with selected = score > 0
+    (the top-slice variant of DSIR's exp-tilt resampling).
+    """
+    import ray
+
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+    from pixcrawler_ray.stages.textprep import (_nonempty_words,
+                                                _word_hash64)
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "text"])
+
+    def doc_feats(t: pa.Table):
+        """(n_docs x DSIR_FEATS) int64 feature-count matrix."""
+        flat, nw = _nonempty_words(t.column("text"))
+        feats = (_word_hash64(flat) % np.uint64(DSIR_FEATS)).astype(np.int64)
+        seg = np.repeat(np.arange(t.num_rows, dtype=np.int64), nw)
+        m = np.zeros((t.num_rows, DSIR_FEATS), dtype=np.int64)
+        np.add.at(m, (seg, feats), 1)
+        return m
+
+    def cpart(t: pa.Table) -> pa.Table:
+        m = doc_feats(t)
+        is_t = (t.column("lang").to_pandas()
+                .to_numpy() == target_lang)
+        return pa.table({
+            "feat": pa.array(np.arange(DSIR_FEATS, dtype=np.int64)),
+            "cnt_target": pa.array(m[is_t].sum(axis=0)),
+            "cnt_raw": pa.array(m.sum(axis=0)),
+        })
+
+    def cmerge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("feat", sort=True)[["cnt_target", "cnt_raw"]]
+                .sum().reset_index())
+
+    hist = (per_bucket(ds.map_batches(cpart, batch_format="pyarrow"),
+                       ["feat"], cmerge, num_buckets=num_buckets)
+            .to_pandas().sort_values("feat"))
+    ct = hist["cnt_target"].to_numpy(dtype=np.float64) + 1.0
+    cr = hist["cnt_raw"].to_numpy(dtype=np.float64) + 1.0
+    ratio = np.log(ct / ct.sum()) - np.log(cr / cr.sum())
+    ratio_fp = np.rint(ratio * DSIR_RATIO_Q).astype(np.int64)
+    ratio_ref = ray.put(ratio_fp)
+
+    def score(t: pa.Table) -> pa.Table:
+        r = ray.get(ratio_ref)
+        s = doc_feats(t) @ r                 # exact integer dot
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "lang": t.column("lang").cast(pa.string()),
+            "score_fp": pa.array(s),
+            "selected": pa.array(s > 0),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

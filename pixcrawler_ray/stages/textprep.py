@@ -269,7 +269,30 @@ def segment_dedup(sf_dir: str, k: int = 12, num_buckets: int = 32):
                       num_buckets=num_buckets)
 
 
-def explode_ngrams(t: pa.Table, w: int = 8) -> pa.Table:
+# distinct-word 64-bit hash cache, per worker process (the BPE stage's
+# distinct-word-cache pattern): web text repeats words heavily, so the
+# scalar blake2b cost is paid once per distinct word, not per token.
+_WORDHASH_CACHE: dict[str, int] = {}
+_WORDHASH_CACHE_MAX = 1 << 20
+
+
+def _word_hash64(flat: pa.Array) -> np.ndarray:
+    from pixcrawler_ray.functions.hashing import hash64
+    cache = _WORDHASH_CACHE
+    out = np.empty(len(flat), dtype=np.uint64)
+    for i, sv in enumerate(flat.to_pylist()):
+        h = cache.get(sv)
+        if h is None:
+            if len(cache) >= _WORDHASH_CACHE_MAX:
+                cache.clear()
+            h = hash64(sv or "")
+            cache[sv] = h
+        out[i] = h
+    return out
+
+
+def explode_ngrams(t: pa.Table, w: int = 8,
+                   hashed: bool = False) -> pa.Table:
     """(doc_id, pos, ngram) for every w-word window of each doc (the
     Lee et al. 2022 ExactSubstr explode; ``pos`` is the 0-based word index
     of the window start). Windows overlap, so a single list-offsets view is
@@ -283,21 +306,34 @@ def explode_ngrams(t: pa.Table, w: int = 8) -> pa.Table:
     npos = np.maximum(nw - w + 1, 0)
     total = int(npos.sum())
     if total == 0:
+        ng_type = pa.int64() if hashed else pa.string()
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "pos": pa.array([], type=pa.int64()),
-                         "ngram": pa.array([], type=pa.string())})
+                         "ngram": pa.array([], type=ng_type)})
     pos_local = np.arange(total, dtype=np.int64) \
         - np.repeat(np.concatenate([[0], np.cumsum(npos)[:-1]]), npos)
     doc_start = np.concatenate([[0], np.cumsum(nw)[:-1]])
     starts = np.repeat(doc_start, npos) + pos_local
-    cols = [flat.take(pa.array(starts + j)) for j in range(w)]
-    ng = pc.binary_join_element_wise(*cols, "\x1f")
+    if hashed:
+        # 8 B/window scale path: FNV-1a-fold the per-word 64-bit hashes —
+        # one numpy pass per window offset, no string materialization
+        from pixcrawler_ray.functions.hashing import _FNV_OFFSET, _FNV_PRIME
+        wh = _word_hash64(flat)
+        h = np.full(total, _FNV_OFFSET ^ np.uint64(w), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(w):
+                h = (h ^ wh[starts + j]) * _FNV_PRIME
+        ng = pa.array(h.view(np.int64))
+    else:
+        cols = [flat.take(pa.array(starts + j)) for j in range(w)]
+        ng = pc.binary_join_element_wise(*cols, "\x1f")
     return pa.table({"doc_id": pa.array(np.repeat(ids, npos)),
                      "pos": pa.array(pos_local),
                      "ngram": ng})
 
 
-def exact_substr_spans(sf_dir: str, w: int = 8, num_buckets: int = 32):
+def exact_substr_spans(sf_dir: str, w: int = 8, num_buckets: int = 32,
+                       hash_windows: bool = False):
     """ExactSubstr-shape duplicate-span finder (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
     w-word window occurring more than once in the corpus — across OR within
@@ -311,9 +347,11 @@ def exact_substr_spans(sf_dir: str, w: int = 8, num_buckets: int = 32):
     bucket, so the >1 count is global) -> doc-keyed bucket exchange ->
     vectorized island merge. Nothing corpus-sized transits the driver; the
     explode is w gathers per batch. At 100 TB, ``w`` windows ship ~w x the
-    corpus bytes through one exchange — the standard mitigation (hash each
-    window to uint64 before the shuffle) drops that to 8 B/window and is a
-    one-line swap, kept as strings here for SQL-oracle parity.
+    corpus bytes through one exchange — ``hash_windows=True`` is the scale
+    path: each window keys the exchange by its 64-bit FNV-1a hash instead
+    (8 B/window; a cross-window collision can only ADD a span mark, and a
+    span-identical equality vs the string path is pinned in pytest). The
+    default stays strings for exact SQL-oracle parity.
 
     Output (doc_id, span_start, span_end) in 0-based word indices,
     span_end exclusive.
@@ -321,8 +359,9 @@ def exact_substr_spans(sf_dir: str, w: int = 8, num_buckets: int = 32):
     from pixcrawler_ray.stages.shuffle import per_bucket
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    exploded = ds.map_batches(lambda t: explode_ngrams(t, w=w),
-                              batch_format="pyarrow")
+    exploded = ds.map_batches(
+        lambda t: explode_ngrams(t, w=w, hashed=hash_windows),
+        batch_format="pyarrow")
 
     def dup_locs(df: pd.DataFrame) -> pd.DataFrame:
         n = df.groupby("ngram", sort=False)["doc_id"].transform("size")

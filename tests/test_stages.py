@@ -834,3 +834,43 @@ def test_logreg_train_quality_exact_and_separates(ray_session, sf_tiny):
     base = max(df3["label"].mean(), 1 - df3["label"].mean())
     acc = (df3["label"] == df3["pred"]).mean()
     assert acc >= base + 0.05
+
+
+def test_dsir_scores_matches_serial_and_separates(ray_session, sf_tiny):
+    """The DSIR hashed-ngram importance scorer must equal the serial
+    replay exactly (integer dot against the quantized log-ratio vector)
+    and must rank the target slice above the rest on average."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.functions.hashing import hash64
+    from pixcrawler_ray.stages.classify import (DSIR_FEATS, DSIR_RATIO_Q,
+                                                dsir_scores)
+
+    out = (dsir_scores(sf_tiny).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "lang", "text"]).to_pandas()
+    feats = []
+    for txt in docs["text"]:
+        ws = [x for x in (txt or "").split(" ") if x]
+        v = np.zeros(DSIR_FEATS, dtype=np.int64)
+        for wd in ws:
+            v[hash64(wd) % DSIR_FEATS] += 1
+        feats.append(v)
+    m = np.stack(feats)
+    is_t = (docs["lang"] == "en").to_numpy()
+    ct = m[is_t].sum(axis=0).astype(np.float64) + 1.0
+    cr = m.sum(axis=0).astype(np.float64) + 1.0
+    ratio_fp = np.rint((np.log(ct / ct.sum()) - np.log(cr / cr.sum()))
+                       * DSIR_RATIO_Q).astype(np.int64)
+    s = m @ ratio_fp
+    exp = pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(np.int64),
+                        "lang": docs["lang"], "score_fp": s,
+                        "selected": s > 0}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+    assert (out.loc[out["lang"] == "en", "score_fp"].mean()
+            > out.loc[out["lang"] != "en", "score_fp"].mean())

@@ -388,3 +388,14 @@ def test_lm_quality_buckets_terciles(ray_session, sf_tiny):
     # bucket may take more than half the corpus on this distribution
     n = len(out)
     assert out["bucket"].value_counts().max() <= n * 0.55
+
+
+def test_exact_substr_spans_hashed_path_matches_strings(ray_session,
+                                                        sf_tiny):
+    """The 8 B/window hashed exchange (the 100 TB path) must produce the
+    same merged spans as the string-keyed oracle path."""
+    a = (tp.exact_substr_spans(sf_tiny, w=8).to_pandas()
+         .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    b = (tp.exact_substr_spans(sf_tiny, w=8, hash_windows=True).to_pandas()
+         .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
