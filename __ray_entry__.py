@@ -56,8 +56,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_dedup(sf_dir: str):
         # MERGED (one registry row): keep-min-doc-id survivors ('minroot')
         # + highest-quality-member-per-cluster survivors ('bestrep',
-        # dedup_best_rep — RefinedWeb-style representative selection),
-        # section-tagged; both replay in the one recursive-CTE oracle
+        # dedup_best_rep — RefinedWeb-style representative selection)
+        # + exact-simhash keep-first survivors ('simhash': the simhash
+        # VALUE is blake2b-derived and not SQL-expressible, but the GROUPS
+        # are exactly the distinct-shingle-SET groups — simhash is a pure
+        # function of the shingle set, verified collision-free on this
+        # corpus — which DuckDB replays as a string-shingle set key),
+        # section-tagged; all three replay in the one merged oracle
         import pyarrow as _pa
 
         def tag(section):
@@ -70,21 +75,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         surv, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
         best = dd.dedup_best_rep(sf_dir, threshold=0.8)
+        sim = dd.dedup_simhash(sf_dir).select_columns(["doc_id"])
         return surv.map_batches(tag("minroot"),
                                 batch_format="pyarrow").union(
-            best.map_batches(tag("bestrep"), batch_format="pyarrow"))
+            best.map_batches(tag("bestrep"), batch_format="pyarrow"),
+            sim.map_batches(tag("simhash"), batch_format="pyarrow"))
 
-    def dedup_simhash_kept(sf_dir: str):
-        # project to doc_id only: the simhash VALUE is blake2b-derived and
-        # not SQL-expressible, but the GROUPS (exact-simhash equality) are
-        # exactly the distinct-shingle-SET groups (simhash is a function of
-        # the shingle set; verified collision-free on this corpus), which
-        # DuckDB can replay as a string-shingle set key.
-        return dd.dedup_simhash(sf_dir).select_columns(["doc_id"])
+    def dup_pairs(sf_dir: str):
+        # MERGED (one registry row): n-gram-Jaccard near-dup pairs
+        # ('ngram', exact-verified candidates with their IEEE-exact
+        # jaccard) + label-blocked embedding-cosine near-dup pairs
+        # ('embed'; the cosine value is float-path-dependent so the leg
+        # carries score = -1.0 and the PAIR SET is what's oracled),
+        # on (section, a, b, score)
+        import pyarrow as _pa
+
+        def ng(t):
+            return _pa.table({
+                "section": _pa.array(["ngram"] * t.num_rows,
+                                     type=_pa.string()),
+                "a": t.column("doc_a").cast(_pa.int64()),
+                "b": t.column("doc_b").cast(_pa.int64()),
+                "score": t.column("jaccard_sim").cast(_pa.float64())})
+
+        def em(t):
+            return _pa.table({
+                "section": _pa.array(["embed"] * t.num_rows,
+                                     type=_pa.string()),
+                "a": t.column("vec_a").cast(_pa.int64()),
+                "b": t.column("vec_b").cast(_pa.int64()),
+                "score": _pa.array([-1.0] * t.num_rows,
+                                   type=_pa.float64())})
+
+        x = dd.ngram_jaccard_pairs(sf_dir, threshold=0.5).map_batches(
+            ng, batch_format="pyarrow")
+        y = dd.embedding_dup_pairs(sf_dir, threshold=0.4).map_batches(
+            em, batch_format="pyarrow")
+        return x.union(y)
 
     def simsearch_topk(sf_dir: str):
-        df = ss.topk_bruteforce(sf_dir, query_vec_ids=[0, 1, 2], k=10)
-        return df[["query_vec_id", "vec_id", "rank"]]
+        # MERGED (one registry row): brute-force cosine top-k ('brute') +
+        # the cell-partitioned IVF layout probed with nprobe = n_cells
+        # ('ivf_exhaustive' — the probe is then EXHAUSTIVE, so index build,
+        # hive partitioning, partition-filtered read, per-cell scoring and
+        # merge are all on the captured path and must equal brute force;
+        # VERDICT r4 #4). Both legs share the one SQL oracle.
+        import pandas as _pd
+        bf = ss.topk_bruteforce(sf_dir, query_vec_ids=[0, 1, 2], k=10)
+        bf = bf[["query_vec_id", "vec_id", "rank"]].copy()
+        bf.insert(0, "section", "brute")
+        idx = _ivf_layout(sf_dir)
+        iv = ss.topk_ivf_partitioned(idx, sf_dir, query_vec_ids=[0, 1, 2],
+                                     k=10, nprobe=16)
+        iv = iv[["query_vec_id", "vec_id", "rank"]].copy()
+        iv.insert(0, "section", "ivf_exhaustive")
+        return _pd.concat([bf, iv], ignore_index=True)
 
     def simsearch_ivf(sf_dir: str):
         df = ss.topk_ivf(sf_dir, query_vec_ids=[0, 1, 2], k=10)
@@ -100,20 +145,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         shutil.rmtree(idx, ignore_errors=True)
         ss.build_ivf_index(sf_dir, idx, n_cells=16, sample_rows=4096)
         return idx
-
-    def simsearch_ivf_partitioned(sf_dir: str):
-        # ORACLED (VERDICT r4 #4): probe the cell-partitioned layout with
-        # nprobe = n_cells — the probe is then EXHAUSTIVE, so the result
-        # must equal the brute-force top-k and value-hashes against the
-        # same SQL oracle. The whole IVF machinery (index build, hive
-        # partitioning, partition-filtered read, per-cell scoring, merge)
-        # is on the path; only the pruning SELECTIVITY is not (that is
-        # approximate by nature — see simsearch_ivf_pruned in the tail +
-        # the recall pytest).
-        idx = _ivf_layout(sf_dir)
-        df = ss.topk_ivf_partitioned(idx, sf_dir, query_vec_ids=[0, 1, 2],
-                                     k=10, nprobe=16)
-        return df[["query_vec_id", "vec_id", "rank"]]
 
     def simsearch_ivf_pruned(sf_dir: str):
         # rows-only: the genuinely approximate pruned probe (nprobe <
@@ -611,12 +642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_all_pages": cq.q_extract_all_pages,
         # --- dedup suite (oracled) ---
         "dedup_keep_first": dd.dedup_keep_first,   # exact + normalized
-        "dedup_simhash": dedup_simhash_kept,       # oracled (ids)
-        "dedup_minhash": minhash_dedup,            # oracled (ids)
-        "ngram_jaccard_pairs":
-            lambda sf: dd.ngram_jaccard_pairs(sf, threshold=0.5),
-        "embedding_dup_pairs":
-            lambda sf: dd.embedding_dup_pairs(sf, threshold=0.4),
+        "dedup_minhash": minhash_dedup,   # MERGED: minroot + bestrep
+        #   + simhash keep-first sections (r5: frees a window slot)
+        "dup_pairs": dup_pairs,           # MERGED: ngram-jaccard +
+        #   embedding-cosine near-dup pairs (r5: frees a window slot)
         # --- text analysis (oracled) ---
         "token_stats": ts.token_stats,             # counts + quantiles
         "quality_repetition": ts.quality_repetition,  # quality + repetition
@@ -649,9 +678,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": heavy_hitters_q,
         "domain_mixture": domain_mixture_q,
         # --- similarity search ---
-        "simsearch_topk": simsearch_topk,             # oracled (#49)
-        "simsearch_ivf_partitioned": simsearch_ivf_partitioned,  # oracled:
-        #   exhaustive probe over the partitioned layout == brute-force (#50)
+        "simsearch_topk": simsearch_topk,   # MERGED: brute + exhaustive
+        #   IVF probe over the partitioned layout (r5: frees a window slot)
+        # --- analytics over events / any table (oracled; pulled into the
+        # window by the r5 merges above) ---
+        "events_running": events_running_q,   # cumulative window family ==
+        #   SUM/ROW_NUMBER/LAG OVER (PARTITION BY)
+        "table_profile": table_profile_q,     # per-column n/nulls/min/max
+        #   == UNION ALL of SQL aggregates
+        "pivot_lang_source": pivot_lang_source_q,  # conditional-aggregation
+        #   pivot == FILTER(WHERE) columns
         # ====== tail: rows-only, pytest-oracled (blake2b / seeded-RNG /
         # greedy-merge internals have no SQL analog) — beyond the driver's
         # 50-row capture window by design, each verified in tests/ ======
@@ -681,12 +717,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_train": quality_train_q,    # distributed logreg trainer;
         #   bit-exact vs serial GD replay + separation bound, pinned in
         #   pytest (sigmoid floats have no SQL analog)
-        "events_running": events_running_q,  # oracled (mimic-verified):
-        #   cumulative window family == SUM/ROW_NUMBER OVER (PARTITION BY)
-        "table_profile": table_profile_q,    # oracled (mimic-verified):
-        #   per-column n/nulls/min/max == UNION ALL of SQL aggregates
-        "pivot_lang_source": pivot_lang_source_q,  # oracled (mimic):
-        #   conditional-aggregation pivot == FILTER(WHERE) columns
     }
 
 
@@ -1361,10 +1391,15 @@ FROM embeddings e CROSS JOIN q
 WHERE e.vec_id <> q.query_vec_id
 QUALIFY rank <= 10"""
 
-    # simsearch_ivf_partitioned runs the SAME query with nprobe = n_cells:
-    # an exhaustive probe over the cell-partitioned layout must equal the
-    # brute-force top-k, so it shares the oracle verbatim
-    out["simsearch_ivf_partitioned"] = out["simsearch_topk"]
+    # simsearch_topk widens to brute + ivf_exhaustive sections: an
+    # exhaustive probe (nprobe = n_cells) over the cell-partitioned layout
+    # must equal the brute-force top-k, so both legs replay the SAME
+    # ranking SQL, section-tagged
+    out["simsearch_topk"] = (
+        "WITH bb AS (" + out["simsearch_topk"] + """)
+SELECT 'brute' AS section, query_vec_id, vec_id, rank FROM bb
+UNION ALL
+SELECT 'ivf_exhaustive', query_vec_id, vec_id, rank FROM bb""")
 
     # frame sampling is a pure function of the SQL-replayable page render
     # (corpus.render_html): rebuild the html string, take its byte length,
@@ -1817,6 +1852,26 @@ UNION ALL
 SELECT 'bestrep', doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc FROM lbl)
    OR doc_id IN (SELECT doc FROM best)""")
+
+    # dedup_minhash further widens (r5) with the exact-simhash keep-first
+    # leg: its standalone WITH query nests as a CTE body
+    out["dedup_minhash"] = (
+        "WITH mm AS (" + out["dedup_minhash"] + "),\n"
+        "shx AS (" + out.pop("dedup_simhash") + """)
+SELECT section, doc_id FROM mm
+UNION ALL
+SELECT 'simhash' AS section, doc_id FROM shx""")
+
+    # dup_pairs: ngram-jaccard + embedding-cosine near-dup pair sets merged
+    # on (section, a, b, score); the embed leg's cosine is float-path-
+    # dependent so it carries the constant -1.0 — the PAIR SET is oracled
+    out["dup_pairs"] = (
+        "WITH ng AS (" + out.pop("ngram_jaccard_pairs") + "),\n"
+        "em AS (" + out.pop("embedding_dup_pairs") + """)
+SELECT 'ngram' AS section, doc_a AS a, doc_b AS b, jaccard_sim AS score
+FROM ng
+UNION ALL
+SELECT 'embed', vec_a, vec_b, -1.0 FROM em""")
 
     # superseded singles: merged above; the stage functions remain public
     # and pytest-covered, only the registry rows collapse
