@@ -526,7 +526,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hosts = cq.q_pages_per_host(sf_dir).map_batches(
             tag("pages_per_host", "host", "n_pages"),
             batch_format="pyarrow")
-        return mkt.union(pri).union(hosts)
+        # r5: + ROLLUP(lang, cls) grouping-sets legs (already tagged
+        # rollup_docs / rollup_tokens on the same (section, grp, n) shape)
+        import ray.data as _rd
+        ru = _rd.from_pandas(rel.q_rollup_lang_source(sf_dir))
+        return mkt.union(pri).union(hosts).union(ru)
 
     def topk_union(sf_dir: str):
         # MERGED (one registry row): top_parts_by_qty + lineitem_topk_revenue
@@ -555,6 +559,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             parts, batch_format="pyarrow")
         b = rel.q_lineitem_topk_revenue(sf_dir).map_batches(
             revs, batch_format="pyarrow")
+        return a.union(b)
+
+    def events_asof_range(sf_dir: str):
+        # MERGED (one registry row): as-of join (last order <= event ts,
+        # per user) + the bucketed-interval RANGE join (purchase
+        # attribution: same-user events inside (purchase_ts, +1h]),
+        # section-tagged on (section, event_id, user_id, k1_us, k2):
+        # asof carries k1_us = last_order_date epoch-us, k2 = -1; range
+        # carries k1_us = anchor purchase epoch-us, k2 = anchor event_id
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        us = _pa.timestamp("us")
+
+        def asof(t):
+            return _pa.table({
+                "section": _pa.array(["asof"] * t.num_rows,
+                                     type=_pa.string()),
+                "event_id": t.column("event_id").cast(_pa.int64()),
+                "user_id": t.column("user_id").cast(_pa.int64()),
+                "k1_us": _pc.cast(t.column("last_order_date").cast(us),
+                                  _pa.int64()),
+                "k2": _pa.array([-1] * t.num_rows, type=_pa.int64())})
+
+        def rng(t):
+            return _pa.table({
+                "section": _pa.array(["range"] * t.num_rows,
+                                     type=_pa.string()),
+                "event_id": t.column("event_id").cast(_pa.int64()),
+                "user_id": t.column("user_id").cast(_pa.int64()),
+                "k1_us": _pc.cast(t.column("anchor_ts").cast(us),
+                                  _pa.int64()),
+                "k2": t.column("anchor_id").cast(_pa.int64())})
+
+        a = rel.q_events_asof_orders(sf_dir).map_batches(
+            asof, batch_format="pyarrow")
+        b = rel.q_events_range_attrib(sf_dir).map_batches(
+            rng, batch_format="pyarrow")
         return a.union(b)
 
     def crawl_units_all(sf_dir: str):
@@ -627,7 +669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_counts": group_counts,       # mktsegment + priority + hosts
         "events_windows": rel.q_events_windows,   # tumbling + sliding
         "events_user_stats": events_user_stats,   # sessionize + funnel
-        "events_asof_orders": rel.q_events_asof_orders,
+        "events_asof_orders": events_asof_range,  # MERGED: as-of join +
+        #   bucketed-interval range join (r5) on the same event-order axis
         "sequential_rename": rel.q_sequential_rename,
         # --- crawl stages (oracled) ---
         "crawl_units": crawl_units_all,     # base + kwgen grids
@@ -851,14 +894,29 @@ WITH gaps AS (
 SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM gaps GROUP BY user_id"""
 
+    # MERGED (r5): as-of join + bucketed-interval range join, section-
+    # tagged; both are interval theta-joins DuckDB evaluates directly
     out["events_asof_orders"] = """
-SELECT e.event_id, e.user_id,
-       (SELECT max(o.o_orderdate) FROM orders o
-        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
-         AS last_order_date
-FROM events e
-WHERE (SELECT max(o.o_orderdate) FROM orders o
-       WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) IS NOT NULL"""
+WITH ao AS (
+  SELECT e.event_id, e.user_id,
+         (SELECT max(o.o_orderdate) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+           AS last_order_date
+  FROM events e
+  WHERE (SELECT max(o.o_orderdate) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        IS NOT NULL
+)
+SELECT 'asof' AS section, event_id, user_id,
+       epoch_us(last_order_date) AS k1_us, CAST(-1 AS BIGINT) AS k2
+FROM ao
+UNION ALL
+SELECT 'range', b.event_id, b.user_id, epoch_us(a.ts), a.event_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_type = 'purchase'
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR"""
 
     out["sequential_rename"] = """
 SELECT doc_id, lang, source,
@@ -1554,7 +1612,25 @@ SELECT 'mktsegment' AS section, c_mktsegment AS grp, CAST(n AS BIGINT) AS n
 FROM a
 UNION ALL SELECT 'orderpriority', o_orderpriority, CAST(n_orders AS BIGINT)
 FROM b
-UNION ALL SELECT 'pages_per_host', host, CAST(n_pages AS BIGINT) FROM c""")
+UNION ALL SELECT 'pages_per_host', host, CAST(n_pages AS BIGINT) FROM c
+UNION ALL
+SELECT 'rollup_' || m.measure,
+       COALESCE(r.lang, '*') || '|'
+         || CASE WHEN r.cls IS NULL THEN '*' ELSE CAST(r.cls AS VARCHAR) END,
+       CASE m.measure WHEN 'docs' THEN r.n_docs ELSE r.n_tokens END
+FROM (
+  SELECT lang, cls, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT lang,
+           CAST(regexp_replace(source, '^src', '') AS BIGINT) % 4 AS cls,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(array_length(
+                     regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           END AS n_tokens
+    FROM documents)
+  GROUP BY ROLLUP(lang, cls)
+) r CROSS JOIN (VALUES ('docs'), ('tokens')) m(measure)""")
 
     # events_user_stats = sessionize + funnel; timestamps as epoch micros,
     # -1 = n/a (no nulls — integer-exact value hashing)

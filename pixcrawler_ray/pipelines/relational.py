@@ -380,6 +380,129 @@ def q_sequential_rename(sf_dir: str):
     return per_bucket(ds, ["lang", "source"], kernel, num_buckets=16)
 
 
+def q_events_range_attrib(sf_dir: str, window_minutes: int = 60,
+                          num_buckets: int = 16):
+    """Range (interval) join — purchase attribution: every event of the
+    same user inside ``(purchase_ts, purchase_ts + window]`` — as a
+    BUCKETED-INTERVAL join, the classic distributed range-join plan:
+
+    time is tiled into window-width tiles; each PURCHASE anchor's interval
+    is replicated to the exactly-2 consecutive tiles it can touch
+    (interval length == tile width, so the replication factor is a
+    constant 2 regardless of data); each candidate EVENT hashes to exactly
+    one tile; one (user, tile)-keyed bucketed hash join co-locates
+    candidates; the exact ``a.ts < b.ts <= a.ts + W`` filter runs
+    vectorized inside the join kernel. No cross product, no broadcast, no
+    driver state — exchange volume is |events| + 2|purchases| rows however
+    large either side grows. A pair can only meet in the follow-event's
+    own tile, so no post-join dedup is needed.
+
+    Output (event_id, user_id, anchor_id, anchor_ts); SQL-oracled as the
+    interval theta-join.
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    W = np.int64(window_minutes) * np.int64(60_000_000)  # tile width, us
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def ev_tile(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts_us": pa.array(us),
+            "tb": pa.array(us // W)})
+
+    def anchor_tile(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        aid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tb0 = us // W
+        # (ts, ts+W] touches tiles ts//W and (ts+W)//W == ts//W + 1, always
+        return pa.table({
+            "anchor_id": pa.array(np.concatenate([aid, aid])),
+            "user_id": pa.array(np.concatenate([uid, uid])),
+            "anchor_us": pa.array(np.concatenate([us, us])),
+            "tb": pa.array(np.concatenate([tb0, tb0 + 1]))})
+
+    ev = events.map_batches(ev_tile, batch_format="pyarrow")
+    an = events.map_batches(anchor_tile, batch_format="pyarrow")
+    joined = bucketed_join(ev, an, on=["user_id", "tb"],
+                           num_buckets=num_buckets)
+
+    def in_range(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        st = t.column("anchor_us").to_numpy(zero_copy_only=False)
+        keep = (st < ts) & (ts <= st + W)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "anchor_id": t.column("anchor_id"),
+            "anchor_ts": t.column("anchor_us").cast(pa.timestamp("us"))})
+
+    return joined.map_batches(in_range, batch_format="pyarrow")
+
+
+def q_rollup_lang_source(sf_dir: str, num_buckets: int = 8):
+    """GROUP BY ROLLUP(lang, cls) — grouping-sets aggregation: doc counts
+    and token sums at (lang, cls), (lang) and grand-total levels, cls
+    being the source class used by the pivot operator.
+
+    Scale shape: the FINEST level is the only distributed aggregation
+    (map-side partials -> one tiny keyed exchange, same plan as
+    ``_combine_groupby``); the coarser levels re-aggregate the finest
+    table, which is |langs| x |classes| rows — driver-side by design, the
+    one place a driver loop is the right call. Output
+    (section, grp, n) matching the group_counts union row: grp is
+    'lang|cls' with '*' at rolled-up positions, one section per measure.
+    """
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from pixcrawler_ray.stages.textprep import _nonempty_words
+        _, nw = _nonempty_words(t.column("text"))
+        cls = pc.cast(pc.replace_substring_regex(
+            t.column("source"), r"^src", ""), pa.int64())
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas().to_numpy(),
+            "cls": (cls.to_numpy(zero_copy_only=False) % 4),
+            "nw": nw})
+        g = (df.groupby(["lang", "cls"], sort=False)
+               .agg(n_docs=("nw", "size"), n_tokens=("nw", "sum"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["lang", "cls"], sort=False)[["n_docs", "n_tokens"]]
+                 .sum().reset_index())
+
+    finest = per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["lang", "cls"], merge,
+                        num_buckets=num_buckets).to_pandas()
+
+    levels = [finest.assign(grp=finest["lang"] + "|"
+                            + finest["cls"].astype(str))]
+    by_lang = (finest.groupby("lang", sort=False)[["n_docs", "n_tokens"]]
+               .sum().reset_index())
+    levels.append(by_lang.assign(grp=by_lang["lang"] + "|*"))
+    total = finest[["n_docs", "n_tokens"]].sum()
+    levels.append(pd.DataFrame({"grp": ["*|*"],
+                                "n_docs": [total["n_docs"]],
+                                "n_tokens": [total["n_tokens"]]}))
+    lv = pd.concat(levels, ignore_index=True)
+    out = pd.concat([
+        pd.DataFrame({"section": "rollup_docs", "grp": lv["grp"],
+                      "n": lv["n_docs"].astype(np.int64)}),
+        pd.DataFrame({"section": "rollup_tokens", "grp": lv["grp"],
+                      "n": lv["n_tokens"].astype(np.int64)}),
+    ], ignore_index=True)
+    return out
+
+
 def q_events_running(sf_dir: str, num_buckets: int = 32):
     """Per-user running window aggregates — the cumulative-window operator
     family (SUM/COUNT ... OVER (PARTITION BY user ORDER BY ts)): for every

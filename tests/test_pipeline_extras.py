@@ -215,3 +215,61 @@ def test_ingest_formats_roundtrip(sf_tiny, tmp_path):
         got = (ingest_table(path, columns=["doc_id", "lang"])
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got[["doc_id", "lang"]].equals(base[["doc_id", "lang"]])
+
+
+def test_range_join_matches_bruteforce(sf_tiny):
+    """Bucketed-interval range join == pandas theta-join brute force, at a
+    non-default window so the oracle isn't the only witness."""
+    import pandas as pd
+
+    from pixcrawler_ray.pipelines.relational import q_events_range_attrib
+    from pixcrawler_ray.sources.readers import read_table
+
+    got = (q_events_range_attrib(sf_tiny, window_minutes=240).to_pandas()
+           .sort_values(["event_id", "anchor_id"]).reset_index(drop=True))
+    ev = read_table(sf_tiny, "events",
+                    columns=["event_id", "user_id", "ts",
+                             "event_type"]).to_pandas()
+    an = ev[ev["event_type"] == "purchase"].rename(
+        columns={"event_id": "anchor_id", "ts": "anchor_ts"})
+    m = ev.merge(an[["anchor_id", "user_id", "anchor_ts"]], on="user_id")
+    w = pd.Timedelta(minutes=240)
+    m = m[(m["ts"] > m["anchor_ts"]) & (m["ts"] <= m["anchor_ts"] + w)]
+    exp = (m[["event_id", "user_id", "anchor_id", "anchor_ts"]]
+           .sort_values(["event_id", "anchor_id"]).reset_index(drop=True))
+    assert len(exp) > 0          # the fixture corpus produces matches
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "anchor_id", "anchor_ts"]], exp,
+        check_dtype=False)
+
+
+def test_range_join_bucket_invariance(sf_tiny):
+    """The (user, tile) exchange width must not change the joined set —
+    the partitioning-correctness witness for the replicate-to-2-tiles plan."""
+    from pixcrawler_ray.pipelines.relational import q_events_range_attrib
+
+    a = (q_events_range_attrib(sf_tiny, num_buckets=3).to_pandas()
+         .sort_values(["event_id", "anchor_id"]).reset_index(drop=True))
+    b = (q_events_range_attrib(sf_tiny, num_buckets=17).to_pandas()
+         .sort_values(["event_id", "anchor_id"]).reset_index(drop=True))
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_rollup_levels_consistent(sf_tiny):
+    """ROLLUP grouping sets: finest level must re-aggregate exactly to the
+    per-lang and grand-total levels, for both measures."""
+    from pixcrawler_ray.pipelines.relational import q_rollup_lang_source
+
+    df = q_rollup_lang_source(sf_tiny)
+    for section in ("rollup_docs", "rollup_tokens"):
+        s = df[df["section"] == section]
+        fine = s[~s["grp"].str.contains(r"\*")]
+        lang = s[s["grp"].str.endswith("|*") & ~s["grp"].str.startswith("*")]
+        total = s[s["grp"] == "*|*"]
+        assert len(total) == 1
+        assert fine["n"].sum() == total["n"].iloc[0]
+        assert lang["n"].sum() == total["n"].iloc[0]
+        fine_by_lang = (fine.assign(lang=fine["grp"].str.split("|").str[0])
+                        .groupby("lang")["n"].sum())
+        got = dict(zip(lang["grp"].str.split("|").str[0], lang["n"]))
+        assert dict(fine_by_lang) == got
