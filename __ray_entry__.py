@@ -247,8 +247,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return robots_parse(sf_dir)
 
     def link_mass_q(sf_dir: str):
-        from pixcrawler_ray.stages.graph import link_mass
-        return link_mass(sf_dir, rounds=3)
+        # MERGED (one registry row): undamped propagation ('plain') +
+        # damped conserving integer PageRank ('pagerank'), section-tagged
+        import pyarrow as _pa
+
+        from pixcrawler_ray.stages.graph import link_mass, pagerank_mass
+
+        def tag(section):
+            def f(t):
+                return _pa.table({
+                    "section": _pa.array([section] * t.num_rows,
+                                         type=_pa.string()),
+                    "doc_id": t.column("doc_id").cast(_pa.int64()),
+                    "mass": t.column("mass").cast(_pa.int64())})
+            return f
+
+        a = link_mass(sf_dir, rounds=3).map_batches(
+            tag("plain"), batch_format="pyarrow")
+        b = pagerank_mass(sf_dir, rounds=3).map_batches(
+            tag("pagerank"), batch_format="pyarrow")
+        return a.union(b)
 
     def distinct_urls_kmv_q(sf_dir: str):
         from pixcrawler_ray.stages.sketch import distinct_urls_per_host
@@ -420,7 +438,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("orders"), batch_format="pyarrow")
         b = profile_table(sf_dir, "documents").map_batches(
             tag("documents"), batch_format="pyarrow")
-        return a.union(b)
+        # r5: + exact quantiles of events.value by iterative bracket
+        # refinement, shaped as profile rows (col 'value:q<q>',
+        # min_v == max_v == the quantile in cents)
+        import numpy as _np
+        import pandas as _pd
+        import ray.data as _rd
+
+        from pixcrawler_ray.stages.profile import exact_quantiles
+        eq = exact_quantiles(sf_dir)
+        qrows = _rd.from_pandas(_pd.DataFrame({
+            "col": ["value:q" + repr(float(q)) for q in eq["q"]],
+            "n": eq["n"].astype("int64"),
+            "n_null": _np.int64(0),
+            "min_v": eq["value_i"].astype(str),
+            "max_v": eq["value_i"].astype(str),
+            "tbl": "events"}))
+        return a.union(b).union(qrows)
 
     def kmeans_train_q(sf_dir: str):
         from pixcrawler_ray.stages.simsearch import kmeans_fit_full
@@ -1393,7 +1427,34 @@ GROUP BY doc_id, i // 16"""
         _lm += (f",\ns{_r} AS ({_sends.format(r=_r)}),\n"
                 f"m{_r + 1} AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) "
                 f"AS mass FROM s{_r} GROUP BY doc_id)")
-    out["link_mass"] = _lm + "\nSELECT doc_id, mass FROM m3"
+    # link_mass widens (r5) with the damped conserving integer-PageRank
+    # prefix: per round, sends = floor(floor(m*85/100)/k) per edge (+ a
+    # zero ground row per node), received = groupby sum, the residue pool
+    # R = total - sum(received) teleports as floor(R/n) + 1 to the R%n
+    # lowest ids — all integer, order-insensitive, value-hash exact.
+    _pr_sends = " UNION ALL ".join(
+        f"SELECT (m.doc_id * {mu} + {ad}) % nd.n AS doc_id, "
+        f"(m.mass * 85 // 100) // (1 + m.doc_id % 3) AS mass "
+        f"FROM p{{r}} m, nd WHERE 1 + m.doc_id % 3 > {j}"
+        for j, (mu, ad) in enumerate(zip((7, 9, 11), (13, 14, 15)))
+    ) + (" UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM documents")
+    _pr = (",\np0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS mass "
+           "FROM documents)")
+    for _r in range(3):
+        _pr += (
+            f",\nps{_r} AS ({_pr_sends.format(r=_r)}),\n"
+            f"pr{_r + 1} AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) "
+            f"AS mass FROM ps{_r} GROUP BY doc_id),\n"
+            f"pt{_r + 1} AS (SELECT CAST(1000 AS BIGINT) * nd.n "
+            f"- (SELECT SUM(mass) FROM pr{_r + 1}) AS rr, nd.n AS n "
+            f"FROM nd),\n"
+            f"p{_r + 1} AS (SELECT r.doc_id, CAST(r.mass + t.rr // t.n "
+            f"+ CASE WHEN r.doc_id < t.rr % t.n THEN 1 ELSE 0 END "
+            f"AS BIGINT) AS mass FROM pr{_r + 1} r, pt{_r + 1} t)")
+    out["link_mass"] = (
+        _lm + _pr
+        + "\nSELECT 'plain' AS section, doc_id, mass FROM m3"
+        + "\nUNION ALL\nSELECT 'pagerank', doc_id, mass FROM p3")
 
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle
@@ -2001,8 +2062,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
                 f"'{table}' AS tbl FROM {table}")
         return "\nUNION ALL\n".join(parts)
 
+    _q_legs = "\nUNION ALL\n".join(
+        f"SELECT 'value:q{q}' AS col, CAST(count(value) AS BIGINT) AS n, "
+        f"CAST(0 AS BIGINT) AS n_null, "
+        f"CAST(quantile_disc(CAST(round(value*100) AS BIGINT), {q}) "
+        f"AS VARCHAR) AS min_v, "
+        f"CAST(quantile_disc(CAST(round(value*100) AS BIGINT), {q}) "
+        f"AS VARCHAR) AS max_v, 'events' AS tbl FROM events"
+        for q in (0.25, 0.5, 0.9, 0.99))
     out["table_profile"] = (_profile_sql("orders") + "\nUNION ALL\n"
-                            + _profile_sql("documents"))
+                            + _profile_sql("documents") + "\nUNION ALL\n"
+                            + _q_legs)
 
     # pivot: conditional aggregation replayed as FILTER(WHERE) columns
     out["pivot_lang_source"] = """

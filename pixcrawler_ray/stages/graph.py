@@ -84,6 +84,66 @@ def link_mass(sf_dir: str, rounds: int = 3):
     return mass
 
 
+def _pagerank_round(mass_ds, n_docs: int, total: int, damp_pct: int):
+    """One damped round: sends ship floor(floor(m*d%)/k) per edge; the
+    whole residue pool (the (1-d) share + every rounding remainder) is
+    redistributed as a uniform teleport floor(R/n) with the R%n leftover
+    going to the R%n lowest node ids — mass-conserving, order-insensitive
+    integer arithmetic, so the fixed-round prefix value-hashes.
+
+    Distributed shape: explode sends (+ one zero 'ground' row per source so
+    every node survives the groupby even with no in-edges), ONE keyed
+    exchange to sum received mass, ONE O(nodes) streaming ``sum`` for the
+    global residue scalar (a single int64 to the driver), then a stateless
+    teleport map. The received table is materialized once per round — the
+    same O(nodes) fixed-width granule ``link_mass_resumable`` checkpoints.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    def send(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = t.column("mass").to_numpy(zero_copy_only=False)
+        k = _out_degree(d)
+        share = (m * damp_pct) // 100 // k
+        nodes, masses = [d], [np.zeros(len(d), dtype=np.int64)]  # ground
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            sel = k > j
+            nodes.append((d[sel] * mu + ad) % n_docs)
+            masses.append(share[sel])
+        return pa.table({"doc_id": pa.array(np.concatenate(nodes)),
+                         "mass": pa.array(np.concatenate(masses))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("doc_id", sort=False)["mass"].sum().reset_index())
+
+    received = per_bucket(mass_ds.map_batches(send, batch_format="pyarrow"),
+                          ["doc_id"], merge, num_buckets=8).materialize()
+    resid = total - int(received.sum("mass"))
+    base, rem = divmod(resid, n_docs)
+
+    def teleport(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = t.column("mass").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "mass": pa.array(m + base + (d < rem).astype(np.int64))})
+
+    return received.map_batches(teleport, batch_format="pyarrow")
+
+
+def pagerank_mass(sf_dir: str, rounds: int = 3, damp_pct: int = 85):
+    """Damped PageRank (Page et al. 1999) over the same arithmetic link
+    graph as ``link_mass``, in conserving integer fixed-point: damping
+    d = damp_pct/100, uniform teleport of the pooled residue. Total mass
+    is invariant (== 1000 * n_docs) every round (pytest-pinned), and the
+    whole prefix is SQL-oracled by unrolled per-round CTEs."""
+    mass, n_docs = _initial_mass(sf_dir)
+    total = INIT_MASS * n_docs
+    for _ in range(rounds):
+        mass = _pagerank_round(mass, n_docs, total, damp_pct)
+    return mass
+
+
 def link_mass_resumable(sf_dir: str, out_dir: str, rounds: int = 3,
                         fail_after_round: int | None = None):
     """Round-granular checkpointed propagation: each completed round's mass

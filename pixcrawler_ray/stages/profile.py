@@ -111,3 +111,112 @@ def profile_table(sf_dir: str, table: str = "orders",
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return per_bucket(partials, ["col"], merge, num_buckets=num_buckets)
+
+
+def exact_quantiles(sf_dir: str, table: str = "events", col: str = "value",
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                    kind: str = "cents", num_bins: int = 512,
+                    num_buckets: int = 4):
+    """EXACT quantiles over an arbitrary integer-domain column by
+    iterative bracket refinement — the scale path for percentiles when the
+    value domain is too wide for the bounded-domain histogram trick
+    (textstats.token_quantiles) and a full distributed sort is overkill:
+
+    each pass streams the column once, computes per-batch fixed-width
+    histograms restricted to each quantile's current [lo, hi] bracket
+    (constant ``num_bins`` x ``len(qs)`` partial rows per batch), merges
+    them through one tiny keyed exchange, then narrows every bracket to
+    the bin containing its target rank. Bracket width shrinks by
+    ``num_bins`` x per pass, so passes = ceil(log_bins(range)) — 2 passes
+    for a 2-decimal [0, 1e6) domain — and the driver only ever sees the
+    merged constant-sized histogram. The discrete-rank rule is DuckDB's
+    ``quantile_disc``: idx = max(0, ceil(q*n) - 1), making the result
+    value-hash oracleable (cents are order-preserving, so quantile of the
+    cents equals cents of the quantile).
+
+    Returns a pandas frame (q, n, value_i) with value_i in the integer
+    (cents) domain.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, table, columns=[col])
+
+    def to_int(t: pa.Table) -> np.ndarray:
+        arr = t.column(col)
+        arr = arr.drop_null() if arr.null_count else arr
+        if kind == "cents":
+            arr = pc.round(pc.multiply(arr.cast(pa.float64()),
+                                       pa.scalar(100.0)))
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    # pass 0: n, lo, hi (one streaming scan, 1-row partials)
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = to_int(t)
+        if len(v) == 0:
+            return pa.table({"k": pa.array([0]), "n": pa.array([0]),
+                             "lo": pa.array([_I64_MAX]),
+                             "hi": pa.array([_I64_MIN])})
+        return pa.table({"k": pa.array([0]),
+                         "n": pa.array([np.int64(len(v))]),
+                         "lo": pa.array([v.min()]),
+                         "hi": pa.array([v.max()])})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    n = int(mm["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "n": 0, "value_i": np.int64(0)})
+    lo0, hi0 = int(mm["lo"].min()), int(mm["hi"].max())
+    # quantile_disc rank rule (0-based), per q
+    import math
+    state = []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        state.append({"q": q, "lo": lo0, "hi": hi0, "rank": idx})
+
+    while any(s["lo"] < s["hi"] for s in state):
+        active = [i for i, s in enumerate(state) if s["lo"] < s["hi"]]
+        brackets = [(state[i]["lo"], state[i]["hi"]) for i in active]
+        widths = [max(1, -(-(hi - lo + 1) // num_bins))
+                  for lo, hi in brackets]
+
+        def hist_partial(t: pa.Table, _b=brackets, _w=widths,
+                         _a=active) -> pa.Table:
+            v = to_int(t)
+            ks, bins, cnts = [], [], []
+            for qi, (lo, hi), w in zip(_a, _b, _w):
+                sel = v[(v >= lo) & (v <= hi)]
+                if len(sel) == 0:
+                    continue
+                b = (sel - lo) // w
+                c = np.bincount(b)
+                nz = np.flatnonzero(c)
+                ks.append(np.full(len(nz), qi, dtype=np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not ks:
+                return pa.table({"k": pa.array([], type=pa.int64()),
+                                 "bin": pa.array([], type=pa.int64()),
+                                 "cnt": pa.array([], type=pa.int64())})
+            return pa.table({"k": pa.array(np.concatenate(ks)),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby(["k", "bin"], sort=False)["cnt"].sum()
+                     .reset_index())
+
+        hist = per_bucket(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            ["k"], merge, num_buckets=num_buckets).to_pandas()
+        for qi, (lo, hi), w in zip(active, brackets, widths):
+            h = hist[hist["k"] == qi].sort_values("bin")
+            cum = h["cnt"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, state[qi]["rank"] + 1))
+            b = int(h["bin"].iloc[pos])
+            below = int(cum[pos - 1]) if pos > 0 else 0
+            state[qi]["rank"] -= below
+            state[qi]["lo"] = lo + b * w
+            state[qi]["hi"] = min(hi, lo + (b + 1) * w - 1)
+
+    return pd.DataFrame({"q": [s["q"] for s in state], "n": n,
+                         "value_i": np.int64([s["lo"] for s in state])})

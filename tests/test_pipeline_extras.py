@@ -273,3 +273,42 @@ def test_rollup_levels_consistent(sf_tiny):
                         .groupby("lang")["n"].sum())
         got = dict(zip(lang["grp"].str.split("|").str[0], lang["n"]))
         assert dict(fine_by_lang) == got
+
+
+def test_pagerank_mass_conserved(sf_tiny):
+    """Damped integer PageRank must conserve total mass exactly every
+    round (the residue pool redistributes fully), and must differ from
+    the undamped propagation (the damping actually does something)."""
+    from pixcrawler_ray.stages.graph import (INIT_MASS, link_mass,
+                                             pagerank_mass)
+
+    pr = pagerank_mass(sf_tiny, rounds=3).to_pandas()
+    lm = link_mass(sf_tiny, rounds=3).to_pandas()
+    n = len(pr)
+    assert pr["mass"].sum() == INIT_MASS * n
+    assert lm["mass"].sum() == INIT_MASS * n
+    assert set(pr["doc_id"]) == set(lm["doc_id"])
+    merged = pr.merge(lm, on="doc_id", suffixes=("_pr", "_lm"))
+    assert (merged["mass_pr"] != merged["mass_lm"]).any()
+
+
+def test_exact_quantiles_multipass(sf_tiny):
+    """Bracket refinement must be EXACT regardless of bin budget: a tiny
+    num_bins forces several refinement passes; compare against the sorted
+    quantile_disc rule computed in-memory."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.profile import exact_quantiles
+
+    v = pq.read_table(f"{sf_tiny}/events.parquet",
+                      columns=["value"]).column("value").to_numpy()
+    cents = np.sort(np.round(v * 100).astype(np.int64))
+    qs = (0.01, 0.25, 0.5, 0.9, 0.999)
+    exp = [cents[max(0, math.ceil(q * len(cents)) - 1)] for q in qs]
+    got = exact_quantiles(sf_tiny, qs=qs, num_bins=4)
+    assert list(got["value_i"]) == exp
+    got2 = exact_quantiles(sf_tiny, qs=qs, num_bins=4096)
+    assert list(got2["value_i"]) == exp
