@@ -212,8 +212,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return frames.map_batches(sizes, batch_format="pyarrow")
 
     def sample_stratified_q(sf_dir: str):
-        from pixcrawler_ray.stages.sample import sample_stratified
-        return sample_stratified(sf_dir, per_stratum=50)
+        # MERGED (one registry row): per-stratum cap sample ('stratified')
+        # + token-mass systematic PPS sample ('pps', r5), section-tagged
+        # on (section, doc_id, grp, n1, n2)
+        import pyarrow as _pa
+
+        from pixcrawler_ray.stages.sample import (sample_pps_systematic,
+                                                  sample_stratified)
+
+        def strat(t):
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            return _pa.table({
+                "section": _pa.array(["stratified"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "grp": t.column("lang"), "n1": neg, "n2": neg})
+
+        def pps(t):
+            return _pa.table({
+                "section": _pa.array(["pps"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "grp": _pa.array([""] * t.num_rows, type=_pa.string()),
+                "n1": t.column("n_tokens").cast(_pa.int64()),
+                "n2": t.column("pick_idx").cast(_pa.int64())})
+
+        a = sample_stratified(sf_dir, per_stratum=50).map_batches(
+            strat, batch_format="pyarrow")
+        b = sample_pps_systematic(sf_dir, k=200).map_batches(
+            pps, batch_format="pyarrow")
+        return a.union(b)
 
     def curate_q(sf_dir: str):
         # MERGED (one registry row): the fused curation gate survivors
@@ -1165,12 +1193,30 @@ WHERE rn <= 20"""
 
     # stratified sample: Lehmer/MINSTD rank on doc_id is plain integer
     # arithmetic on both sides (products < 2^47 — no overflow divergence).
-    out["sample_stratified"] = """
-SELECT doc_id, lang FROM (
-  SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY lang
-             ORDER BY (doc_id % 2147483647) * 48271 % 2147483647) AS rn
-  FROM documents) WHERE rn <= 50"""
+    # MERGED (r5): per-stratum cap + systematic PPS (token-mass prefix sum
+    # along the Lehmer shuffle order; stride = max(1, total // 200))
+    out["sample_stratified"] = r"""
+WITH st AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY (doc_id % 2147483647) * 48271 % 2147483647) AS rn
+    FROM documents) WHERE rn <= 50
+), w AS (
+  SELECT doc_id, (doc_id % 2147483647) * 48271 % 2147483647 AS rank,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(
+                   regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS nt
+  FROM documents
+), c AS (
+  SELECT doc_id, nt, SUM(nt) OVER (ORDER BY rank) AS cum_after FROM w
+), s AS (SELECT GREATEST(SUM(nt) // 200, 1) AS stride FROM w)
+SELECT 'stratified' AS section, doc_id, lang AS grp,
+       CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2 FROM st
+UNION ALL
+SELECT 'pps', c.doc_id, '', c.nt, CAST(c.cum_after // s.stride AS BIGINT)
+FROM c, s WHERE c.cum_after // s.stride > (c.cum_after - c.nt) // s.stride"""
 
     out["quality_scores"] = """
 WITH w AS (

@@ -312,3 +312,20 @@ def test_exact_quantiles_multipass(sf_tiny):
     assert list(got["value_i"]) == exp
     got2 = exact_quantiles(sf_tiny, qs=qs, num_bins=4096)
     assert list(got2["value_i"]) == exp
+
+
+def test_pps_sampling_properties(sf_tiny):
+    """Systematic PPS: ~k docs kept, pick indices strictly increasing
+    along the shuffle order, empty docs never selected, and the kept set
+    is invariant in the exchange width."""
+    from pixcrawler_ray.stages.sample import sample_pps_systematic
+
+    a = (sample_pps_systematic(sf_tiny, k=100, num_buckets=3).to_pandas()
+         .sort_values("pick_idx").reset_index(drop=True))
+    b = (sample_pps_systematic(sf_tiny, k=100, num_buckets=16).to_pandas()
+         .sort_values("pick_idx").reset_index(drop=True))
+    assert a.equals(b)
+    assert 0 < len(a) <= 101
+    assert (a["n_tokens"] > 0).all()
+    assert a["pick_idx"].is_monotonic_increasing
+    assert a["pick_idx"].is_unique
