@@ -661,6 +661,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rng, batch_format="pyarrow")
         return a.union(b)
 
+    def rename_layout_q(sf_dir: str):
+        # MERGED (one registry row): per-partition sequential rename
+        # ('rename') + Morton/Z-order clustering layout ('zorder', r5),
+        # section-tagged on (section, doc_id, grp, s, z, fb)
+        import pyarrow as _pa
+
+        from pixcrawler_ray.stages.layout import zorder_layout
+
+        def ren(t):
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            import pyarrow.compute as _pc
+            grp = _pc.binary_join_element_wise(
+                t.column("lang"), t.column("source"), "|")
+            return _pa.table({
+                "section": _pa.array(["rename"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "grp": grp, "s": t.column("seq_name"),
+                "z": neg, "fb": neg})
+
+        def zo(t):
+            e = _pa.array([""] * t.num_rows, type=_pa.string())
+            return _pa.table({
+                "section": _pa.array(["zorder"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "grp": e, "s": e,
+                "z": t.column("z").cast(_pa.int64()),
+                "fb": t.column("file_bucket").cast(_pa.int64())})
+
+        a = rel.q_sequential_rename(sf_dir).map_batches(
+            ren, batch_format="pyarrow")
+        b = zorder_layout(sf_dir).map_batches(zo, batch_format="pyarrow")
+        return a.union(b)
+
     def crawl_units_all(sf_dir: str):
         # MERGED (one registry row): base + keyword-generation work-unit
         # grids, mode-tagged
@@ -733,7 +768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": events_user_stats,   # sessionize + funnel
         "events_asof_orders": events_asof_range,  # MERGED: as-of join +
         #   bucketed-interval range join (r5) on the same event-order axis
-        "sequential_rename": rel.q_sequential_rename,
+        "sequential_rename": rename_layout_q,  # MERGED: window rename +
+        #   Z-order clustering layout (r5) — both per-doc layout maps
         # --- crawl stages (oracled) ---
         "crawl_units": crawl_units_all,     # base + kwgen grids
         "extract_image_links": cq.q_extract_image_links,
@@ -980,12 +1016,35 @@ FROM events a JOIN events b
  AND b.ts > a.ts
  AND b.ts <= a.ts + INTERVAL 1 HOUR"""
 
-    out["sequential_rename"] = """
-SELECT doc_id, lang, source,
-       lpad(CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
-                                    ORDER BY doc_id) AS VARCHAR),
-            4, '0') AS seq_name
-FROM documents"""
+    # MERGED (r5): sequential rename + Z-order layout. The Morton key
+    # interleaves bit i of the lang hash (byte-sum MINSTD step mod 2^8)
+    # into bit 2i and bit i of floor(log2(len+1)) into bit 2i+1; the file
+    # bucket is the top 4 key bits (16 files).
+    _mort = " + ".join(
+        f"((lh >> {i}) & 1) * {1 << (2 * i)} + "
+        f"((lb >> {i}) & 1) * {1 << (2 * i + 1)}" for i in range(8))
+    out["sequential_rename"] = f"""
+WITH ren AS (
+  SELECT doc_id, lang, source,
+         lpad(CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                      ORDER BY doc_id) AS VARCHAR),
+              4, '0') AS seq_name
+  FROM documents
+), dims AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, length(lang) + 1),
+                  i -> ascii(substr(lang, i, 1))))
+           * 48271 % 2147483647 % 256 AS lh,
+         LEAST(CAST(floor(log2(length(text) + 1)) AS BIGINT), 255) AS lb
+  FROM documents
+), zv AS (
+  SELECT doc_id, CAST({_mort} AS BIGINT) AS z FROM dims
+)
+SELECT 'rename' AS section, doc_id, lang || '|' || source AS grp,
+       seq_name AS s, CAST(-1 AS BIGINT) AS z, CAST(-1 AS BIGINT) AS fb
+FROM ren
+UNION ALL
+SELECT 'zorder', doc_id, '', '', z, z >> 12 FROM zv"""
 
     # exact + normalized keep-first in one row, mode-tagged
     out["dedup_keep_first"] = """

@@ -329,3 +329,49 @@ def test_pps_sampling_properties(sf_tiny):
     assert (a["n_tokens"] > 0).all()
     assert a["pick_idx"].is_monotonic_increasing
     assert a["pick_idx"].is_unique
+
+
+def test_zorder_locality_and_pruning(sf_tiny):
+    """Z-order layout: same (lang-hash, length-bucket) cell => same Morton
+    key; and a single-lang predicate touches a strict subset of file
+    buckets (the pruning payoff that motivates the layout)."""
+    from pixcrawler_ray.stages.layout import zorder_layout
+    from pixcrawler_ray.sources.readers import read_table
+
+    z = zorder_layout(sf_tiny).to_pandas()
+    docs = read_table(sf_tiny, "documents",
+                      columns=["doc_id", "lang"]).to_pandas()
+    m = z.merge(docs, on="doc_id")
+    n_buckets = m["file_bucket"].nunique()
+    per_lang = m.groupby("lang")["file_bucket"].nunique()
+    assert (per_lang < n_buckets).all()      # every lang prunes something
+    assert (z["file_bucket"].to_numpy() == (z["z"].to_numpy() >> 12)).all()
+
+
+def test_compact_partitions_roundtrip(sf_tiny, tmp_path):
+    """Compaction must preserve rows exactly, hit the target file count,
+    and skip already-committed groups on rerun (resume)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.layout import compact_partitions
+
+    src = tmp_path / "small"
+    os.makedirs(src)
+    for i in range(10):
+        pq.write_table(
+            pa.table({"a": list(range(i * 100, i * 100 + 100))}),
+            str(src / f"part-{i:03d}.parquet"))
+    out = str(tmp_path / "compact")
+    n_in, n_out = compact_partitions(str(src), out, target_rows=300)
+    assert (n_in, n_out) == (10, 4)           # 300+300+300+100
+    got = pq.read_table(out)
+    assert sorted(got.column("a").to_pylist()) == list(range(1000))
+    # resume: nothing rewritten
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
+    compact_partitions(str(src), out, target_rows=300)
+    assert mtimes == {f: os.path.getmtime(os.path.join(out, f))
+                      for f in os.listdir(out)}
