@@ -1066,7 +1066,19 @@ SELECT doc_id, md5(text) AS key_md5, 'incremental' AS mode
 FROM documents
 WHERE doc_id % 10 >= 7
   AND md5(text) NOT IN (SELECT md5(text) FROM documents
-                        WHERE doc_id % 10 < 7)"""
+                        WHERE doc_id % 10 < 7)
+UNION ALL
+SELECT doc_id, 'v' || CAST(ver AS VARCHAR) AS key_md5, 'upsert' AS mode
+FROM (
+  SELECT doc_id, ver, del,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ver DESC) AS rn
+  FROM (
+    SELECT doc_id, 1 AS ver, FALSE AS del FROM documents
+    UNION ALL
+    SELECT doc_id, 2, FALSE FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, 3, TRUE FROM documents WHERE doc_id % 31 = 4)
+) WHERE rn = 1 AND NOT del"""
 
     # multimodal_sniff: the Ray side encodes real png/gif/bmp/jpeg headers
     # with doc_id-derived dimensions and parses them back with the byte-level

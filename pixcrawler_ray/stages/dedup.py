@@ -121,13 +121,73 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 32):
                        num_buckets=num_buckets)
 
 
+def upsert_latest(changes, key_cols, ver_col: str,
+                  tombstone_col: str | None = None, num_buckets: int = 32):
+    """CDC upsert — last-writer-wins merge of a change stream: per key,
+    keep the row with the HIGHEST ``ver_col`` (ties impossible when
+    versions are per-key sequence numbers); if ``tombstone_col`` is set,
+    a winning tombstone DELETES the key from the merged view. One keyed
+    bucket exchange + a vectorized per-group argmax — the standard
+    merge-on-read compaction every snapshot-maintaining sink needs
+    (Hudi/Iceberg upsert shape).
+
+    ``changes``: a Dataset uniting base snapshot + update/delete rows.
+    Returns the merged current view (winning rows, tombstones dropped).
+    """
+    import pandas as pd
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    keys = list(key_cols)
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [ver_col], kind="mergesort")
+        win = g.groupby(keys, sort=False, as_index=False).tail(1)
+        if tombstone_col is not None:
+            win = win[~win[tombstone_col].astype(bool)]
+            win = win.drop(columns=[tombstone_col])
+        return win
+
+    return per_bucket(changes, keys, latest, num_buckets=num_buckets)
+
+
+def upsert_documents(sf_dir: str):
+    """``upsert_latest`` over a deterministic synthetic change stream on
+    the documents table (SQL-replayable; production passes real CDC rows):
+    base = every doc at version 1; docs with id % 5 == 0 get a version-2
+    update; docs with id % 31 == 4 get a version-3 delete tombstone.
+    Output (doc_id, ver) — the current view after the merge."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def changes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        upd = ids[ids % 5 == 0]
+        dele = ids[ids % 31 == 4]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, upd, dele])),
+            "ver": pa.array(np.concatenate([
+                np.ones(len(ids), dtype=np.int64),
+                np.full(len(upd), 2, dtype=np.int64),
+                np.full(len(dele), 3, dtype=np.int64)])),
+            "del": pa.array(np.concatenate([
+                np.zeros(len(ids), dtype=bool),
+                np.zeros(len(upd), dtype=bool),
+                np.ones(len(dele), dtype=bool)]))})
+
+    ch = ds.map_batches(changes, batch_format="pyarrow")
+    return upsert_latest(ch, ["doc_id"], "ver", tombstone_col="del")
+
+
 def dedup_keep_first(sf_dir: str):
-    """Exact + normalized + incremental keep-first dedup as ONE registry
-    query (the driver's correctness artifact caps at 50 rows — VERDICT r4
-    #1): the exact/normalized passes run their own hash-bucketed
-    keep-first shuffle, the incremental pass anti-joins the new-batch
-    split against the prior snapshot, and all three union with a ``mode``
-    tag. Output (doc_id, key_md5, mode)."""
+    """Exact + normalized + incremental + upsert keep-one dedup as ONE
+    registry query (the driver's correctness artifact caps at 50 rows —
+    VERDICT r4 #1): the exact/normalized passes run their own
+    hash-bucketed keep-first shuffle, the incremental pass anti-joins the
+    new-batch split against the prior snapshot, the upsert pass keeps the
+    LATEST version per key (CDC last-writer-wins, tombstones dropped),
+    and all four union with a ``mode`` tag. Output (doc_id, key_md5,
+    mode) — the upsert leg carries 'v<ver>' in key_md5."""
 
     def tag(key_col: str, mode: str):
         def f(t: pa.Table) -> pa.Table:
@@ -144,7 +204,19 @@ def dedup_keep_first(sf_dir: str):
                                               batch_format="pyarrow")
     inc = dedup_incremental(sf_dir).map_batches(
         tag("text_md5", "incremental"), batch_format="pyarrow")
-    return ex.union(no).union(inc)
+
+    def up_tag(t: pa.Table) -> pa.Table:
+        ver = t.column("ver").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "key_md5": pa.array(["v" + str(int(v)) for v in ver],
+                                type=pa.string()),
+            "mode": pa.array(["upsert"] * t.num_rows, type=pa.string()),
+        })
+
+    up = upsert_documents(sf_dir).map_batches(up_tag,
+                                              batch_format="pyarrow")
+    return ex.union(no).union(inc).union(up)
 
 
 class MinHasher:

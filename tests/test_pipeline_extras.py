@@ -375,3 +375,23 @@ def test_compact_partitions_roundtrip(sf_tiny, tmp_path):
     compact_partitions(str(src), out, target_rows=300)
     assert mtimes == {f: os.path.getmtime(os.path.join(out, f))
                       for f in os.listdir(out)}
+
+
+def test_upsert_latest_semantics(sf_tiny):
+    """CDC upsert: updated keys surface the latest version, tombstoned
+    keys vanish, untouched keys stay at v1; bucket-width invariant."""
+    from pixcrawler_ray.stages.dedup import upsert_documents
+    from pixcrawler_ray.sources.readers import read_table
+
+    got = upsert_documents(sf_tiny).to_pandas()
+    ids = read_table(sf_tiny, "documents",
+                     columns=["doc_id"]).to_pandas()["doc_id"]
+    view = dict(zip(got["doc_id"], got["ver"]))
+    for d in ids:
+        if d % 31 == 4:
+            assert d not in view          # deleted
+        elif d % 5 == 0:
+            assert view[d] == 2           # updated
+        else:
+            assert view[d] == 1           # untouched
+    assert len(got) == len(got["doc_id"].unique())
