@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pixcrawler_ray.stages.classify import dsir_scores
         return dsir_scores(sf_dir)
 
+    def pca_scores_q(sf_dir: str):
+        from pixcrawler_ray.stages.simsearch import pca_power_iteration
+        scores, _v = pca_power_iteration(sf_dir, iters=8)
+        return scores
+
     def quality_train_q(sf_dir: str):
         from pixcrawler_ray.stages.classify import logreg_train_quality
         ds, _w = logreg_train_quality(sf_dir)
@@ -855,6 +860,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": dsir_scores_q,        # DSIR importance scoring;
         #   integer dot vs quantized log-ratio == serial replay, pinned in
         #   pytest
+        "pca_scores": pca_scores_q,          # top-PC power iteration;
+        #   int64-quantized reductions == bit-exact serial replay +
+        #   Rayleigh-quotient convergence, pinned in pytest (seeded start
+        #   has no SQL analog)
         "quality_train": quality_train_q,    # distributed logreg trainer;
         #   bit-exact vs serial GD replay + separation bound, pinned in
         #   pytest (sigmoid floats have no SQL analog)

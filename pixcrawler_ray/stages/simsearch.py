@@ -585,3 +585,100 @@ def kmeans_fit_full(sf_dir: str, k: int = 16, iters: int = 5,
                          "cluster_id": pa.array(cid.astype(np.int64))})
 
     return ds.map_batches(assign, batch_format="pyarrow"), cent
+
+
+def pca_power_iteration(sf_dir: str, iters: int = 8, seed: int = 7,
+                        num_buckets: int = 2):
+    """Top principal component of the embedding matrix by DISTRIBUTED
+    power iteration — the dimensionality-reduction / drift-detection
+    primitive (top-PC projections flag embedding-space outliers and
+    batch drift) — with the same int64-quantized-reduction discipline as
+    ``kmeans_fit_full``, so the result is bit-identical at any
+    parallelism:
+
+    - pass 0: the corpus mean from one streaming pass of int64 sums;
+    - per iteration: the direction broadcasts quantized (x 2^20); each
+      batch accumulates y += (c.v >> 26) * c over its centered quantized
+      rows — every reduction an exact integer sum (|c| <= 2^21 and the
+      shifted projection <= 2^21, so each term is <= 2^42; the int64
+      budget holds to ~4e6 batch rows x partials, and the per-batch
+      partial is ONE dim-width row through the tiny keyed exchange);
+    - the driver renormalizes the merged integer vector (explicit
+      sqrt-sum-of-squares, constant work).
+
+    Returns (scores_dataset, component): per-vector integer projections
+    (vec_id, proj) onto the final direction, and the float64 unit
+    component. Power iteration with a fixed seeded start converges to the
+    dominant eigenvector (pytest pins cosine vs the exact numpy
+    eigenvector and the bit-exact serial replay).
+    """
+    import ray
+
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    Q = 1 << 20
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _qmat(t: pa.Table) -> np.ndarray:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = np.asarray(emb.offsets)
+        vals = np.asarray(emb.values, dtype=np.float64)
+        m = vals[offs[0]:offs[-1]].reshape(t.num_rows, -1)
+        return np.rint(m * Q).astype(np.int64)
+
+    # pass 0: integer mean sums
+    def mean_partial(t: pa.Table) -> pa.Table:
+        qm = _qmat(t)
+        out = {"k": pa.array([0]), "n": pa.array([np.int64(len(qm))])}
+        s = qm.sum(axis=0)
+        for j in range(qm.shape[1]):
+            out[f"s{j}"] = pa.array([s[j]])
+        return pa.table(out)
+
+    mp = ds.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
+    n = int(mp["n"].sum())
+    dim = len([c for c in mp.columns if c.startswith("s")])
+    qmean = np.array([int(mp[f"s{j}"].sum()) // n for j in range(dim)],
+                     dtype=np.int64)      # floor-div: exact + replayable
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    v /= np.sqrt((v * v).sum())
+
+    for _ in range(iters):
+        qv_ref = ray.put(np.rint(v * Q).astype(np.int64))
+
+        def it_partial(t: pa.Table) -> pa.Table:
+            qv = ray.get(qv_ref)
+            c = _qmat(t) - qmean
+            p = (c @ qv) >> 26                  # exact shifted projection
+            y = (p[:, None] * c).sum(axis=0)
+            out = {"k": pa.array([0])}
+            for j in range(dim):
+                out[f"y{j}"] = pa.array([y[j]])
+            return pa.table(out)
+
+        def merge(g):
+            return g.groupby("k", sort=False).sum().reset_index()
+
+        yp = per_bucket(ds.map_batches(it_partial, batch_format="pyarrow"),
+                        ["k"], merge, num_buckets=num_buckets).to_pandas()
+        y = np.array([int(yp[f"y{j}"].sum()) for j in range(dim)],
+                     dtype=np.float64)
+        nrm = np.sqrt((y * y).sum())
+        if nrm == 0:
+            break
+        v = y / nrm
+
+    qv_ref = ray.put(np.rint(v * Q).astype(np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(qv_ref)
+        c = _qmat(t) - qmean
+        return pa.table({"vec_id": t.column("vec_id").cast(pa.int64()),
+                         "proj": pa.array(c @ qv)})
+
+    return ds.map_batches(score, batch_format="pyarrow"), v
