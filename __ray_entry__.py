@@ -749,11 +749,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "ts2_us": _pc.cast(t.column("first_purchase_ts").cast(us),
                                    _pa.int64())})
 
+        def outer(t):
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            def fill(col):
+                return _pc.coalesce(col.cast(_pa.int64()),
+                                    _pa.scalar(-1, _pa.int64()))
+            return _pa.table({
+                "section": _pa.array(["outerjoin"] * t.num_rows,
+                                     type=_pa.string()),
+                "user_id": t.column("user_id").cast(_pa.int64()),
+                "a": fill(t.column("n_events")),
+                "b": fill(t.column("acctbal_cents")),
+                "ts1_us": neg, "ts2_us": neg})
+
+        # r5: + FULL OUTER join leg — per-user event counts ⟗ customer
+        # balances through the bucketed hash join (keys co-located per
+        # bucket => per-bucket unmatched rows are globally unmatched)
+        from pixcrawler_ray.sources.readers import read_table as _rt
+        from pixcrawler_ray.stages.shuffle import bucketed_join, per_bucket
+
+        ev = _rt(sf_dir, "events", columns=["user_id"])
+
+        def cnt_partial(t):
+            import pandas as _pd2
+            df = (_pd2.DataFrame({"user_id": t.column("user_id").to_numpy()})
+                  .groupby("user_id", sort=False).size()
+                  .rename("n_events").reset_index())
+            return _pa.Table.from_pandas(df, preserve_index=False)
+
+        def cnt_merge(g):
+            return (g.groupby("user_id", sort=False)["n_events"].sum()
+                    .reset_index())
+
+        counts = per_bucket(ev.map_batches(cnt_partial,
+                                           batch_format="pyarrow"),
+                            ["user_id"], cnt_merge, num_buckets=8)
+
+        def cust_prep(t):
+            return _pa.table({
+                "user_id": t.column("c_custkey").cast(_pa.int64()),
+                "acctbal_cents": _pc.cast(_pc.round(_pc.multiply(
+                    t.column("c_acctbal"), _pa.scalar(100.0))),
+                    _pa.int64())})
+
+        cust = _rt(sf_dir, "customer",
+                   columns=["c_custkey", "c_acctbal"]).map_batches(
+            cust_prep, batch_format="pyarrow")
+        oj = bucketed_join(counts, cust, on=["user_id"],
+                           how="outer").map_batches(
+            outer, batch_format="pyarrow")
+
         a = rel.q_events_sessionize(sf_dir).map_batches(
             sess, batch_format="pyarrow")
         b = rel.q_events_funnel(sf_dir, window_s=86400).map_batches(
             funnel, batch_format="pyarrow")
-        return a.union(b)
+        return a.union(b, oj)
 
     return {
         # ====== captured window: the driver's correctness artifact records
@@ -1828,7 +1878,16 @@ SELECT 'sessions' AS section, user_id, n_sessions AS a, n_events AS b,
        CAST(-1 AS BIGINT) AS ts1_us, CAST(-1 AS BIGINT) AS ts2_us FROM a
 UNION ALL
 SELECT 'funnel', user_id, n_purchases, CAST(-1 AS BIGINT),
-       epoch_us(signup_ts), epoch_us(first_purchase_ts) FROM b""")
+       epoch_us(signup_ts), epoch_us(first_purchase_ts) FROM b
+UNION ALL
+SELECT 'outerjoin', COALESCE(e.user_id, c.c_custkey),
+       COALESCE(e.n, CAST(-1 AS BIGINT)),
+       COALESCE(CAST(round(c.c_acctbal * 100) AS BIGINT),
+                CAST(-1 AS BIGINT)),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id) e
+FULL OUTER JOIN customer c ON c.c_custkey = e.user_id""")
 
     # crawl_units = base + kwgen work-unit grids, mode-tagged
     out["crawl_units"] = (

@@ -538,7 +538,9 @@ def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
     the portable large-large join (ray_guide "Joins"); small right sides
     should use ``broadcast_join`` in ``stages/fetch.py`` instead (no shuffle).
 
-    ``how``: inner/left/semi/anti.
+    ``how``: inner/left/outer/semi/anti — keys are co-located per bucket,
+    so per-bucket unmatched rows are globally unmatched and the full-outer
+    result is exact.
     """
     on = [on] if isinstance(on, str) else list(on)
     tag = "__side"
@@ -620,7 +622,14 @@ def bucketed_join(left, right, on: Sequence[str] | str, how: str = "inner",
             if (isinstance(want, pa.DataType) and t.column(name).type != want
                     and (pa.types.is_integer(want)
                          or pa.types.is_floating(want))):
-                t = t.set_column(i, name, pc.cast(t.column(name), want))
+                col = t.column(name)
+                if (pa.types.is_floating(col.type)
+                        and pa.types.is_integer(want)):
+                    # left/outer joins pad unmatched rows with NaN; restore
+                    # them as NULLs so the integer cast stays exact
+                    col = pc.if_else(pc.is_nan(col),
+                                     pa.scalar(None, col.type), col)
+                t = t.set_column(i, name, pc.cast(col, want))
         return t
 
     if _hash_shuffle_on():

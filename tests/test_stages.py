@@ -874,3 +874,34 @@ def test_dsir_scores_matches_serial_and_separates(ray_session, sf_tiny):
     pd.testing.assert_frame_equal(out, exp)
     assert (out.loc[out["lang"] == "en", "score_fp"].mean()
             > out.loc[out["lang"] != "en", "score_fp"].mean())
+
+
+def test_bucketed_join_outer_matches_pandas(sf_tiny):
+    """Full-outer bucketed join == pandas outer merge: matched rows join,
+    unmatched rows from BOTH sides survive with NULL padding restored to
+    typed integers."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    l = pd.DataFrame({"k": np.arange(0, 80, 2, dtype=np.int64),
+                      "lv": np.arange(40, dtype=np.int64) * 10})
+    r = pd.DataFrame({"k": np.arange(0, 120, 3, dtype=np.int64),
+                      "rv": np.arange(40, dtype=np.int64) * 7})
+    ds = bucketed_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                       how="outer", num_buckets=5)
+    sch = ds.schema()
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (l.merge(r, on="k", how="outer").sort_values("k")
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ("lv", "rv"):
+        ge = got[c].fillna(-1).astype(np.int64)
+        ee = exp[c].fillna(-1).astype(np.int64)
+        assert (ge.to_numpy() == ee.to_numpy()).all()
+    # NaN pads restored as typed NULLs at the Arrow layer (pandas widens
+    # nullable int64 to float64 on to_pandas — that is a pandas property)
+    assert str(dict(zip(sch.names, sch.types))["lv"]) == "int64"
