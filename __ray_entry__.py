@@ -2224,6 +2224,10 @@ SELECT event_id, user_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
          AS run_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS mv3_cents,
        COALESCE(CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT),
                 -1) AS gap_us
 FROM events

@@ -514,7 +514,9 @@ def q_events_running(sf_dir: str, num_buckets: int = 32):
     window's PARTITION BY key, so no cross-bucket state exists by
     construction. Ties on ts order by event_id (both sides).
 
-    Output (event_id, user_id, rn, run_cents, gap_s).
+    Output (event_id, user_id, rn, run_cents, mv3_cents, gap_s) —
+    mv3_cents is the frame-bounded moving sum (ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW), the bounded-frame window-aggregate shape.
     """
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
                                                "value"])
@@ -532,11 +534,17 @@ def q_events_running(sf_dir: str, num_buckets: int = 32):
                + delta.dt.seconds.astype("float64") * 1_000_000
                + delta.dt.microseconds.astype("float64"))
         gap = gap.fillna(-1).astype(np.int64)
+        # frame-bounded moving sum (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+        # run minus the same user's run three rows back (rn > 3 guards the
+        # group boundary — the frame is sorted by (user, ts, event_id))
+        run_s3 = np.concatenate([[0, 0, 0], run[:-3]])
+        mv3 = run - np.where(rn > 3, run_s3, 0)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy().astype(np.int64),
             "user_id": g["user_id"].to_numpy().astype(np.int64),
             "rn": rn.astype(np.int64),
             "run_cents": run.astype(np.int64),
+            "mv3_cents": mv3.astype(np.int64),
             "gap_us": gap.to_numpy(),
         })
 
