@@ -833,7 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fetch_status": cq.q_crawl_fetch_status,
         "crawl_quarantine": cq.q_crawl_quarantine,
         "crawl_budget": cq.q_crawl_budget,
-        "crawl_delta": cq.q_crawl_delta,
+        "crawl_delta": cq.q_crawl_delta_recrawl,  # MERGED: delta +
+        #   recrawl schedule from snapshot change history (r5)
         "crawl_extract": cq.q_crawl_extract,
         "extract_all_pages": cq.q_extract_all_pages,
         # --- dedup suite (oracled) ---

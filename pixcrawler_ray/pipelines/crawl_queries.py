@@ -204,6 +204,40 @@ def q_crawl_delta(sf_dir: str):
     return delta.select_columns(["url", "keyword", "seq"])
 
 
+def q_crawl_delta_recrawl(sf_dir: str):
+    """MERGED registry row (one driver-capture slot): the incremental-crawl
+    delta ('delta' section) unioned with the recrawl schedule derived from
+    snapshot change history ('recrawl' section, r5 — stages/recrawl.py).
+    Both are crawl-maintenance outputs answering "what should the next
+    crawl round visit"; section-tagged on (section, url, k, a, b, c)."""
+    import pyarrow as _pa
+
+    from pixcrawler_ray.stages.recrawl import recrawl_schedule
+
+    def delta_tag(t: _pa.Table) -> _pa.Table:
+        neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+        return _pa.table({
+            "section": _pa.array(["delta"] * t.num_rows, type=_pa.string()),
+            "url": t.column("url"),
+            "k": t.column("keyword"),
+            "a": t.column("seq").cast(_pa.int64()),
+            "b": neg, "c": neg})
+
+    def rec_tag(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "section": _pa.array(["recrawl"] * t.num_rows,
+                                 type=_pa.string()),
+            "url": t.column("url"),
+            "k": _pa.array([""] * t.num_rows, type=_pa.string()),
+            "a": t.column("changes").cast(_pa.int64()),
+            "b": t.column("n_snaps").cast(_pa.int64()),
+            "c": t.column("next_epoch").cast(_pa.int64())})
+
+    a = q_crawl_delta(sf_dir).map_batches(delta_tag, batch_format="pyarrow")
+    b = recrawl_schedule(sf_dir).map_batches(rec_tag, batch_format="pyarrow")
+    return a.union(b)
+
+
 def q_crawl_extract(sf_dir: str):
     """END-TO-END invariant: md5 of the extracted text per budget survivor.
 
@@ -517,6 +551,11 @@ SELECT url, keyword, seq FROM statused
 WHERE status = 200
 QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
         <= {ORACLE_MAX_IMAGES}"""
+    # MERGED row: incremental-crawl delta ('delta') + recrawl schedule from
+    # snapshot change history ('recrawl', r5) — both are "what to crawl
+    # next" maintenance outputs, section-tagged on (section, url, k, a, b, c)
+    from pixcrawler_ray.stages.recrawl import (
+        CHANGE_MOD, CHANGE_THRESHOLD, EPOCHS, _MULT_D, _MULT_E)
     out["crawl_delta"] = _sql_cand() + f""",
 ok AS (SELECT url, keyword, seq FROM statused WHERE status = 200),
 e1 AS (SELECT url FROM ok
@@ -524,8 +563,48 @@ e1 AS (SELECT url FROM ok
                <= {ORACLE_MAX_IMAGES}),
 e2 AS (SELECT url, keyword, seq FROM ok
        QUALIFY ROW_NUMBER() OVER (PARTITION BY keyword ORDER BY seq)
-               <= {2 * ORACLE_MAX_IMAGES})
-SELECT e2.url, e2.keyword, e2.seq FROM e2 ANTI JOIN e1 USING (url)"""
+               <= {2 * ORACLE_MAX_IMAGES}),
+eps AS (SELECT UNNEST(range(0, {EPOCHS})) AS epoch),
+snap AS (
+  SELECT d.doc_id, d.text, e.epoch,
+         SUM(CASE WHEN e.epoch >= 1 AND
+                       (d.doc_id * {_MULT_D} + e.epoch * {_MULT_E})
+                       % {CHANGE_MOD} < {CHANGE_THRESHOLD}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d.doc_id ORDER BY e.epoch) AS version
+  FROM documents d CROSS JOIN eps e
+),
+surl AS (
+  SELECT 'http://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                                 ELSE 1 + (doc_id * 2654435761) % 499 END
+                            AS VARCHAR)
+         || '.example.com'
+         || CASE WHEN doc_id % 50 = 7
+                 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS url,
+         epoch, md5(text || '|' || CAST(version AS VARCHAR)) AS content_md5
+  FROM snap
+),
+chg AS (
+  SELECT url,
+         CASE WHEN LAG(content_md5) OVER w IS NOT NULL
+                   AND content_md5 <> LAG(content_md5) OVER w
+              THEN 1 ELSE 0 END AS c
+  FROM surl WINDOW w AS (PARTITION BY url ORDER BY epoch)
+),
+rec AS (
+  SELECT url, SUM(c) AS changes, COUNT(*) AS n_snaps,
+         (COUNT(*) - 1)
+           + GREATEST(1, (COUNT(*) - 1) // (SUM(c) + 1)) AS next_epoch
+  FROM chg GROUP BY url
+)
+SELECT 'delta' AS section, e2.url, e2.keyword AS k,
+       e2.seq AS a, CAST(-1 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS c
+FROM e2 ANTI JOIN e1 USING (url)
+UNION ALL
+SELECT 'recrawl', url, '', CAST(changes AS BIGINT),
+       CAST(n_snaps AS BIGINT), CAST(next_epoch AS BIGINT)
+FROM rec"""
     out["crawl_extract"] = _sql_cand() + f"""
 SELECT s.url, s.seq,
        md5(CASE WHEN s.doc_id % 97 = 13 THEN '' ELSE d.text END) AS text_md5,
