@@ -597,7 +597,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rollup_docs / rollup_tokens on the same (section, grp, n) shape)
         import ray.data as _rd
         ru = _rd.from_pandas(rel.q_rollup_lang_source(sf_dir))
-        return mkt.union(pri).union(hosts).union(ru)
+        # r5: + URL pattern templating / spider-trap detection
+        # ('url_template' counts; 'url_trap' = templates over threshold)
+        from pixcrawler_ray.stages.urlnorm import (
+            TRAP_THRESHOLD, url_template_counts)
+
+        def tmpl_tag(t):
+            import pyarrow.compute as _pc
+            grp = _pc.binary_join_element_wise(
+                t.column("host"), t.column("template"), "|")
+            n = t.column("n").cast(_pa.int64())
+            base = _pa.table({
+                "section": _pa.array(["url_template"] * t.num_rows,
+                                     type=_pa.string()),
+                "grp": grp, "n": n})
+            trap = base.filter(_pc.greater(n, TRAP_THRESHOLD))
+            trap = trap.set_column(
+                0, "section", _pa.array(["url_trap"] * trap.num_rows,
+                                        type=_pa.string()))
+            return _pa.concat_tables([base, trap])
+
+        tmpl = url_template_counts(sf_dir).map_batches(
+            tmpl_tag, batch_format="pyarrow")
+        return mkt.union(pri).union(hosts).union(ru).union(tmpl)
 
     def topk_union(sf_dir: str):
         # MERGED (one registry row): top_parts_by_qty + lineitem_topk_revenue
@@ -1868,7 +1890,33 @@ FROM (
            END AS n_tokens
     FROM documents)
   GROUP BY ROLLUP(lang, cls)
-) r CROSS JOIN (VALUES ('docs'), ('tokens')) m(measure)""")
+) r CROSS JOIN (VALUES ('docs'), ('tokens')) m(measure)
+UNION ALL
+SELECT 'url_template', host || '|' || template, CAST(n AS BIGINT)
+FROM (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'h0.example.com'
+              ELSE 'h' || CAST(1 + (doc_id * 2654435761) % 499 AS VARCHAR)
+                   || '.example.com' END AS host,
+         regexp_replace(CASE WHEN doc_id % 50 = 7
+                             THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                             ELSE '/doc/' || CAST(doc_id AS VARCHAR) END,
+                        '[0-9]+', '{n}', 'g') AS template,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+UNION ALL
+SELECT 'url_trap', host || '|' || template, CAST(n AS BIGINT)
+FROM (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'h0.example.com'
+              ELSE 'h' || CAST(1 + (doc_id * 2654435761) % 499 AS VARCHAR)
+                   || '.example.com' END AS host,
+         regexp_replace(CASE WHEN doc_id % 50 = 7
+                             THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                             ELSE '/doc/' || CAST(doc_id AS VARCHAR) END,
+                        '[0-9]+', '{n}', 'g') AS template,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2 HAVING COUNT(*) > 100
+)""")
 
     # events_user_stats = sessionize + funnel; timestamps as epoch micros,
     # -1 = n/a (no nulls — integer-exact value hashing)

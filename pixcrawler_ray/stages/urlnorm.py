@@ -163,3 +163,61 @@ def url_canonical(sf_dir: str):
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL pattern templating / spider-trap detection
+# ---------------------------------------------------------------------------
+
+TRAP_THRESHOLD = 100
+
+
+def url_template_counts(sf_dir: str, num_buckets: int = 8):
+    """Per-(host, path-template) URL counts over the page corpus — the
+    pattern-mining step a production crawler runs to find SPIDER TRAPS
+    (calendar pages, session-id paths, infinite pagination): collapse every
+    run of digits in the PATH to ``{n}`` and count urls per collapsed
+    template per host. A template absorbing an outsized share of a host's
+    urls is a trap candidate (Heydon & Najork 1999 "Mercator" §3.3 describes
+    exactly this class of defense; the reference has no frontier so it never
+    needs one).
+
+    Scale shape: the template collapse is one vectorized RE2 rewrite over
+    the url column (no per-row Python), counting is map-side combined per
+    batch, and ONE (host, template)-keyed bucket exchange merges partials —
+    the output is template-domain-sized (tiny), never url-sized.
+
+    Output (host, template, n), SQL-oracled via DuckDB ``regexp_replace``
+    in the ``group_counts`` row ('url_template' section; the derived
+    'url_trap' section filters templates with n > TRAP_THRESHOLD).
+    """
+    import pandas as pd
+
+    from pixcrawler_ray.corpus import urls_hosts_arrow
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    _URL_RE = r"^http://(?P<host>[^/]+)(?P<path>/.*)$"
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        url, _ = urls_hosts_arrow(ids)
+        parts = pc.extract_regex(url, _URL_RE)
+        host = pc.struct_field(parts, "host")
+        tmpl = pc.replace_substring_regex(
+            pc.struct_field(parts, "path"), r"[0-9]+", "{n}")
+        df = pd.DataFrame({"host": host.to_pandas(),
+                           "template": tmpl.to_pandas()})
+        c = (df.groupby(["host", "template"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["host", "template"], sort=False)["n"].sum()
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["host", "template"], merge, num_buckets=num_buckets)

@@ -78,3 +78,22 @@ def test_snapshot_history_shape(sf_tiny):
     assert set(np.unique(df["epoch"])) == set(range(EPOCHS))
     # one checksum row per (url, epoch)
     assert not df.duplicated(["url", "epoch"]).any()
+
+
+def test_url_template_counts(sf_tiny):
+    """Template collapse sums to the url count; the hot host's /doc/{n}
+    template dominates (the spider-trap signal)."""
+    from pixcrawler_ray.stages.urlnorm import url_template_counts
+
+    got = url_template_counts(sf_tiny).to_pandas()
+    n_docs = pq.read_metadata(f"{sf_tiny}/documents.parquet").num_rows
+    assert got["n"].sum() == n_docs
+    assert set(got["template"]) <= {"/doc/{n}", "/private/doc/{n}"}
+    hot = got[got["host"] == "h0.example.com"]
+    assert hot["n"].sum() > n_docs // 4          # hot-host skew visible
+    # bucket invariance
+    alt = url_template_counts(sf_tiny, num_buckets=2).to_pandas()
+    key = ["host", "template", "n"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        alt[key].sort_values(key).reset_index(drop=True))
