@@ -61,25 +61,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # VALUE is blake2b-derived and not SQL-expressible, but the GROUPS
         # are exactly the distinct-shingle-SET groups — simhash is a pure
         # function of the shingle set, verified collision-free on this
-        # corpus — which DuckDB replays as a string-shingle set key),
-        # section-tagged; all three replay in the one merged oracle
+        # corpus — which DuckDB replays as a string-shingle set key)
+        # + leakage-safe cluster-keyed train/heldout assignment
+        # ('clustersplit', dedup_cluster_split — the split key is the
+        # near-dup component label so paraphrases never straddle the
+        # eval boundary), section-tagged on (section, doc_id, label,
+        # split) with -1 / '' = n/a for the survivor legs; all four
+        # replay in the one merged oracle
         import pyarrow as _pa
 
         def tag(section):
             def f(t):
+                n = t.num_rows
                 return _pa.table({
-                    "section": _pa.array([section] * t.num_rows,
-                                         type=_pa.string()),
-                    "doc_id": t.column("doc_id").cast(_pa.int64())})
+                    "section": _pa.array([section] * n, type=_pa.string()),
+                    "doc_id": t.column("doc_id").cast(_pa.int64()),
+                    "label": _pa.array([-1] * n, type=_pa.int64()),
+                    "split": _pa.array([""] * n, type=_pa.string())})
             return f
+
+        def cs(t):
+            return _pa.table({
+                "section": _pa.array(["clustersplit"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "label": t.column("label").cast(_pa.int64()),
+                "split": t.column("split").cast(_pa.string())})
 
         surv, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
         best = dd.dedup_best_rep(sf_dir, threshold=0.8)
         sim = dd.dedup_simhash(sf_dir).select_columns(["doc_id"])
+        split = dd.dedup_cluster_split(sf_dir, threshold=0.8)
         return surv.map_batches(tag("minroot"),
                                 batch_format="pyarrow").union(
             best.map_batches(tag("bestrep"), batch_format="pyarrow"),
-            sim.map_batches(tag("simhash"), batch_format="pyarrow"))
+            sim.map_batches(tag("simhash"), batch_format="pyarrow"),
+            split.map_batches(cs, batch_format="pyarrow"))
 
     def dup_pairs(sf_dir: str):
         # MERGED (one registry row): n-gram-Jaccard near-dup pairs
@@ -2217,21 +2234,28 @@ m AS (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY lbl.label
                              ORDER BY m.margin DESC, lbl.doc) = 1
 )
-SELECT 'minroot' AS section, doc_id FROM documents
+SELECT 'minroot' AS section, doc_id, CAST(-1 AS BIGINT) AS label,
+       '' AS split FROM documents
 WHERE doc_id NOT IN (SELECT doc FROM lbl WHERE label < doc)
 UNION ALL
-SELECT 'bestrep', doc_id FROM documents
+SELECT 'bestrep', doc_id, CAST(-1 AS BIGINT), '' FROM documents
 WHERE doc_id NOT IN (SELECT doc FROM lbl)
-   OR doc_id IN (SELECT doc FROM best)""")
+   OR doc_id IN (SELECT doc FROM best)
+UNION ALL
+SELECT 'clustersplit', dd.doc_id, COALESCE(l.label, dd.doc_id),
+       CASE WHEN (COALESCE(l.label, dd.doc_id) * 48271) % 100 >= 90
+            THEN 'heldout' ELSE 'train' END
+FROM documents dd LEFT JOIN lbl l ON l.doc = dd.doc_id""")
 
     # dedup_minhash further widens (r5) with the exact-simhash keep-first
     # leg: its standalone WITH query nests as a CTE body
     out["dedup_minhash"] = (
         "WITH mm AS (" + out["dedup_minhash"] + "),\n"
         "shx AS (" + out.pop("dedup_simhash") + """)
-SELECT section, doc_id FROM mm
+SELECT section, doc_id, label, split FROM mm
 UNION ALL
-SELECT 'simhash' AS section, doc_id FROM shx""")
+SELECT 'simhash' AS section, doc_id, CAST(-1 AS BIGINT) AS label,
+       '' AS split FROM shx""")
 
     # dup_pairs: ngram-jaccard + embedding-cosine near-dup pair sets merged
     # on (section, a, b, score); the embed leg's cosine is float-path-

@@ -1007,3 +1007,56 @@ def semdedup(sf_dir: str, n_clusters: int = 16, eps: float = 0.95,
 
     return per_bucket(assigned, ["cluster_id"], sweep,
                       num_buckets=num_buckets)
+
+
+SPLIT_MULT = 48271        # MINSTD — the split hash the SQL oracle mirrors
+
+
+def dedup_cluster_split(sf_dir: str, threshold: float = 0.8,
+                        heldout_pct: int = 10, num_perms: int = 128,
+                        shingle_k: int = 3, bands: int = 16,
+                        num_buckets: int = 16):
+    """Leakage-safe train/held-out split: the split key is the NEAR-DUP
+    CLUSTER label, not the document id, so near-duplicates can never
+    straddle the boundary (the C4/Pile practice of dedup-aware eval splits
+    — a doc's paraphrase leaking into the eval set inflates benchmarks;
+    Lee et al. 2021 "Deduplicating training data makes language models
+    better" §5 measures exactly this effect).
+
+    Scale shape: cluster labels come from the same MinHash-LSH verify +
+    min-label propagation as :func:`dedup_minhash` (dup-docs-sized table);
+    docs LEFT-join labels through one bucketed exchange (singletons keep
+    their own id as label); the assignment is a stateless integer hash of
+    the label — deterministic, resume-stable, SQL-replayable. Output
+    (doc_id, label, split).
+    """
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
+                                      shingle_k, bands).materialize()
+    docs = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"doc": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+    cut = np.int64(100 - heldout_pct)
+
+    def assign(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        if "label" in t.column_names:
+            lab = t.column("label").to_pandas().to_numpy(dtype="float64",
+                                                         na_value=np.nan)
+            lab = np.where(np.isnan(lab), doc, lab).astype(np.int64)
+        else:
+            lab = doc.astype(np.int64)
+        hold = (lab * np.int64(SPLIT_MULT)) % np.int64(100) >= cut
+        return pa.table({
+            "doc_id": pa.array(doc.astype(np.int64), type=pa.int64()),
+            "label": pa.array(lab, type=pa.int64()),
+            "split": pa.array(np.where(hold, "heldout", "train"),
+                              type=pa.string())})
+
+    if verified.count() == 0:
+        return docs.map_batches(assign, batch_format="pyarrow")
+    labels = min_label_components(verified, num_buckets=num_buckets)
+    joined = bucketed_join(docs, labels, on="doc", how="left",
+                           num_buckets=num_buckets)
+    return joined.map_batches(assign, batch_format="pyarrow")

@@ -905,3 +905,37 @@ def test_bucketed_join_outer_matches_pandas(sf_tiny):
     # NaN pads restored as typed NULLs at the Arrow layer (pandas widens
     # nullable int64 to float64 on to_pandas — that is a pandas property)
     assert str(dict(zip(sch.names, sch.types))["lv"]) == "int64"
+
+
+def test_cluster_split_no_leakage_and_covers_corpus(sf_tiny):
+    """Leakage-safe split invariants: (1) every document is assigned exactly
+    once; (2) both endpoints of every VERIFIED near-dup pair land in the same
+    split (the whole point — paraphrases must not straddle the eval
+    boundary); (3) the heldout fraction tracks heldout_pct over cluster
+    labels; (4) singletons carry their own id as label."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.stages.dedup import (
+        dedup_cluster_split, minhash_verified_pairs)
+
+    out = dedup_cluster_split(sf_tiny, threshold=0.8,
+                              heldout_pct=10).to_pandas()
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    assert sorted(out.doc_id) == sorted(docs.doc_id)
+    assert set(out.split) <= {"train", "heldout"}
+
+    split_of = dict(zip(out.doc_id, out.split))
+    label_of = dict(zip(out.doc_id, out.label))
+    pairs = minhash_verified_pairs(sf_tiny, threshold=0.8).to_pandas()
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert split_of[a] == split_of[b], (a, b)
+        assert label_of[a] == label_of[b], (a, b)
+
+    in_pairs = set(pairs.doc_a) | set(pairs.doc_b)
+    singles = out[~out.doc_id.isin(in_pairs)]
+    assert (singles.label == singles.doc_id).all()
+
+    # fraction check over distinct labels (the hash domain), loose bound
+    lab = out.drop_duplicates("label")
+    frac = (lab.split == "heldout").mean()
+    assert 0.02 < frac < 0.25, frac
