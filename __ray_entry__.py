@@ -561,6 +561,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sp, batch_format="pyarrow")
         return a.union(b)
 
+    def postings_bm25_q(sf_dir: str):
+        # MERGED (one registry row): inverted-index posting summaries
+        # ('postings') + rational-idf BM25 retrieval top-k ('bm25' —
+        # bit-exact doubles vs the oracle, see textprep.bm25_topk),
+        # section-tagged on (section, term, df, tf, min_doc, max_doc,
+        # sum_doc, score); the bm25 leg maps rank->df, doc_id->tf,
+        # dl->min_doc, -1/''/-1.0 = n/a
+        import pyarrow as _pa
+
+        def po(t):
+            return _pa.table({
+                "section": _pa.array(["postings"] * t.num_rows,
+                                     type=_pa.string()),
+                "term": t.column("term").cast(_pa.string()),
+                "df": t.column("df").cast(_pa.int64()),
+                "tf": t.column("tf").cast(_pa.int64()),
+                "min_doc": t.column("min_doc").cast(_pa.int64()),
+                "max_doc": t.column("max_doc").cast(_pa.int64()),
+                "sum_doc": t.column("sum_doc").cast(_pa.int64()),
+                "score": _pa.array([-1.0] * t.num_rows,
+                                   type=_pa.float64())})
+
+        bm = tp.bm25_topk(sf_dir)       # pandas, k rows
+        n = len(bm)
+        bm_tbl = _pa.table({
+            "section": _pa.array(["bm25"] * n, type=_pa.string()),
+            "term": _pa.array([""] * n, type=_pa.string()),
+            "df": _pa.array(bm["rank"], type=_pa.int64()),
+            "tf": _pa.array(bm["doc_id"], type=_pa.int64()),
+            "min_doc": _pa.array(bm["dl"], type=_pa.int64()),
+            "max_doc": _pa.array([-1] * n, type=_pa.int64()),
+            "sum_doc": _pa.array([-1] * n, type=_pa.int64()),
+            "score": _pa.array(bm["score"], type=_pa.float64())})
+        import ray.data as _rd
+        return tp.term_postings(sf_dir).map_batches(
+            po, batch_format="pyarrow").union(_rd.from_arrow(bm_tbl))
+
     def pii_norm_q(sf_dir: str):
         # MERGED (one registry row): pii_scrub + text_normalize,
         # section-tagged on a common (doc_id, a, b, c, text_out) schema
@@ -898,7 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data prep (oracled) ---
         "pii_scrub": pii_norm_q,   # MERGED: pii_scrub + text_normalize
         "segment_dedup": segment_spans_q,   # MERGED: + exact_substr_spans
-        "term_postings": tp.term_postings,
+        "term_postings": postings_bm25_q,   # MERGED: + BM25 retrieval top-k
         "pack_contexts": lambda sf: tp.pack_contexts(sf, budget=256),
         "bigram_lm_stats": bigram_lm_both_q,   # both size-switch paths
         # --- frontier URL normalization / robots / graph (oracled) ---
@@ -2098,17 +2135,29 @@ SELECT 'spans', doc_id, span_start, span_end, '' FROM sp""")
 
     # term_postings: posting-list summary per term (df/tf/min/max/sum of
     # distinct doc ids)
+    # MERGED row: posting summaries + rational-idf BM25 top-k (the bm25
+    # leg's SQL comes from the SAME builder the engine's pytest replays —
+    # bit-exact double scores; rank->df, doc_id->tf, dl->min_doc)
+    from pixcrawler_ray.stages.textprep import bm25_oracle_sql as _bm25_sql
     out["term_postings"] = """
 WITH ws AS (
   SELECT doc_id,
          unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
   FROM documents
-)
-SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-       CAST(count(*) AS BIGINT) AS tf,
-       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-       CAST(sum(DISTINCT doc_id) AS BIGINT) AS sum_doc
-FROM ws GROUP BY term"""
+), po AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS tf,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         CAST(sum(DISTINCT doc_id) AS BIGINT) AS sum_doc
+  FROM ws GROUP BY term
+), bm AS (""" + _bm25_sql() + """)
+SELECT 'postings' AS section, term, df, tf, min_doc, max_doc, sum_doc,
+       -1.0 AS score
+FROM po
+UNION ALL
+SELECT 'bm25', '', rank, doc_id, dl, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), score
+FROM bm"""
 
     # pack_contexts: Lehmer-shuffled order, cumulative-token bin at
     # budget=256 — the window prefix sum IS the engine's distributed scan

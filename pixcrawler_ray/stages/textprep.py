@@ -751,3 +751,147 @@ def lm_quality_buckets(sf_dir: str, cap: int = 1 << 20,
         return t.append_column("bucket", pa.array(lab, type=pa.string()))
 
     return scored.map_batches(bucketize, batch_format="pyarrow")
+
+
+DEFAULT_BM25_TERMS = ("scan", "merge", "window")
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_BM25_TERMS,
+              k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """BM25 retrieval of the top-k corpus documents for a fixed query-term
+    set — the retrieval-based data-selection primitive (score every doc
+    against a target query/domain description and keep the best k; the
+    GPT-3/Pile practice of selecting pretraining data by similarity to a
+    high-quality target distribution, reference-free variant).
+
+    **Rational idf (documented deviation)**: idf = (N - df + 0.5) /
+    (df + 0.5) WITHOUT the usual ``ln`` — monotone in df exactly like the
+    Robertson idf, but composed only of IEEE +,-,*,/ which DuckDB replays
+    bit-for-bit (libm ``ln`` may differ in the last ulp across engines), so
+    the driver value-hash gate covers the SCORES themselves, not just the
+    row set. Swap ``ln`` in for deployment ranking quality.
+
+    Scale shape: pass 1 folds (N, sum_dl, df_t) into ONE fixed-width
+    partial row per batch -> a Sum aggregate (bytes transit, never rows);
+    pass 2 re-tokenizes, scores each batch against the broadcast scalars
+    (the term loop is over the QUERY terms — each term is one Arrow
+    ``equal`` + cumsum-segment count, never a row loop), filters to
+    matching docs (corpus-fraction-sized), and a distributed sort +
+    ``limit(k)`` over that small subset yields the answer; only k rows
+    reach the driver. Output (rank, doc_id, dl, score), rank 1-based by
+    (score DESC, doc_id).
+    """
+    import ray.data.aggregate as agg
+
+    terms = tuple(terms)
+    nt = len(terms)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tfs(t: pa.Table):
+        flat, nw = _nonempty_words(t.column("text"))
+        offs = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
+        tfs = []
+        for term in terms:
+            eq = pc.equal(flat, term)
+            c = np.concatenate(
+                [[0], np.cumsum(np.asarray(
+                    eq.to_numpy(zero_copy_only=False), dtype=np.int64))])
+            tfs.append(c[offs[1:]] - c[offs[:-1]])
+        return nw, tfs
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        nw, tfs = _tfs(t)
+        cols = {"n_docs": pa.array([t.num_rows], type=pa.int64()),
+                "sum_dl": pa.array([int(nw.sum())], type=pa.int64())}
+        for i, tf in enumerate(tfs):
+            cols[f"df_{i}"] = pa.array([int((tf > 0).sum())],
+                                       type=pa.int64())
+        return pa.table(cols)
+
+    row = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        agg.Sum("n_docs"), agg.Sum("sum_dl"),
+        *[agg.Sum(f"df_{i}") for i in range(nt)])
+    n = float(row["sum(n_docs)"])
+    avgdl = float(row["sum(sum_dl)"]) / n
+    dfs = [float(row[f"sum(df_{i})"]) for i in range(nt)]
+    kp1 = k1 + 1.0
+    omb = 1.0 - b
+
+    def score(t: pa.Table) -> pa.Table:
+        nw, tfs = _tfs(t)
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dl = nw.astype(np.float64)
+        s = np.zeros(len(ids), dtype=np.float64)
+        any_tf = np.zeros(len(ids), dtype=np.int64)
+        # fixed left-to-right term order: the SQL oracle adds the same
+        # per-term expressions in the same order, so the float sum is
+        # bit-identical
+        for tf_i, df_i in zip(tfs, dfs):
+            tf = tf_i.astype(np.float64)
+            s = s + tf * kp1 / (tf + k1 * (omb + b * dl / avgdl)) \
+                * ((n - df_i + 0.5) / (df_i + 0.5))
+            any_tf = any_tf + tf_i
+        keep = any_tf > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "dl": pa.array(nw[keep].astype(np.int64), type=pa.int64()),
+            "score": pa.array(s[keep], type=pa.float64())})
+
+    top = (ds.map_batches(score, batch_format="pyarrow")
+             .sort(["score", "doc_id"], descending=[True, False])
+             .limit(k).to_pandas())
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top
+
+
+def bm25_oracle_sql(terms: tuple[str, ...] = DEFAULT_BM25_TERMS,
+                    k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of :func:`bm25_topk` — same tokenization, same
+    rational-idf BM25 arithmetic in the same operation order (bit-exact
+    doubles), same (score DESC, doc_id) top-k."""
+    kp1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(float(k1)), repr(float(b))
+    esc = [t.replace("'", "''") for t in terms]
+    tf_cols = ",\n         ".join(
+        f"CAST(count(*) FILTER (WHERE term = '{t}') AS BIGINT) AS tf{i}"
+        for i, t in enumerate(esc))
+    df_cols = ",\n         ".join(
+        f"CAST(count(*) FILTER (WHERE tf{i} > 0) AS DOUBLE) AS df{i}"
+        for i in range(len(esc)))
+    legs = "\n       + ".join(
+        f"(CAST(tf{i} AS DOUBLE) * {kp1} / (CAST(tf{i} AS DOUBLE) + {k1r}"
+        f" * ({omb} + {br} * CAST(dl AS DOUBLE) / avgdl))"
+        f" * ((n - df{i} + 0.5) / (df{i} + 0.5)))"
+        for i in range(len(esc)))
+    anytf = " + ".join(f"tf{i}" for i in range(len(esc)))
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+), wd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM ws GROUP BY doc_id
+), dlx AS (
+  SELECT d.doc_id, COALESCE(w.dl, 0) AS dl,
+         {", ".join(f"COALESCE(w.tf{i}, 0) AS tf{i}"
+                    for i in range(len(esc)))}
+  FROM documents d LEFT JOIN wd w ON w.doc_id = d.doc_id
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM dlx
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, dl, score
+FROM (
+  SELECT doc_id, dl,
+         {legs} AS score
+  FROM dlx, st
+  WHERE {anytf} > 0
+)
+ORDER BY score DESC, doc_id LIMIT {int(k)}"""

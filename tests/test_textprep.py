@@ -399,3 +399,30 @@ def test_exact_substr_spans_hashed_path_matches_strings(ray_session,
     b = (tp.exact_substr_spans(sf_tiny, w=8, hash_windows=True).to_pandas()
          .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bm25_topk_bit_exact_vs_sql_non_default_params(ray_session, sf_tiny):
+    """Non-default query terms / k / k1 / b: scores must be BIT-identical
+    to the DuckDB replay (the rational-idf variant exists exactly so the
+    float arithmetic is IEEE-reproducible across engines), ranks 1..n, and
+    every hit must actually contain a query term."""
+    import duckdb
+    import numpy as np
+
+    terms, k, k1, b = ("spark", "join"), 7, 1.5, 0.6
+    got = tp.bm25_topk(sf_tiny, terms=terms, k=k, k1=k1, b=b)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_tiny}/documents.parquet')")
+    exp = con.execute(tp.bm25_oracle_sql(terms=terms, k=k, k1=k1, b=b)).df()
+    assert (got["rank"].to_numpy() == np.arange(1, len(got) + 1)).all()
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy().view(np.uint64)
+            == exp["score"].to_numpy().view(np.uint64)).all()
+    # monotone non-increasing scores down the ranking
+    s = got["score"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+    docs = con.execute(
+        "SELECT text FROM documents WHERE doc_id IN "
+        f"({','.join(str(i) for i in got.doc_id)})").df()
+    assert all(any(t in txt.split() for t in terms) for txt in docs.text)
