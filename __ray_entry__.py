@@ -561,6 +561,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sp, batch_format="pyarrow")
         return a.union(b)
 
+    def links_captions_q(sf_dir: str):
+        # MERGED (one registry row): per-page raw/valid link counts
+        # ('links') + LAION-style per-image caption/inlink aggregation
+        # ('captions', image_caption_stats — first-seen caption, majority
+        # language, referrer diversity), section-tagged on (section, url,
+        # a, b, c, d, lang); -1 / '' = n/a for a leg
+        import pyarrow as _pa
+
+        def li(t):
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            return _pa.table({
+                "section": _pa.array(["links"] * t.num_rows,
+                                     type=_pa.string()),
+                "url": t.column("url").cast(_pa.string()),
+                "a": t.column("n_links_raw").cast(_pa.int64()),
+                "b": t.column("n_links_img").cast(_pa.int64()),
+                "c": neg, "d": neg,
+                "lang": _pa.array([""] * t.num_rows, type=_pa.string())})
+
+        def ca(t):
+            return _pa.table({
+                "section": _pa.array(["captions"] * t.num_rows,
+                                     type=_pa.string()),
+                "url": t.column("img").cast(_pa.string()),
+                "a": t.column("n_refs").cast(_pa.int64()),
+                "b": t.column("n_hosts").cast(_pa.int64()),
+                "c": t.column("first_doc").cast(_pa.int64()),
+                "d": t.column("first_caplen").cast(_pa.int64()),
+                "lang": t.column("top_lang").cast(_pa.string())})
+
+        return cq.q_extract_image_links(sf_dir).map_batches(
+            li, batch_format="pyarrow").union(
+            cq.image_caption_stats(sf_dir).map_batches(
+                ca, batch_format="pyarrow"))
+
     def postings_bm25_q(sf_dir: str):
         # MERGED (one registry row): inverted-index posting summaries
         # ('postings') + rational-idf BM25 retrieval top-k ('bm25' —
@@ -903,7 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   Z-order clustering layout (r5) — both per-doc layout maps
         # --- crawl stages (oracled) ---
         "crawl_units": crawl_units_all,     # base + kwgen grids
-        "extract_image_links": cq.q_extract_image_links,
+        "extract_image_links": links_captions_q,   # MERGED: + caption agg
         "crawl_frontier": cq.q_crawl_frontier,     # + robots verdict
         "crawl_schedule": cq.q_crawl_schedule,     # + crawl-delay round
         "crawl_fetch_status": cq.q_crawl_fetch_status,

@@ -316,6 +316,125 @@ def q_extract_all_pages(sf_dir: str):
     return ex.map_batches(project, batch_format="pyarrow")
 
 
+def image_caption_stats(sf_dir: str, num_buckets: int = 16):
+    """LAION-style per-image caption/inlink aggregation: every valid-ext
+    image link extracted from the page corpus is keyed by its full URL and
+    aggregated to (n_refs, n_distinct_hosts, first_doc, first_caplen,
+    top_lang) — the alt-text-aggregation step of an image-text-pair
+    pipeline (many pages embed the same image; pick the first-seen caption,
+    record the majority language and referrer diversity for filtering).
+    Reference analog: the validator's per-image dedup + keep-first
+    (``validator/integrity.py:130-148``) lifted to the caption domain.
+
+    Scale shape: links explode inside ``map_batches`` with a LOCAL
+    (img, host, lang) combine (partials bounded by batch rows), then ONE
+    img-keyed bucket exchange resolves distinct-host counts, the majority
+    language (ties -> lexicographically smallest), and the min-doc caption
+    stats. caplen uses the EXTRACTED text (byte-identical invariant), so
+    the oracle replays it as ``len(documents.text)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.extract import extracted_dataset
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ex = extracted_dataset(corpus.pages_dataset(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        links = t.column("image_links")
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        idx = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        if len(idx) == 0:
+            return pa.table({
+                "img": pa.array([], type=pa.string()),
+                "host": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "min_doc": pa.array([], type=pa.int64()),
+                "caplen": pa.array([], type=pa.int64())})
+        caplen = pc.utf8_length(t.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "img": pc.list_flatten(links).to_pandas().to_numpy(),
+            "host": t.column("host").take(pa.array(idx)).to_pandas()
+                     .to_numpy(),
+            "lang": t.column("lang").take(pa.array(idx)).to_pandas()
+                     .to_numpy(),
+            "doc_id": t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)[idx],
+            "caplen": caplen[idx]})
+        df = df.sort_values("doc_id", kind="mergesort")
+        g = df.groupby(["img", "host", "lang"], sort=False).agg(
+            n=("doc_id", "size"), min_doc=("doc_id", "min"),
+            caplen=("caplen", "first")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # all-vectorized per-bucket resolve (the img domain is corpus-sized
+        # — a per-img Python loop here would be a row loop in disguise)
+        base = g.groupby("img", sort=False).agg(
+            n_refs=("n", "sum"), n_hosts=("host", "nunique"),
+            first_doc=("min_doc", "min")).reset_index()
+        pl = (g.groupby(["img", "lang"], sort=False, as_index=False)["n"]
+              .sum()
+              .sort_values(["img", "n", "lang"],
+                           ascending=[True, False, True], kind="mergesort")
+              .drop_duplicates("img")[["img", "lang"]]
+              .rename(columns={"lang": "top_lang"}))
+        fd = (g.sort_values(["img", "min_doc"], kind="mergesort")
+              .drop_duplicates("img")[["img", "caplen"]]
+              .rename(columns={"caplen": "first_caplen"}))
+        out = base.merge(pl, on="img").merge(fd, on="img")
+        return out[["img", "n_refs", "n_hosts", "first_doc",
+                    "first_caplen", "top_lang"]].astype(
+            {"n_refs": "int64", "n_hosts": "int64",
+             "first_doc": "int64", "first_caplen": "int64"})
+
+    return per_bucket(ex.map_batches(partial, batch_format="pyarrow"),
+                      ["img"], merge, num_buckets=num_buckets)
+
+
+# caption-aggregation replay: same valid-ext link derivation as
+# extract_image_links, resolved per image URL (first-seen caption = min
+# doc, majority lang with lexical tie-break, distinct referrer hosts)
+_SQL_CAPTIONS = """
+WITH exts AS (
+  SELECT * FROM (VALUES (0,'.jpg'),(1,'.jpeg'),(2,'.png'),(3,'.gif'),
+                        (4,'.webp')) AS e(i, ext)
+), lk AS (
+  SELECT d.doc_id, d.lang, len(d.text) AS caplen,
+         'h' || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0
+                          ELSE 1 + (d.doc_id * 2654435761) % 499 END
+                     AS VARCHAR) || '.example.com' AS host,
+         'http://img.example.com/i/' ||
+           CAST((d.doc_id * 31 + j.j * 17) % 1000 AS VARCHAR) || e.ext
+           AS img
+  FROM documents d
+  JOIN generate_series(0, 2) AS j(j) ON j.j < d.doc_id % 4
+  JOIN exts e ON e.i = (d.doc_id + j.j) % 8
+  WHERE d.doc_id % 97 <> 13
+), fdoc AS (
+  SELECT img, doc_id, caplen FROM lk
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY img ORDER BY doc_id) = 1
+), plang AS (
+  SELECT img, lang, count(*) AS n FROM lk GROUP BY img, lang
+), toplang AS (
+  SELECT img, lang FROM plang
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY img ORDER BY n DESC, lang) = 1
+)
+SELECT lk.img, CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT lk.host) AS BIGINT) AS n_hosts,
+       CAST(min(lk.doc_id) AS BIGINT) AS first_doc,
+       CAST(min(fdoc.caplen) AS BIGINT) AS first_caplen,
+       min(tl.lang) AS top_lang
+FROM lk JOIN fdoc ON fdoc.img = lk.img JOIN toplang tl ON tl.img = lk.img
+GROUP BY lk.img"""
+
+
 # ------------------------------------------------------------ oracle SQL --
 
 def _engines_values() -> str:
@@ -513,16 +632,22 @@ agg AS (
          SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS c_img
   FROM l GROUP BY doc_id
 )
-SELECT 'http://h' || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0
+SELECT 'links' AS section,
+       'http://h' || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0
                                ELSE 1 + (d.doc_id * 2654435761) % 499 END
                           AS VARCHAR)
        || '.example.com'
        || CASE WHEN d.doc_id % 50 = 7
                THEN '/private/doc/' || CAST(d.doc_id AS VARCHAR)
                ELSE '/doc/' || CAST(d.doc_id AS VARCHAR) END AS url,
-       CAST(COALESCE(a.c_raw, 0) AS BIGINT) AS n_links_raw,
-       CAST(COALESCE(a.c_img, 0) AS BIGINT) AS n_links_img
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+       CAST(COALESCE(a.c_raw, 0) AS BIGINT) AS a,
+       CAST(COALESCE(a.c_img, 0) AS BIGINT) AS b,
+       CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d,
+       '' AS lang
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+UNION ALL
+SELECT 'captions', img, n_refs, n_hosts, first_doc, first_caplen, top_lang
+FROM (""" + _SQL_CAPTIONS + ")"
     out["crawl_frontier"] = _sql_cand() + """
 SELECT f.url, f.host, f.doc_id, f.seq, f.keyword, f.priority,
        NOT (f.host_id % 20 = 1 AND f.host_id <> 0

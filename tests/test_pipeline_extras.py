@@ -395,3 +395,25 @@ def test_upsert_latest_semantics(sf_tiny):
         else:
             assert view[d] == 1           # untouched
     assert len(got) == len(got["doc_id"].unique())
+
+
+def test_image_caption_stats_bucket_invariant(ray_session, sf_tiny):
+    """The caption aggregation is one img-keyed exchange; its result must
+    be invariant in the bucket count, and internally consistent (a caption
+    can't have more distinct hosts than references; first_doc must be a
+    doc that references the image)."""
+    import pandas as pd
+    from pixcrawler_ray.pipelines.crawl_queries import image_caption_stats
+
+    a = (image_caption_stats(sf_tiny, num_buckets=4).to_pandas()
+         .sort_values("img").reset_index(drop=True))
+    b = (image_caption_stats(sf_tiny, num_buckets=17).to_pandas()
+         .sort_values("img").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.n_hosts <= a.n_refs).all()
+    assert (a.first_caplen >= 0).all()
+    # every first_doc actually links the image (arithmetic replay)
+    for img, fd in zip(a.img.head(50), a.first_doc.head(50)):
+        links = [f"http://img.example.com/i/{(fd * 31 + j * 17) % 1000}"
+                 for j in range(fd % 4)]
+        assert any(img.rsplit(".", 1)[0] == u for u in links), (img, fd)
