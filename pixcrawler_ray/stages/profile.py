@@ -161,7 +161,15 @@ def exact_quantiles(sf_dir: str, table: str = "events", col: str = "value",
                          "lo": pa.array([v.min()]),
                          "hi": pa.array([v.max()])})
 
-    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    def mm_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [0], "n": [g["n"].sum()],
+                             "lo": [g["lo"].min()], "hi": [g["hi"].max()]})
+
+    # merge the 1-row partials DISTRIBUTEDLY (one keyed reduce) so the
+    # driver sees exactly one row, not one per batch — at 100 TB the
+    # per-batch concat would be an O(num_batches) driver materialization
+    mm = per_bucket(ds.map_batches(mm_partial, batch_format="pyarrow"),
+                    ["k"], mm_merge, num_buckets=1).to_pandas()
     n = int(mm["n"].sum())
     if n == 0:
         return pd.DataFrame({"q": list(qs), "n": 0, "value_i": np.int64(0)})

@@ -638,7 +638,13 @@ def pca_power_iteration(sf_dir: str, iters: int = 8, seed: int = 7,
             out[f"s{j}"] = pa.array([s[j]])
         return pa.table(out)
 
-    mp = ds.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
+    def mean_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False).sum().reset_index()
+
+    # merge partials distributedly (one keyed reduce, exact integer sums)
+    # so the driver reads ONE dim-width row, not one per batch
+    mp = per_bucket(ds.map_batches(mean_partial, batch_format="pyarrow"),
+                    ["k"], mean_merge, num_buckets=1).to_pandas()
     n = int(mp["n"].sum())
     dim = len([c for c in mp.columns if c.startswith("s")])
     qmean = np.array([int(mp[f"s{j}"].sum()) // n for j in range(dim)],
