@@ -555,11 +555,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "txt": _pa.array([""] * t.num_rows, type=_pa.string()),
             })
 
+        def bo(t):
+            return _pa.table({
+                "section": _pa.array(["boiler"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "a": t.column("n_segs").cast(_pa.int64()),
+                "b": t.column("n_kept").cast(_pa.int64()),
+                "txt": t.column("clean_text").cast(_pa.string()),
+            })
+
         a = tp.segment_dedup(sf_dir).map_batches(
             seg, batch_format="pyarrow")
         b = tp.exact_substr_spans(sf_dir, w=8).map_batches(
             sp, batch_format="pyarrow")
-        return a.union(b)
+        # r5: + CCNet boilerplate removal (drop ALL occurrences of
+        # segments with global occurrence count >= 3)
+        c = tp.boilerplate_filter(sf_dir, min_df=3).map_batches(
+            bo, batch_format="pyarrow")
+        return a.union(b).union(c)
+
+    def pack_cut_q(sf_dir: str):
+        # MERGED (one registry row): shuffled context packing ('pack',
+        # v = bin_id) + fixed-token training-mix cut ('cut', v = inclusive
+        # cum_end, included docs only — whole docs, never exceeds the
+        # budget), section-tagged on (section, doc_id, shuffle_rank,
+        # n_tokens, v); both ride the SAME distributed two-step prefix
+        # scan over the Lehmer shuffle order
+        import pyarrow as _pa
+
+        def pk(t):
+            return _pa.table({
+                "section": _pa.array(["pack"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "shuffle_rank": t.column("shuffle_rank").cast(_pa.int64()),
+                "n_tokens": t.column("n_tokens").cast(_pa.int64()),
+                "v": t.column("bin_id").cast(_pa.int64())})
+
+        def ct(t):
+            return _pa.table({
+                "section": _pa.array(["cut"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "shuffle_rank": t.column("shuffle_rank").cast(_pa.int64()),
+                "n_tokens": t.column("n_tokens").cast(_pa.int64()),
+                "v": t.column("cum_end").cast(_pa.int64())})
+
+        return tp.pack_contexts(sf_dir, budget=256).map_batches(
+            pk, batch_format="pyarrow").union(
+            tp.token_budget_cut(sf_dir, budget_tokens=20_000).map_batches(
+                ct, batch_format="pyarrow"))
 
     def links_captions_q(sf_dir: str):
         # MERGED (one registry row): per-page raw/valid link counts
@@ -971,7 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_norm_q,   # MERGED: pii_scrub + text_normalize
         "segment_dedup": segment_spans_q,   # MERGED: + exact_substr_spans
         "term_postings": postings_bm25_q,   # MERGED: + BM25 retrieval top-k
-        "pack_contexts": lambda sf: tp.pack_contexts(sf, budget=256),
+        "pack_contexts": pack_cut_q,    # MERGED: + token-budget cut
         "bigram_lm_stats": bigram_lm_both_q,   # both size-switch paths
         # --- frontier URL normalization / robots / graph (oracled) ---
         "url_canonical_dedup": url_canonical_dedup_q,  # canon + collapse
@@ -2160,13 +2206,40 @@ SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
        CAST(MAX(p) + 8 AS BIGINT) AS span_end
 FROM grp GROUP BY doc_id, gid"""
 
+    # boilerplate_filter: drop ALL occurrences of segments whose global
+    # occurrence count >= 3, reassemble survivors in order
+    _boiler_sql = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), segs0 AS (
+  SELECT doc_id, w, CAST(ceil(len(w) / 12.0) AS BIGINT) AS n_segs,
+         unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS seg_idx
+  FROM ws
+), segs AS (
+  SELECT doc_id, seg_idx, n_segs,
+         array_to_string(w[(seg_idx * 12 + 1):(seg_idx * 12 + 12)], ' ')
+           AS seg_text
+  FROM segs0
+), rare AS (
+  SELECT * FROM segs
+  QUALIFY count(*) OVER (PARTITION BY seg_text) < 3
+)
+SELECT doc_id, any_value(n_segs) AS n_segs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+FROM rare GROUP BY doc_id"""
+
     out["segment_dedup"] = (
         "WITH sd AS (" + out["segment_dedup"] + "),\n"
-        "sp AS (" + _spans_sql + """)
+        "sp AS (" + _spans_sql + "),\n"
+        "bo AS (" + _boiler_sql + """)
 SELECT 'segment' AS section, doc_id, n_segs AS a, n_kept AS b,
        clean_text AS txt FROM sd
 UNION ALL
-SELECT 'spans', doc_id, span_start, span_end, '' FROM sp""")
+SELECT 'spans', doc_id, span_start, span_end, '' FROM sp
+UNION ALL
+SELECT 'boiler', doc_id, n_segs, n_kept, clean_text FROM bo""")
 
     # term_postings: posting-list summary per term (df/tf/min/max/sum of
     # distinct doc ids)
@@ -2203,12 +2276,20 @@ WITH toks AS (
          CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
               AS BIGINT) AS n_tokens
   FROM documents
+), scan AS (
+  SELECT doc_id, shuffle_rank, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix_before
+  FROM toks
 )
-SELECT doc_id, shuffle_rank, n_tokens,
-       CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_rank
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
-            AS BIGINT) AS bin_id
-FROM toks"""
+SELECT 'pack' AS section, doc_id, shuffle_rank, n_tokens,
+       CAST(prefix_before // 256 AS BIGINT) AS v
+FROM scan
+UNION ALL
+SELECT 'cut', doc_id, shuffle_rank, n_tokens,
+       prefix_before + n_tokens
+FROM scan WHERE prefix_before + n_tokens <= 20000"""
 
     # bigram_lm_stats: global bigram/context counts joined back per doc;
     # the engine runs BOTH size-switch paths (broadcast + bucketed join),

@@ -247,25 +247,62 @@ def segment_dedup(sf_dir: str, k: int = 12, num_buckets: int = 32):
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     kept = keep_first_n(exploded, ["seg_text"], "ord", 1,
                         num_buckets=num_buckets)
+    return per_bucket(kept, ["doc_id"], _reassemble_kept_segments,
+                      num_buckets=num_buckets)
 
-    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
-        ids, counts = np.unique(df["doc_id"].to_numpy(), return_counts=True)
-        # np.unique sorts ascending and df is doc-sorted, so counts align
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        seg_list = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(df["seg_text"].to_numpy(),
-                                        type=pa.string()))
-        clean = pc.binary_join(seg_list, " ")
-        first = df.groupby("doc_id", sort=True)["n_segs"].first()
-        return pd.DataFrame({
-            "doc_id": ids,
-            "n_segs": first.to_numpy().astype(np.int64),
-            "n_kept": counts.astype(np.int64),
-            "clean_text": clean.to_pandas().to_numpy(),
-        })
 
-    return per_bucket(kept, ["doc_id"], reassemble,
+def _reassemble_kept_segments(df: pd.DataFrame) -> pd.DataFrame:
+    """Doc-keyed reassembly kernel shared by segment_dedup and
+    boilerplate_filter: rebuild each doc's clean_text from its surviving
+    segments in (doc_id, seg_idx) order via one Arrow binary_join."""
+    df = df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+    ids, counts = np.unique(df["doc_id"].to_numpy(), return_counts=True)
+    # np.unique sorts ascending and df is doc-sorted, so counts align
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    seg_list = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(df["seg_text"].to_numpy(),
+                                    type=pa.string()))
+    clean = pc.binary_join(seg_list, " ")
+    first = df.groupby("doc_id", sort=True)["n_segs"].first()
+    return pd.DataFrame({
+        "doc_id": ids,
+        "n_segs": first.to_numpy().astype(np.int64),
+        "n_kept": counts.astype(np.int64),
+        "clean_text": clean.to_pandas().to_numpy(),
+    })
+
+
+def boilerplate_filter(sf_dir: str, min_df: int = 3, k: int = 12,
+                       num_buckets: int = 32):
+    """CCNet-style boilerplate removal: drop every segment whose GLOBAL
+    occurrence count across the corpus is >= ``min_df`` (nav menus,
+    footers, cookie banners — text repeated verbatim on many pages), keep
+    everything else, and reassemble each doc from its surviving segments
+    in order. Unlike ``segment_dedup`` (which keeps the FIRST occurrence
+    of a repeated segment), boilerplate removal drops ALL occurrences of a
+    frequent segment — the two compose: boilerplate first, then dedup.
+    Docs whose segments are all boilerplate drop out. Output
+    (doc_id, n_segs, n_kept, clean_text).
+
+    Scale shape: identical to segment_dedup — one seg_text-keyed bucket
+    exchange (the per-group kernel counts occurrences and emits all rows
+    of groups under the threshold; partials bounded by bucket size), then
+    one doc-keyed reassembly exchange. No broadcast of the segment-count
+    table (it is corpus-sized) and no driver materialization."""
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        return explode_segments(t, k=k)
+
+    def rare_only(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("seg_text", sort=False)["doc_id"].transform("size")
+        return df[cnt.to_numpy() < min_df]
+
+    rare = per_bucket(ds.map_batches(explode, batch_format="pyarrow"),
+                      ["seg_text"], rare_only, num_buckets=num_buckets)
+    return per_bucket(rare, ["doc_id"], _reassemble_kept_segments,
                       num_buckets=num_buckets)
 
 
@@ -440,13 +477,12 @@ _PACK_RANGES = 64
 _MERS31 = 2147483647
 
 
-def pack_contexts(sf_dir: str, budget: int = 256):
-    """Shuffled sequence packing: order docs by a seeded deterministic
-    shuffle key (the Lehmer rank — the global training shuffle), then
-    assign each doc to a fixed-token-budget context bin by CUMULATIVE token
-    count: ``bin_id = floor(prefix_tokens_before_me / budget)`` — the
-    sequence-packing step that turns a curated corpus into training
-    contexts.
+def scan_prefix_tokens(sf_dir: str):
+    """Distributed EXCLUSIVE prefix sum of per-doc token counts in the
+    seeded global shuffle order (Lehmer rank) — the shared scan primitive
+    behind ``pack_contexts`` (bin = prefix // budget) and
+    ``token_budget_cut`` (include while prefix + n_tokens <= budget).
+    Returns (doc_id, shuffle_rank, n_tokens, prefix_before), all int64.
 
     The global prefix sum is distributed as a two-step scan (no sort, no
     driver-side row loop):
@@ -458,9 +494,9 @@ def pack_contexts(sf_dir: str, budget: int = 256):
     2. one range-keyed bucket shuffle; each range kernel sorts its ranks,
        local-cumsums, and adds its broadcast base — exact global prefix.
 
-    Output (doc_id, shuffle_rank, n_tokens, bin_id), all int64. Ranks are
-    collision-free below 2^31-1 ids (Lehmer bijection), so the order — and
-    the packing — is total and resume-stable."""
+    Ranks are collision-free below 2^31-1 ids (Lehmer bijection), so the
+    order — and everything derived from the scan — is total and
+    resume-stable."""
     from pixcrawler_ray.stages.sample import lehmer_rank
     from pixcrawler_ray.stages.shuffle import per_bucket
 
@@ -515,12 +551,58 @@ def pack_contexts(sf_dir: str, budget: int = 256):
         prev = prev + np.repeat(bases,
                                 np.diff(np.append(starts, len(rng))))
         out = df[["doc_id", "shuffle_rank", "n_tokens"]].copy()
-        out["bin_id"] = prev // budget
+        out["prefix_before"] = prev
         return out
 
     # each range is one key → lands whole in one kernel; ranges are
     # uniform by construction so no hot bucket
     return per_bucket(toks, ["rng"], pack, num_buckets=8)
+
+
+def pack_contexts(sf_dir: str, budget: int = 256):
+    """Shuffled sequence packing: assign each doc to a fixed-token-budget
+    context bin by CUMULATIVE token count in the seeded global shuffle
+    order: ``bin_id = floor(prefix_tokens_before_me / budget)`` — the
+    sequence-packing step that turns a curated corpus into training
+    contexts. Output (doc_id, shuffle_rank, n_tokens, bin_id), all int64.
+    One vectorized map over the distributed scan (``scan_prefix_tokens``)."""
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.divide(t.column("prefix_before"),
+                      pa.scalar(budget, type=pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "shuffle_rank": t.column("shuffle_rank"),
+                         "n_tokens": t.column("n_tokens"),
+                         "bin_id": b})
+
+    return scan_prefix_tokens(sf_dir).map_batches(
+        binned, batch_format="pyarrow")
+
+
+def token_budget_cut(sf_dir: str, budget_tokens: int = 20_000):
+    """Fixed-token training-mix cut: take WHOLE docs in the seeded global
+    shuffle order until the token budget is exhausted — a doc is included
+    iff its inclusive prefix ``prefix_before + n_tokens <= budget_tokens``
+    (never exceeds the budget; deterministic, resume-stable). The standard
+    "give me exactly <= N tokens of this corpus, uniformly shuffled" step
+    before training. Output (doc_id, shuffle_rank, n_tokens, cum_end) for
+    the INCLUDED docs only, all int64.
+
+    Scale shape: one vectorized filter-map over the same distributed
+    two-step prefix scan as ``pack_contexts`` — no sort, no driver rows
+    beyond the 64-row range table."""
+
+    def cut(t: pa.Table) -> pa.Table:
+        cum = pc.add(t.column("prefix_before"), t.column("n_tokens"))
+        keep = pc.less_equal(cum, pa.scalar(budget_tokens, type=pa.int64()))
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "shuffle_rank": t.column("shuffle_rank"),
+                        "n_tokens": t.column("n_tokens"),
+                        "cum_end": cum})
+        return out.filter(keep)
+
+    return scan_prefix_tokens(sf_dir).map_batches(
+        cut, batch_format="pyarrow")
 
 
 def doc_bigrams(t: pa.Table) -> pd.DataFrame:

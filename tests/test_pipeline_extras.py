@@ -417,3 +417,58 @@ def test_image_caption_stats_bucket_invariant(ray_session, sf_tiny):
         links = [f"http://img.example.com/i/{(fd * 31 + j * 17) % 1000}"
                  for j in range(fd % 4)]
         assert any(img.rsplit(".", 1)[0] == u for u in links), (img, fd)
+
+
+def test_boilerplate_filter_drops_all_frequent_segments(ray_session,
+                                                        sf_tiny):
+    """boilerplate_filter must drop EVERY occurrence of a segment whose
+    global count >= min_df (vs segment_dedup's keep-first), be bucket-
+    invariant, and never keep more segments than the doc has."""
+    import pandas as pd
+    from collections import Counter
+    from pixcrawler_ray.stages.textprep import (boilerplate_filter,
+                                                explode_segments)
+    from pixcrawler_ray import corpus  # noqa: F401 (fixture parity)
+    from pixcrawler_ray.sources.readers import read_table
+
+    a = (boilerplate_filter(sf_tiny, min_df=3, num_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (boilerplate_filter(sf_tiny, min_df=3, num_buckets=13).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.n_kept <= a.n_segs).all() and (a.n_kept > 0).all()
+    # serial replay: global segment counts, then per-doc surviving text
+    docs = read_table(sf_tiny, "documents",
+                      columns=["doc_id", "text"]).to_pandas()
+    import pyarrow as pa
+    segs = explode_segments(pa.Table.from_pandas(docs)).to_pandas()
+    cnt = Counter(segs.seg_text)
+    keep = segs[segs.seg_text.map(cnt) < 3]
+    exp = (keep.sort_values(["doc_id", "seg_idx"])
+           .groupby("doc_id")["seg_text"].agg(" ".join))
+    got = dict(zip(a.doc_id, a.clean_text))
+    assert got == exp.to_dict()
+
+
+def test_token_budget_cut_boundary(ray_session, sf_tiny):
+    """The cut takes whole docs in Lehmer order while the inclusive prefix
+    fits: total <= budget, and the FIRST excluded doc in rank order would
+    overflow it."""
+    from pixcrawler_ray.stages.textprep import (scan_prefix_tokens,
+                                                token_budget_cut)
+
+    budget = 5_000
+    cut = (token_budget_cut(sf_tiny, budget_tokens=budget).to_pandas()
+           .sort_values("shuffle_rank"))
+    assert (cut.cum_end <= budget).all()
+    assert (cut.cum_end == cut.n_tokens.cumsum()).all()   # contiguous run?
+    full = (scan_prefix_tokens(sf_tiny).to_pandas()
+            .sort_values("shuffle_rank").reset_index(drop=True))
+    included = set(cut.doc_id)
+    excl = full[~full.doc_id.isin(included)]
+    if len(excl):
+        first_out = excl.iloc[0]
+        assert first_out.prefix_before + first_out.n_tokens > budget
+        # the cut is a PREFIX of the shuffle order: every included rank
+        # precedes the first excluded rank
+        assert (cut.shuffle_rank < first_out.shuffle_rank).all()
