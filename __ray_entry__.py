@@ -88,10 +88,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "label": t.column("label").cast(_pa.int64()),
                 "split": t.column("split").cast(_pa.string())})
 
-        surv, _ = dd.dedup_minhash(sf_dir, threshold=0.8)
-        best = dd.dedup_best_rep(sf_dir, threshold=0.8)
+        # ONE MinHash verify + ONE label propagation shared by all three
+        # cluster consumers (survivors / best-rep / split) — the verify
+        # chain is the heaviest shuffle in the repo; don't run it thrice
+        verified = dd.minhash_verified_pairs(sf_dir, 0.8).materialize()
+        labels = (dd.min_label_components(verified)
+                  if verified.count() else None)
+        surv, _ = dd.dedup_minhash(sf_dir, threshold=0.8,
+                                   verified=verified, labels=labels)
+        best = dd.dedup_best_rep(sf_dir, threshold=0.8,
+                                 verified=verified, labels=labels)
         sim = dd.dedup_simhash(sf_dir).select_columns(["doc_id"])
-        split = dd.dedup_cluster_split(sf_dir, threshold=0.8)
+        split = dd.dedup_cluster_split(sf_dir, threshold=0.8,
+                                       verified=verified, labels=labels)
         return surv.map_batches(tag("minroot"),
                                 batch_format="pyarrow").union(
             best.map_batches(tag("bestrep"), batch_format="pyarrow"),
@@ -2130,14 +2139,14 @@ WITH aug AS (
               || CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END AS t
   FROM documents
 ), s1 AS (
-  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n_before,
          trim(regexp_replace(regexp_replace(nfc_normalize(t),
               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
               '[ \t\r\n\f\v]+', ' ', 'g'), ' ') AS nt
   FROM aug
 )
 SELECT doc_id, n_before, CAST(length(nt) AS BIGINT) AS n_after,
-       CAST(n_before <> length(nt) AS BIGINT) AS changed,
+       CAST(t <> nt AS BIGINT) AS changed,
        nt AS norm_text
 FROM s1"""
 

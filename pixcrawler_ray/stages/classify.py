@@ -54,11 +54,13 @@ def logreg_train_quality(sf_dir: str, iters: int = 60, lr: float = 10.0,
     dim = len(FEATURES) + 1
     gcols = [f"g{j}" for j in range(dim)]
     w = np.zeros(dim, dtype=np.float64)
-    n_total = stats.count()
 
     compact = stats.map_batches(
         lambda t: t.select(["doc_id"] + list(FEATURES) + ["lr_ok"]),
         batch_format="pyarrow").materialize()   # 5 ints + bool per doc
+    # count the MATERIALIZED projection — counting `stats` would run the
+    # whole quality/repetition scan a second time
+    n_total = compact.count()
 
     for _ in range(iters):
         w_ref = ray.put(w)

@@ -113,7 +113,10 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 32):
                          "text_md5": pa.array(md5, type=pa.string()),
                          "is_new": pa.array(ids % 10 >= 7)})
 
-    hashed = ds.map_batches(add_md5_split, batch_format="pyarrow")
+    # pin the hashed table: it feeds BOTH anti-join sides, and without
+    # materialize each consumer re-reads + re-hashes the whole corpus
+    hashed = ds.map_batches(add_md5_split,
+                            batch_format="pyarrow").materialize()
     new = hashed.filter(expr="is_new == True").drop_columns(["is_new"])
     prior_keys = (hashed.filter(expr="is_new == False")
                   .select_columns(["text_md5"]))
@@ -515,7 +518,8 @@ def min_label_components(pairs_ds, num_buckets: int = 16,
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 128,
-                  shingle_k: int = 3, bands: int = 16):
+                  shingle_k: int = 3, bands: int = 16,
+                  verified=None, labels=None):
     """Full MinHash-LSH near-dup: candidates -> distributed exact-Jaccard
     verify -> distributed min-label clusters -> survivors (min doc_id per
     cluster).
@@ -523,13 +527,19 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 128,
     Returns (survivors_ds, verified_pairs_ds). Every stage is a Dataset
     pipeline: verification is a bucketed pairs ⨝ shingles join, clustering is
     iterated min-label propagation (no driver union-find, no corpus pull).
-    """
-    verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
-                                      shingle_k, bands).materialize()
+
+    ``verified`` / ``labels`` let callers that run several cluster
+    consumers (survivors + best-rep + split) share ONE verify + one
+    label propagation instead of re-running the heaviest shuffle chain
+    per consumer."""
+    if verified is None:
+        verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
+                                          shingle_k, bands).materialize()
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     if verified.count() == 0:
         return docs, verified
-    labels = min_label_components(verified)
+    if labels is None:
+        labels = min_label_components(verified)
     # dropped = non-root cluster members, kept DISTRIBUTED: a dataset of
     # integer ids, removed via the size-switched broadcast/anti-join filter
     # (no O(dups) driver structure — round-2 finding #3)
@@ -864,7 +874,8 @@ def embedding_srp_pairs(sf_dir: str, threshold: float = 0.98,
 
 def dedup_best_rep(sf_dir: str, threshold: float = 0.8,
                    num_perms: int = 128, shingle_k: int = 3,
-                   bands: int = 16, num_buckets: int = 16):
+                   bands: int = 16, num_buckets: int = 16,
+                   verified=None, labels=None):
     """Near-dup cluster REPRESENTATIVE selection (the RefinedWeb/CCNet
     curation shape): same MinHash-LSH verify + min-label clustering as
     :func:`dedup_minhash`, but instead of keep-min-doc-id, keep the
@@ -880,12 +891,14 @@ def dedup_best_rep(sf_dir: str, threshold: float = 0.8,
     from pixcrawler_ray.stages.shuffle import bucketed_join, per_bucket
     from pixcrawler_ray.stages.textstats import quality_repetition
 
-    verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
-                                      shingle_k, bands).materialize()
+    if verified is None:
+        verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
+                                          shingle_k, bands).materialize()
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     if verified.count() == 0:
         return docs
-    labels = min_label_components(verified, num_buckets=num_buckets)
+    if labels is None:
+        labels = min_label_components(verified, num_buckets=num_buckets)
 
     margins = quality_repetition(sf_dir).map_batches(
         lambda t: pa.table({"doc": t.column("doc_id").cast(pa.int64()),
@@ -950,16 +963,10 @@ def semdedup(sf_dir: str, n_clusters: int = 16, eps: float = 0.95,
     def assign(t: pa.Table) -> pa.Table:
         # zero-copy Arrow: list<float> values reshape to (n, dim) — the
         # embedding column itself never round-trips through pandas objects
+        from pixcrawler_ray.stages.simsearch import (_normalize,
+                                                     list_column_matrix)
         cent = ray.get(cent_ref)
-        emb = t.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        offs = np.asarray(emb.offsets)
-        vals = np.asarray(emb.values, dtype=np.float64)
-        mat = vals[offs[0]:offs[-1]].reshape(t.num_rows, -1)
-        norm = np.linalg.norm(mat, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        sims = (mat / norm) @ cent.T
+        sims = _normalize(list_column_matrix(t)) @ cent.T
         cid = np.argmax(sims, axis=1)
         t = t.append_column("cluster_id", pa.array(cid.astype(np.int64)))
         return t.append_column("cent_sim_e6", pa.array(np.rint(
@@ -1015,7 +1022,8 @@ SPLIT_MULT = 48271        # MINSTD — the split hash the SQL oracle mirrors
 def dedup_cluster_split(sf_dir: str, threshold: float = 0.8,
                         heldout_pct: int = 10, num_perms: int = 128,
                         shingle_k: int = 3, bands: int = 16,
-                        num_buckets: int = 16):
+                        num_buckets: int = 16,
+                        verified=None, labels=None):
     """Leakage-safe train/held-out split: the split key is the NEAR-DUP
     CLUSTER label, not the document id, so near-duplicates can never
     straddle the boundary (the C4/Pile practice of dedup-aware eval splits
@@ -1032,8 +1040,9 @@ def dedup_cluster_split(sf_dir: str, threshold: float = 0.8,
     """
     from pixcrawler_ray.stages.shuffle import bucketed_join
 
-    verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
-                                      shingle_k, bands).materialize()
+    if verified is None:
+        verified = minhash_verified_pairs(sf_dir, threshold, num_perms,
+                                          shingle_k, bands).materialize()
     docs = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         lambda t: pa.table({"doc": t.column("doc_id").cast(pa.int64())}),
         batch_format="pyarrow")
@@ -1056,7 +1065,8 @@ def dedup_cluster_split(sf_dir: str, threshold: float = 0.8,
 
     if verified.count() == 0:
         return docs.map_batches(assign, batch_format="pyarrow")
-    labels = min_label_components(verified, num_buckets=num_buckets)
+    if labels is None:
+        labels = min_label_components(verified, num_buckets=num_buckets)
     joined = bucketed_join(docs, labels, on="doc", how="left",
                            num_buckets=num_buckets)
     return joined.map_batches(assign, batch_format="pyarrow")

@@ -236,10 +236,14 @@ class FakeDecoder:
         png = decode_png(payload)
         if png is not None:
             arr = png[0]
-            if arr.ndim == 3:       # ITU-R 601-2 luminance (PIL 'L' parity)
-                arr = ((299 * arr[:, :, 0].astype(np.int64)
-                        + 587 * arr[:, :, 1]
-                        + 114 * arr[:, :, 2]) // 1000).astype(np.uint8)
+            if arr.ndim == 3:
+                # PIL 'L' fixed-point luminance (ImagingConvert L24:
+                # (R*19595 + G*38470 + B*7471) >> 16) — bit-identical to
+                # the PIL path so the decode is environment-independent
+                a64 = arr.astype(np.int64)   # cast FIRST: 38470*uint8
+                # silently wraps through uint16 under value-based casting
+                arr = ((19595 * a64[:, :, 0] + 38470 * a64[:, :, 1]
+                        + 7471 * a64[:, :, 2]) >> 16).astype(np.uint8)
             return arr
         if self.strict:
             raise NotImplementedError(

@@ -97,9 +97,6 @@ def domain_mixture(sf_dir: str, weights: dict[str, int] | None = None):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-_PPS_RANGES = 64
-
-
 def sample_pps_systematic(sf_dir: str, k: int = 200, num_buckets: int = 8):
     """Systematic probability-proportional-to-size sampling: order docs by
     the deterministic Lehmer shuffle rank, take the token-count prefix sum
@@ -109,13 +106,12 @@ def sample_pps_systematic(sf_dir: str, k: int = 200, num_buckets: int = 8):
     PPS design for picking evaluation/holdout docs so long docs are not
     under-represented.
 
-    Scale shape: the SAME two-step distributed prefix scan as
-    ``textprep.pack_contexts`` — ranks are uniform on [0, 2^31-1), so
-    ``rank * R >> 31`` range-partitions the order; per-range token totals
-    (R = 64 rows) are exclusive-scanned on the driver and broadcast; one
-    range-keyed exchange finishes the exact global prefix; selection is a
-    vectorized floor-division compare. No sort, no corpus-sized driver
-    state. Integer arithmetic throughout => exact SQL replay with
+    Scale shape: rides ``textprep.scan_prefix_tokens`` (the shared
+    two-step distributed prefix scan — one keyed exchange, 64-row driver
+    table); the total for the stride is one Ray aggregate over the
+    materialized scan, and the boundary selection is a stateless
+    vectorized floor-division map — no second exchange. Integer
+    arithmetic throughout => exact SQL replay with
     ``SUM(...) OVER (ORDER BY rank)``.
 
     Output (doc_id, n_tokens, pick_idx) for kept docs, pick_idx the
@@ -123,63 +119,25 @@ def sample_pps_systematic(sf_dir: str, k: int = 200, num_buckets: int = 8):
     increasing along the shuffle order; a doc spanning m boundaries
     appears once with the highest index, matching the SQL replay).
     """
-    import pandas as pd
+    import ray.data.aggregate as agg
 
-    from pixcrawler_ray.stages.shuffle import per_bucket
-    from pixcrawler_ray.stages.textprep import _nonempty_words
+    from pixcrawler_ray.stages.textprep import scan_prefix_tokens
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def tokens(t: pa.Table) -> pa.Table:
-        _, nw = _nonempty_words(t.column("text"))
-        ids = t.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rank = lehmer_rank(ids)
-        return pa.table({"doc_id": pa.array(ids),
-                         "rank": pa.array(rank),
-                         "n_tokens": pa.array(nw.astype(np.int64)),
-                         "rng": pa.array((rank * _PPS_RANGES) >> 31)})
-
-    toks = ds.map_batches(tokens, batch_format="pyarrow")
-
-    def range_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"rng": t.column("rng").to_numpy(),
-                           "tok": t.column("n_tokens").to_numpy()})
-        return pa.Table.from_pandas(
-            df.groupby("rng", sort=False)["tok"].sum().reset_index(),
-            preserve_index=False)
-
-    def range_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("rng", sort=False)["tok"].sum().reset_index()
-
-    totals = per_bucket(toks.map_batches(range_partial,
-                                         batch_format="pyarrow"),
-                        ["rng"], range_merge, num_buckets=2).to_pandas()
-    totals = totals.sort_values("rng")
-    cum = np.cumsum(totals["tok"].to_numpy())
-    base = dict(zip(totals["rng"].to_numpy(),
-                    np.concatenate([[0], cum[:-1]]).astype(np.int64)))
-    total = int(cum[-1]) if len(cum) else 0
+    scan = scan_prefix_tokens(sf_dir).materialize()
+    row = scan.aggregate(agg.Sum("n_tokens"))
+    total = int(row["sum(n_tokens)"] or 0)
     stride = max(1, total // k)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["rng", "rank"], kind="mergesort")
-        tok = df["n_tokens"].to_numpy().astype(np.int64)
-        rng = df["rng"].to_numpy().astype(np.int64)
-        cum_prev = np.concatenate([[0], np.cumsum(tok)[:-1]])
-        starts = np.flatnonzero(np.concatenate(
-            [[True], rng[1:] != rng[:-1]]))
-        prev = cum_prev - np.repeat(cum_prev[starts],
-                                    np.diff(np.append(starts, len(rng))))
-        bases = np.array([base.get(int(r), 0) for r in rng[starts]],
-                         dtype=np.int64)
-        prev = prev + np.repeat(bases,
-                                np.diff(np.append(starts, len(rng))))
+    def pick(t: pa.Table) -> pa.Table:
+        prev = t.column("prefix_before").to_numpy(zero_copy_only=False)
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)
         after = prev + tok
         keep = (after // stride) > (prev // stride)
-        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
-                            "n_tokens": tok[keep],
-                            "pick_idx": (after // stride)[keep]})
-        return out
+        return pa.table({
+            "doc_id": pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False)[keep],
+                type=pa.int64()),
+            "n_tokens": pa.array(tok[keep], type=pa.int64()),
+            "pick_idx": pa.array((after // stride)[keep], type=pa.int64())})
 
-    return per_bucket(toks, ["rng"], pick, num_buckets=num_buckets)
+    return scan.map_batches(pick, batch_format="pyarrow")

@@ -25,6 +25,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norm
 
 
+def list_column_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Zero-copy ``list<float>`` column -> (n, dim) float64 matrix — the
+    ONE shared kernel for every embedding consumer (kmeans, power
+    iteration, semdedup, …). The ``offs[0]:offs[-1]`` slice is load-
+    bearing: a sliced/chunked Arrow array has non-zero start offsets, and
+    reshaping the raw values buffer without it reads the wrong rows."""
+    emb = t.column(col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    offs = np.asarray(emb.offsets)
+    vals = np.asarray(emb.values, dtype=np.float64)
+    return vals[offs[0]:offs[-1]].reshape(t.num_rows, -1)
+
+
 def load_query_vectors(sf_dir: str, query_vec_ids: list[int]) -> np.ndarray:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
@@ -520,15 +534,7 @@ def kmeans_fit_full(sf_dir: str, k: int = 16, iters: int = 5,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def _mat(t: pa.Table) -> np.ndarray:
-        emb = t.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        offs = np.asarray(emb.offsets)
-        vals = np.asarray(emb.values, dtype=np.float64)
-        m = vals[offs[0]:offs[-1]].reshape(t.num_rows, -1)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        return m / n
+        return _normalize(list_column_matrix(t))
 
     dim = sample.shape[1]
     sum_cols = [f"s{j}" for j in range(dim)]
@@ -621,13 +627,7 @@ def pca_power_iteration(sf_dir: str, iters: int = 8, seed: int = 7,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def _qmat(t: pa.Table) -> np.ndarray:
-        emb = t.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        offs = np.asarray(emb.offsets)
-        vals = np.asarray(emb.values, dtype=np.float64)
-        m = vals[offs[0]:offs[-1]].reshape(t.num_rows, -1)
-        return np.rint(m * Q).astype(np.int64)
+        return np.rint(list_column_matrix(t) * Q).astype(np.int64)
 
     # pass 0: integer mean sums
     def mean_partial(t: pa.Table) -> pa.Table:

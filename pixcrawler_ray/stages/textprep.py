@@ -130,8 +130,11 @@ def normalize_text_batch(t: pa.Table, col: str = "text") -> pa.Table:
     t = t.append_column("norm_text", s4)
     t = t.append_column("n_before", n_before.cast(pa.int64()))
     t = t.append_column("n_after", n_after.cast(pa.int64()))
+    # string inequality, not length inequality: length-preserving edits
+    # (tab -> space) must still report changed=1
     return t.append_column(
-        "changed", pc.cast(pc.not_equal(n_before, n_after), pa.int64()))
+        "changed", pc.cast(pc.not_equal(t.column(col).cast(pa.string()), s4),
+                           pa.int64()))
 
 
 def text_normalize(sf_dir: str):
@@ -821,9 +824,10 @@ def lm_quality_buckets(sf_dir: str, cap: int = 1 << 20,
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
     cuts = []
-    for q in (1.0 / 3, 2.0 / 3):
-        idx = max(0, math.ceil(q * n) - 1)
-        cuts.append(int(values[np.searchsorted(cum, idx + 1)]))
+    if n:       # guard BEFORE indexing: empty corpus -> empty histogram
+        for q in (1.0 / 3, 2.0 / 3):
+            idx = max(0, math.ceil(q * n) - 1)
+            cuts.append(int(values[np.searchsorted(cum, idx + 1)]))
     c1, c2 = cuts if n else (0, 0)
 
     def bucketize(t: pa.Table) -> pa.Table:

@@ -227,11 +227,13 @@ def test_vendored_png_decode_real_pixels():
     # through the decode stage with PIL pinned OFF: true pixels, not fake
     dec = FakeDecoder(use_pil=False)
     assert np.array_equal(dec._decode(payload), img)
-    # RGB decodes through ITU-R 601-2 luminance
+    # RGB decodes through PIL's exact fixed-point 'L' luminance
     rgb = np.zeros((4, 4, 3), dtype=np.uint8)
-    rgb[:, :, 0] = 200
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 100, 250
     lum = dec._decode(encode_png(rgb))
-    assert lum.shape == (4, 4) and (lum == 200 * 299 // 1000).all()
+    expect = (200 * 19595 + 100 * 38470 + 250 * 7471) >> 16
+    assert lum.shape == (4, 4) and (lum == expect).all()
+    assert expect == 146        # //1000 truncation would give 147
     # header-only / truncated payloads fall through to the fake kernel
     assert decode_png(payload[:40]) is None
 
