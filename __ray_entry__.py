@@ -293,8 +293,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cur.union(ded)
 
     def url_canonical_dedup_q(sf_dir: str):
-        from pixcrawler_ray.stages.urlnorm import url_canonical_dedup
-        return url_canonical_dedup(sf_dir)
+        # MERGED (one registry row): canonicalize + alias collapse
+        # ('canon') + redirect-chain resolution by pointer doubling
+        # ('redirect', resolve_redirects — final target, hop count, loop
+        # flag), section-tagged on (section, doc_id, a, b, s1, s2, s3)
+        import pyarrow as _pa
+
+        from pixcrawler_ray.stages.urlnorm import (resolve_redirects,
+                                                   url_canonical_dedup)
+
+        def ca(t):
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            return _pa.table({
+                "section": _pa.array(["canon"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "a": neg, "b": neg,
+                "s1": t.column("url_raw").cast(_pa.string()),
+                "s2": t.column("url_canon").cast(_pa.string()),
+                "s3": t.column("kept_variant").cast(_pa.string())})
+
+        def rd(t):
+            empty = _pa.array([""] * t.num_rows, type=_pa.string())
+            return _pa.table({
+                "section": _pa.array(["redirect"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "a": t.column("final_id").cast(_pa.int64()),
+                "b": t.column("n_hops").cast(_pa.int64()),
+                "s1": _pa.compute.if_else(
+                    t.column("is_loop"),
+                    _pa.scalar("loop", type=_pa.string()),
+                    _pa.scalar("ok", type=_pa.string())).cast(_pa.string()),
+                "s2": empty, "s3": empty})
+
+        return url_canonical_dedup(sf_dir).map_batches(
+            ca, batch_format="pyarrow").union(
+            resolve_redirects(sf_dir).map_batches(
+                rd, batch_format="pyarrow"))
 
     def robots_parse_q(sf_dir: str):
         from pixcrawler_ray.stages.robots import robots_parse
@@ -1989,11 +2025,35 @@ SELECT doc_id, lang, 'deduped' AS stage FROM dd""")
 
     # url_canonical + url_alias_dedup joined per doc (both pure doc_id
     # functions, 1:1 row sets)
+    # redirect-chain resolution: recursive-CTE walk of the deterministic
+    # redirect rules (self-loop doc_id%97==13; redirector doc_id%8 in
+    # (1,4,7) and >=3 -> -3); the engine resolves the same chains by
+    # pointer doubling in O(log depth) keyed joins
+    _redir_sql = """
+WITH RECURSIVE walk(doc_id, cur, hops, lp) AS (
+  SELECT doc_id, doc_id, CAST(0 AS BIGINT), doc_id % 97 = 13
+  FROM documents
+  UNION ALL
+  SELECT doc_id, cur - 3, hops + 1, (cur - 3) % 97 = 13
+  FROM walk
+  WHERE NOT lp AND cur % 97 <> 13 AND cur % 8 IN (1, 4, 7) AND cur >= 3
+)
+SELECT doc_id, cur AS final_id, hops AS n_hops, lp AS is_loop
+FROM walk
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hops DESC) = 1"""
+
     out["url_canonical_dedup"] = (
         "WITH a AS (" + out.pop("url_canonical") + "),\n"
-        "b AS (" + out.pop("url_alias_dedup") + """)
-SELECT a.doc_id, a.url_raw, a.url_canon, b.kept_variant
-FROM a JOIN b ON a.doc_id = b.doc_id""")
+        "b AS (" + out.pop("url_alias_dedup") + "),\n"
+        "r AS (" + _redir_sql + """)
+SELECT 'canon' AS section, a.doc_id, CAST(-1 AS BIGINT) AS a,
+       CAST(-1 AS BIGINT) AS b, a.url_raw AS s1, a.url_canon AS s2,
+       b.kept_variant AS s3
+FROM a JOIN b ON a.doc_id = b.doc_id
+UNION ALL
+SELECT 'redirect', doc_id, final_id, n_hops,
+       CASE WHEN is_loop THEN 'loop' ELSE 'ok' END, '', ''
+FROM r""")
 
     # ---- round-4 registry merges (window budget: 50 oracled rows) ----
     # topk_union = top_parts_by_qty + lineitem_topk_revenue, section-tagged

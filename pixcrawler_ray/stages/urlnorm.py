@@ -221,3 +221,86 @@ def url_template_counts(sf_dir: str, num_buckets: int = 8):
 
     return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
                       ["host", "template"], merge, num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------- redirects --
+
+def _redirect_base(t: pa.Table) -> pa.Table:
+    """Per-node initial pointer state for the deterministic redirect graph
+    (the SQL oracle replays these rules in a recursive CTE):
+      - self-loop (the redirect-loop class):  doc_id % 97 == 13
+      - redirector: doc_id % 8 in (1, 4, 7) and doc_id >= 3, target
+        doc_id - 3 (chains up to 3 hops: 7 -> 4 -> 1 -> terminal)
+      - otherwise terminal.
+    """
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    is_loop = ids % 97 == 13
+    is_redir = ~is_loop & np.isin(ids % 8, (1, 4, 7)) & (ids >= 3)
+    cur = np.where(is_redir, ids - 3, ids)
+    return pa.table({
+        "node": pa.array(ids),
+        "cur": pa.array(cur),
+        "hops": pa.array(is_redir.astype(np.int64)),
+        "done": pa.array(~is_redir),
+        "is_loop": pa.array(is_loop)})
+
+
+def resolve_redirects(sf_dir: str, num_buckets: int = 16,
+                      max_rounds: int = 8):
+    """Redirect-chain resolution by POINTER DOUBLING (the Wyllie
+    list-ranking shape): every round, each unresolved node's pointer jumps
+    to its successor's round-start pointer and accumulates its hop count,
+    so chains of depth d resolve in ceil(log2 d) keyed joins instead of d
+    sequential walks — the 301/308 canonical-URL resolution step of a
+    crawl frontier, where a naive per-hop walk over a 100 TB frontier
+    would serialize on the longest chain.
+
+    Scale shape: the mapping table is one row per node (ids only); each
+    round is ONE bucketed hash join of the pending rows against the full
+    round-start mapping plus a constant-size done-count aggregate; rounds
+    are logarithmic in chain depth and the loop guard (`max_rounds`)
+    bounds adversarial cycles. Nothing corpus-sized touches the driver.
+
+    Output (doc_id, final_id, n_hops, is_loop): final_id is the terminal
+    the chain resolves to (the self-loop node itself for loop chains),
+    n_hops the edges traversed, is_loop whether the chain ends in a
+    redirect loop.
+    """
+    import pandas as pd
+
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
+    m = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _redirect_base, batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        pending = m.filter(expr="done == False").materialize()
+        if pending.count() == 0:
+            break
+        done = m.filter(expr="done == True")
+        # jump: pending.cur -> mapping[cur].{cur, hops, done, is_loop}
+        succ = m.map_batches(
+            lambda t: pa.table({"cur": t.column("node"),
+                                "cur2": t.column("cur"),
+                                "hops2": t.column("hops"),
+                                "done2": t.column("done"),
+                                "loop2": t.column("is_loop")}),
+            batch_format="pyarrow")
+        jumped = bucketed_join(pending, succ, on="cur",
+                               num_buckets=num_buckets).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "cur": t.column("cur2"),
+                "hops": pc.add(t.column("hops"), t.column("hops2")),
+                "done": t.column("done2"),
+                "is_loop": t.column("loop2")}),
+            batch_format="pyarrow")
+        m = done.union(jumped).materialize()
+
+    return m.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "final_id": t.column("cur"),
+                            "n_hops": t.column("hops"),
+                            "is_loop": t.column("is_loop")}),
+        batch_format="pyarrow")

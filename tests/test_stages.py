@@ -939,3 +939,37 @@ def test_cluster_split_no_leakage_and_covers_corpus(sf_tiny):
     lab = out.drop_duplicates("label")
     frac = (lab.split == "heldout").mean()
     assert 0.02 < frac < 0.25, frac
+
+
+def test_resolve_redirects_matches_serial_walk(ray_session, sf_tiny):
+    """Pointer doubling must resolve every chain to the same (final, hops,
+    loop) as the serial per-node walk, at any bucket count, and within
+    ceil(log2(max_depth)) + 1 rounds (max_rounds=2 suffices for depth-3
+    chains: after round 1 every pointer is <= 1 hop from terminal)."""
+    import pandas as pd
+    from pixcrawler_ray.stages.urlnorm import resolve_redirects
+
+    def walk(i):
+        cur, hops = i, 0
+        while True:
+            if cur % 97 == 13:
+                return cur, hops, True
+            if cur % 8 in (1, 4, 7) and cur >= 3:
+                cur, hops = cur - 3, hops + 1
+            else:
+                return cur, hops, False
+
+    got = (resolve_redirects(sf_tiny).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True)
+           .astype({"is_loop": bool}))
+    n = len(got)
+    exp = pd.DataFrame([(i, *walk(i)) for i in range(n)],
+                       columns=["doc_id", "final_id", "n_hops", "is_loop"])
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.n_hops.max() == 3 and got.is_loop.any()
+    # logarithmic round count: depth-3 chains resolve within 2 doubling
+    # rounds (1 -> 2 -> 4 hops of reach)
+    fast = (resolve_redirects(sf_tiny, num_buckets=5, max_rounds=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            .astype({"is_loop": bool}))
+    pd.testing.assert_frame_equal(fast, exp)
