@@ -359,8 +359,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return a.union(b)
 
     def distinct_urls_kmv_q(sf_dir: str):
-        from pixcrawler_ray.stages.sketch import distinct_urls_per_host
-        return distinct_urls_per_host(sf_dir)
+        # MERGED (rows-only row, pytest-oracled): KMV + HyperLogLog
+        # variants of the same per-host distinct-URL count, sketch-tagged
+        # on (sketch, host, n_distinct_est, flag)
+        import pyarrow as _pa
+
+        from pixcrawler_ray.stages.sketch import (
+            distinct_urls_per_host, hll_distinct_urls_per_host)
+
+        def km(t):
+            return _pa.table({
+                "sketch": _pa.array(["kmv"] * t.num_rows,
+                                    type=_pa.string()),
+                "host": t.column("host").cast(_pa.string()),
+                "n_distinct_est": t.column("n_distinct_est")
+                                   .cast(_pa.int64()),
+                "flag": _pa.compute.if_else(
+                    t.column("is_exact"),
+                    _pa.scalar("exact", type=_pa.string()),
+                    _pa.scalar("est", type=_pa.string()))
+                .cast(_pa.string())})
+
+        def hl(t):
+            return _pa.table({
+                "sketch": _pa.array(["hll"] * t.num_rows,
+                                    type=_pa.string()),
+                "host": t.column("host").cast(_pa.string()),
+                "n_distinct_est": t.column("n_distinct_est")
+                                   .cast(_pa.int64()),
+                "flag": t.column("method").cast(_pa.string())})
+
+        return distinct_urls_per_host(sf_dir).map_batches(
+            km, batch_format="pyarrow").union(
+            hll_distinct_urls_per_host(sf_dir).map_batches(
+                hl, batch_format="pyarrow"))
 
     def audio_frame_energy_q(sf_dir: str):
         from pixcrawler_ray.stages import multimodal as mm

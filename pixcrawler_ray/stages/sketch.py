@@ -210,3 +210,94 @@ def heavy_hitter_bigrams(sf_dir: str, k: int = 1000,
     hh = hh.sort_values(["w1", "w2"]).reset_index(drop=True)
     hh["cnt"] = hh["cnt"].astype(np.int64)
     return rd.from_pandas(hh) if len(hh) else rd.from_arrow(empty)
+
+
+# ------------------------------------------------------------ HyperLogLog --
+
+HLL_P = 8                      # 2^8 = 256 registers, ~6.5% rel. std error
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (6 shift/compare passes — exact,
+    unlike float log2 which rounds above 2^53)."""
+    v = v.copy()
+    bl = np.zeros(len(v), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = (v >> np.uint64(shift)) > 0
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    return bl + (v > 0)
+
+
+def hll_partial(keys: np.ndarray, hashes: np.ndarray,
+                p: int = HLL_P) -> pd.DataFrame:
+    """Per-key HLL register maxima -> long frame (key, reg, rho). The
+    partial is bounded by keys_in_batch x 2^p rows regardless of input
+    size — the mergeable fixed-width property that makes the sketch the
+    at-scale COUNT(DISTINCT) GROUP BY."""
+    m = 1 << p
+    reg = (hashes & np.uint64(m - 1)).astype(np.int64)
+    suffix = hashes >> np.uint64(p)
+    # rho = leading zeros of the (64-p)-bit suffix + 1
+    rho = (64 - p) - _bit_length_u64(suffix) + 1
+    df = pd.DataFrame({"key": keys, "reg": reg, "rho": rho})
+    return (df.groupby(["key", "reg"], sort=False)["rho"].max()
+            .reset_index())
+
+
+def hll_estimate_frame(g: pd.DataFrame, p: int = HLL_P) -> pd.DataFrame:
+    """Vectorized per-key HLL estimates from merged register maxima
+    (Flajolet et al. 2007): E = alpha_m * m^2 / sum(2^-M_j); linear
+    counting m*ln(m/V) when E <= 2.5m and V (empty registers) > 0."""
+    m = 1 << p
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    mx = (g.groupby(["key", "reg"], sort=False)["rho"].max()
+          .reset_index())
+    agg = mx.groupby("key", sort=False)["rho"].agg(
+        n_present="size",
+        inv_sum=lambda r: np.sum(np.exp2(-r.to_numpy(dtype=np.float64))))
+    n_present = agg["n_present"].to_numpy(dtype=np.float64)
+    denom = agg["inv_sum"].to_numpy() + (m - n_present)   # empty regs: 2^0
+    raw = alpha * m * m / denom
+    v = m - n_present                                     # empty registers
+    lin = np.where(v > 0, m * np.log(np.maximum(m / np.maximum(v, 1e-12),
+                                                1.0)), raw)
+    use_lin = (raw <= 2.5 * m) & (v > 0)
+    est = np.where(use_lin, lin, raw)
+    return pd.DataFrame({
+        "host": agg.index.to_numpy(),
+        "n_distinct_est": np.round(est).astype(np.int64),
+        "method": np.where(use_lin, "linear", "hll")})
+
+
+def hll_distinct_urls_per_host(sf_dir: str, p: int = HLL_P,
+                               num_buckets: int = 8):
+    """HyperLogLog variant of :func:`distinct_urls_per_host` — same query,
+    different sketch: 2^p one-byte registers per host instead of k 8-byte
+    minima, register-wise max as the (commutative, idempotent) merge.
+    Partials are host x register maxima (bounded per batch), merged by ONE
+    host-keyed exchange; the estimator runs vectorized per bucket.
+    Pytest-oracled (bounded relative error vs exact COUNT DISTINCT, merge
+    invariance) like the KMV row — sketch values are hash-dependent."""
+    import polars as pl
+
+    from pixcrawler_ray.corpus import urls_hosts_arrow
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        url, host = urls_hosts_arrow(ids)
+        hashes = pl.from_arrow(url).hash(seed=0).to_numpy().astype(np.uint64)
+        hosts = np.asarray(host.to_pylist(), dtype=object)
+        return pa.Table.from_pandas(hll_partial(hosts, hashes, p),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return hll_estimate_frame(g, p)
+
+    return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["key"], merge, num_buckets=num_buckets)

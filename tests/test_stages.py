@@ -973,3 +973,49 @@ def test_resolve_redirects_matches_serial_walk(ray_session, sf_tiny):
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
             .astype({"is_loop": bool}))
     pd.testing.assert_frame_equal(fast, exp)
+
+
+def test_hll_sketch_error_bound_and_merge_invariance(ray_session, sf_tiny):
+    """HLL: per-host estimates within sketch error of exact COUNT
+    DISTINCT at two bucket counts (merge invariance), and the raw-HLL
+    estimator path within 3 sigma on a 100k-distinct synthetic stream."""
+    import numpy as np
+    import pandas as pd
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.sketch import (HLL_P, hll_estimate_frame,
+                                              hll_distinct_urls_per_host,
+                                              hll_partial)
+
+    a = (hll_distinct_urls_per_host(sf_tiny, num_buckets=4).to_pandas()
+         .sort_values("host").reset_index(drop=True))
+    b = (hll_distinct_urls_per_host(sf_tiny, num_buckets=11).to_pandas()
+         .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)   # register max merge = invariant
+
+    ids = (read_table(sf_tiny, "documents", columns=["doc_id"])
+           .to_pandas()["doc_id"].to_numpy())
+    url, host = corpus.urls_hosts_arrow(ids)
+    truth = (pd.DataFrame({"host": host.to_pylist(),
+                           "url": url.to_pylist()})
+             .groupby("host")["url"].nunique())
+    j = a.set_index("host").join(truth.rename("true_n"))
+    rel = (j["n_distinct_est"] - j["true_n"]).abs() / j["true_n"]
+    assert (rel < 0.15).all(), rel.max()   # linear-counting regime
+
+    # raw-HLL regime: 100k distinct values, deterministic hash stream
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 2**64, size=100_000, dtype=np.uint64)
+    part = hll_partial(np.zeros(len(hashes), dtype=object), hashes)
+    est = hll_estimate_frame(part)
+    m = 1 << HLL_P
+    sigma = 1.04 / np.sqrt(m)
+    n_uniq = len(np.unique(hashes))
+    assert est.method.iloc[0] == "hll"
+    assert abs(int(est.n_distinct_est.iloc[0]) - n_uniq) < 3 * sigma * n_uniq
+    # splitting the same stream into partials merges to the SAME estimate
+    p1 = hll_partial(np.zeros(60_000, dtype=object), hashes[:60_000])
+    p2 = hll_partial(np.zeros(40_000, dtype=object), hashes[60_000:])
+    est2 = hll_estimate_frame(pd.concat([p1, p2], ignore_index=True))
+    assert int(est2.n_distinct_est.iloc[0]) == int(est.n_distinct_est.iloc[0])
