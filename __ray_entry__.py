@@ -470,15 +470,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return a.union(b)
 
     def tar_shards_q(sf_dir: str):
+        # MERGED (one registry row): WebDataset tar shard manifest ('tar')
+        # + WARC archive manifest ('warc', pipelines/warc.py — the Common
+        # Crawl layout; record bytes are pure arithmetic the SQL replays),
+        # section-tagged on (section, file_id, n_records, payload_bytes,
+        # archive_bytes)
         import hashlib as _hl
         import os as _os
         import shutil as _sh
         import tempfile as _tf
+        import pyarrow as _pa
         from pixcrawler_ray.pipelines import shards as _shards
+        from pixcrawler_ray.pipelines import warc as _warc
         tag = _hl.md5(f"{sf_dir}|sps=64".encode()).hexdigest()[:8]
         out = _os.path.join(_tf.gettempdir(), f"pxr_shards_{tag}")
+        wout = _os.path.join(_tf.gettempdir(), f"pxr_warc_{tag}")
         _sh.rmtree(out, ignore_errors=True)
-        return _shards.shard_pages(sf_dir, out, samples_per_shard=64)
+        _sh.rmtree(wout, ignore_errors=True)
+
+        def tg(section, cols):
+            def f(t):
+                return _pa.table({
+                    "section": _pa.array([section] * t.num_rows,
+                                         type=_pa.string()),
+                    "file_id": t.column(cols[0]).cast(_pa.int64()),
+                    "n_records": t.column(cols[1]).cast(_pa.int64()),
+                    "payload_bytes": t.column(cols[2]).cast(_pa.int64()),
+                    "archive_bytes": t.column(cols[3]).cast(_pa.int64())})
+            return f
+
+        a = _shards.shard_pages(sf_dir, out, samples_per_shard=64) \
+            .map_batches(tg("tar", ("shard_id", "n_samples",
+                                    "payload_bytes", "tar_bytes")),
+                         batch_format="pyarrow")
+        b = _warc.warc_pages(sf_dir, wout, records_per_file=64) \
+            .map_batches(tg("warc", ("file_id", "n_records",
+                                     "payload_bytes", "warc_bytes")),
+                         batch_format="pyarrow")
+        return a.union(b)
 
     def domain_mixture_q(sf_dir: str):
         from pixcrawler_ray.stages.sample import domain_mixture
@@ -2438,6 +2467,8 @@ FROM sq, qc"""
     # size are pure arithmetic over the page html lengths — USTAR layout is
     # 512 B header + payload padded to 512, closed with 1024 B of zero
     # blocks and padded to the 10240 B record size
+    # warc record bytes = RECORD_FIXED_BYTES(179) + len(url) +
+    # digits(payload_len) + payload_len — pipelines/warc.py arithmetic
     out["tar_shards"] = (
         "WITH " + _PAGES_CTE + """, sizes AS (
   SELECT doc_id, CAST(length(h) AS BIGINT) AS nb FROM pages
@@ -2447,11 +2478,30 @@ FROM sq, qc"""
          CAST(sum(512 + CAST(ceil(nb / 512.0) AS BIGINT) * 512) AS BIGINT)
            AS entries_bytes
   FROM sizes GROUP BY doc_id // 64
+), wrec AS (
+  SELECT doc_id // 64 AS file_id, nb,
+         179 + length('http://h' ||
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                     ELSE 1 + (doc_id * 2654435761) % 499 END AS VARCHAR)
+           || '.example.com'
+           || CASE WHEN doc_id % 50 = 7
+                   THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                   ELSE '/doc/' || CAST(doc_id AS VARCHAR) END)
+         + length(CAST(nb AS VARCHAR)) + nb AS rec_bytes
+  FROM sizes
+), wagg AS (
+  SELECT file_id, CAST(count(*) AS BIGINT) AS n_records,
+         CAST(sum(nb) AS BIGINT) AS payload_bytes,
+         CAST(sum(rec_bytes) AS BIGINT) AS warc_bytes
+  FROM wrec GROUP BY file_id
 )
-SELECT shard_id, n_samples, payload_bytes,
+SELECT 'tar' AS section, shard_id AS file_id, n_samples AS n_records,
+       payload_bytes,
        CAST(ceil((entries_bytes + 1024) / 10240.0) AS BIGINT) * 10240
-         AS tar_bytes
-FROM agg""")
+         AS archive_bytes
+FROM agg
+UNION ALL
+SELECT 'warc', file_id, n_records, payload_bytes, warc_bytes FROM wagg""")
 
     # heavy_hitters: the two-pass MG+verify plan is EXACT, so the oracle is
     # the plain GROUP BY ... HAVING cnt*(k+1) > n it avoids computing

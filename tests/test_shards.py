@@ -158,3 +158,49 @@ def test_stale_shard_is_rewritten(ray_session, tmp_path):
     assert int(m2["payload_bytes"].iloc[0]) == 90000
     assert int(m2["tar_bytes"].iloc[0]) == os.path.getsize(
         f"{out}/shard-00000.tar")
+
+
+def test_warc_roundtrip_resume_and_byte_arithmetic(ray_session, sf_tiny,
+                                                   tmp_path):
+    """WARC sink: byte-deterministic files whose size equals the pure
+    arithmetic the SQL oracle replays; the streaming reader inverts the
+    writer exactly; a second run skips every committed file; a stale file
+    is rewritten."""
+    import os
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.pipelines.warc import (RECORD_FIXED_BYTES,
+                                               read_warc_dir, warc_pages)
+
+    out = str(tmp_path / "w")
+    m = warc_pages(sf_tiny, out).to_pandas().sort_values("file_id")
+    pages = corpus.pages_dataset(sf_tiny).to_pandas().sort_values("doc_id")
+    assert m.n_records.sum() == len(pages)
+    # manifest bytes == on-disk bytes == the oracle's arithmetic
+    for _, r in m.iterrows():
+        path = os.path.join(out, f"part-{int(r.file_id):05d}.warc")
+        assert os.path.getsize(path) == r.warc_bytes
+    ids = pages.doc_id.to_numpy()
+    urls = corpus.urls_hosts_arrow(ids)[0].to_pylist()
+    expect = sum(RECORD_FIXED_BYTES + len(u) + len(str(len(bytes(h))))
+                 + len(bytes(h)) for u, h in zip(urls, pages.html))
+    assert m.warc_bytes.sum() == expect
+
+    back = read_warc_dir(out).to_pandas().sort_values("doc_id")
+    assert list(back.doc_id) == list(pages.doc_id)
+    assert list(back.url) == urls
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(back.payload, pages.html))
+
+    mtimes = {p: os.path.getmtime(os.path.join(out, p))
+              for p in os.listdir(out)}
+    warc_pages(sf_tiny, out).to_pandas()          # resume: all skipped
+    assert mtimes == {p: os.path.getmtime(os.path.join(out, p))
+                      for p in os.listdir(out)}
+
+    stale = os.path.join(out, "part-00000.warc")
+    with open(stale, "ab") as f:                  # corrupt -> size mismatch
+        f.write(b"x")
+    warc_pages(sf_tiny, out).to_pandas()
+    assert os.path.getsize(stale) == int(
+        m.loc[m.file_id == 0, "warc_bytes"].iloc[0])   # rewritten
