@@ -1401,6 +1401,19 @@ FROM (
     SELECT doc_id, 2, FALSE FROM documents WHERE doc_id % 5 = 0
     UNION ALL
     SELECT doc_id, 3, TRUE FROM documents WHERE doc_id % 31 = 4)
+) WHERE rn = 1 AND NOT del
+UNION ALL
+SELECT doc_id, 'v' || CAST(ver AS VARCHAR) AS key_md5, 'asof2' AS mode
+FROM (
+  SELECT doc_id, ver, del,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ver DESC) AS rn
+  FROM (
+    SELECT doc_id, 1 AS ver, FALSE AS del FROM documents
+    UNION ALL
+    SELECT doc_id, 2, FALSE FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, 3, TRUE FROM documents WHERE doc_id % 31 = 4)
+  WHERE ver <= 2
 ) WHERE rn = 1 AND NOT del"""
 
     # multimodal_sniff: the Ray side encodes real png/gif/bmp/jpeg headers

@@ -125,7 +125,8 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 32):
 
 
 def upsert_latest(changes, key_cols, ver_col: str,
-                  tombstone_col: str | None = None, num_buckets: int = 32):
+                  tombstone_col: str | None = None, num_buckets: int = 32,
+                  as_of: int | None = None):
     """CDC upsert — last-writer-wins merge of a change stream: per key,
     keep the row with the HIGHEST ``ver_col`` (ties impossible when
     versions are per-key sequence numbers); if ``tombstone_col`` is set,
@@ -134,13 +135,20 @@ def upsert_latest(changes, key_cols, ver_col: str,
     merge-on-read compaction every snapshot-maintaining sink needs
     (Hudi/Iceberg upsert shape).
 
+    ``as_of`` is the TIME-TRAVEL read (Iceberg ``VERSION AS OF``): filter
+    the stream to ``ver_col <= as_of`` BEFORE the merge, yielding the
+    view exactly as it stood at that version — a pushed-down predicate,
+    so the snapshot read shuffles strictly less than the current view.
+
     ``changes``: a Dataset uniting base snapshot + update/delete rows.
-    Returns the merged current view (winning rows, tombstones dropped).
+    Returns the merged view (winning rows, tombstones dropped).
     """
     import pandas as pd
 
     from pixcrawler_ray.stages.shuffle import per_bucket
 
+    if as_of is not None:
+        changes = changes.filter(expr=f"{ver_col} <= {int(as_of)}")
     keys = list(key_cols)
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
@@ -154,12 +162,13 @@ def upsert_latest(changes, key_cols, ver_col: str,
     return per_bucket(changes, keys, latest, num_buckets=num_buckets)
 
 
-def upsert_documents(sf_dir: str):
+def upsert_documents(sf_dir: str, as_of: int | None = None):
     """``upsert_latest`` over a deterministic synthetic change stream on
     the documents table (SQL-replayable; production passes real CDC rows):
     base = every doc at version 1; docs with id % 5 == 0 get a version-2
     update; docs with id % 31 == 4 get a version-3 delete tombstone.
-    Output (doc_id, ver) — the current view after the merge."""
+    Output (doc_id, ver) — the view after the merge, current or
+    time-travel (``as_of``)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def changes(t: pa.Table) -> pa.Table:
@@ -179,7 +188,8 @@ def upsert_documents(sf_dir: str):
                 np.ones(len(dele), dtype=bool)]))})
 
     ch = ds.map_batches(changes, batch_format="pyarrow")
-    return upsert_latest(ch, ["doc_id"], "ver", tombstone_col="del")
+    return upsert_latest(ch, ["doc_id"], "ver", tombstone_col="del",
+                         as_of=as_of)
 
 
 def dedup_keep_first(sf_dir: str):
@@ -219,7 +229,21 @@ def dedup_keep_first(sf_dir: str):
 
     up = upsert_documents(sf_dir).map_batches(up_tag,
                                               batch_format="pyarrow")
-    return ex.union(no).union(inc).union(up)
+
+    def asof_tag(t: pa.Table) -> pa.Table:
+        ver = t.column("ver").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "key_md5": pa.array(["v" + str(int(v)) for v in ver],
+                                type=pa.string()),
+            "mode": pa.array(["asof2"] * t.num_rows, type=pa.string()),
+        })
+
+    # time-travel read: the view AS OF version 2 (updates applied, the
+    # version-3 delete tombstones not yet) — Iceberg VERSION AS OF shape
+    asof = upsert_documents(sf_dir, as_of=2).map_batches(
+        asof_tag, batch_format="pyarrow")
+    return ex.union(no).union(inc).union(up).union(asof)
 
 
 class MinHasher:

@@ -472,3 +472,23 @@ def test_token_budget_cut_boundary(ray_session, sf_tiny):
         # the cut is a PREFIX of the shuffle order: every included rank
         # precedes the first excluded rank
         assert (cut.shuffle_rank < first_out.shuffle_rank).all()
+
+
+def test_upsert_as_of_time_travel(ray_session, sf_tiny):
+    """VERSION AS OF semantics: as_of=1 is the untouched base snapshot
+    (every doc at v1, deletes invisible); as_of=2 applies the updates but
+    not the v3 tombstones; current view (no as_of) drops the tombstoned
+    keys."""
+    from pixcrawler_ray.stages.dedup import upsert_documents
+
+    v1 = upsert_documents(sf_tiny, as_of=1).to_pandas()
+    v2 = upsert_documents(sf_tiny, as_of=2).to_pandas()
+    cur = upsert_documents(sf_tiny).to_pandas()
+    n = len(v1)
+    assert (v1.ver == 1).all()
+    assert set(v2.doc_id) == set(v1.doc_id)          # deletes not yet
+    assert (v2[v2.doc_id % 5 == 0].ver == 2).all()   # updates applied
+    assert (v2[v2.doc_id % 5 != 0].ver == 1).all()
+    deleted = set(v1.doc_id[v1.doc_id % 31 == 4])
+    assert set(cur.doc_id) == set(v1.doc_id) - deleted
+    assert n == len(v2) == len(cur) + len(deleted)
