@@ -239,12 +239,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def sample_stratified_q(sf_dir: str):
         # MERGED (one registry row): per-stratum cap sample ('stratified')
-        # + token-mass systematic PPS sample ('pps', r5), section-tagged
-        # on (section, doc_id, grp, n1, n2)
+        # + token-mass systematic PPS sample ('pps', r5) + weighted
+        # reservoir / priority sample ('wres', r5), section-tagged on
+        # (section, doc_id, grp, n1, n2)
         import pyarrow as _pa
 
         from pixcrawler_ray.stages.sample import (sample_pps_systematic,
-                                                  sample_stratified)
+                                                  sample_stratified,
+                                                  sample_weighted_reservoir)
 
         def strat(t):
             neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
@@ -263,11 +265,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n1": t.column("n_tokens").cast(_pa.int64()),
                 "n2": t.column("pick_idx").cast(_pa.int64())})
 
+        def wres(t):
+            return _pa.table({
+                "section": _pa.array(["wres"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "grp": _pa.array([""] * t.num_rows, type=_pa.string()),
+                "n1": t.column("n_tokens").cast(_pa.int64()),
+                "n2": t.column("wkey").cast(_pa.int64())})
+
         a = sample_stratified(sf_dir, per_stratum=50).map_batches(
             strat, batch_format="pyarrow")
         b = sample_pps_systematic(sf_dir, k=200).map_batches(
             pps, batch_format="pyarrow")
-        return a.union(b)
+        c = sample_weighted_reservoir(sf_dir, k=200).map_batches(
+            wres, batch_format="pyarrow")
+        return a.union(b).union(c)
 
     def curate_q(sf_dir: str):
         # MERGED (one registry row): the fused curation gate survivors
@@ -1601,7 +1614,9 @@ WHERE rn <= 20"""
     # stratified sample: Lehmer/MINSTD rank on doc_id is plain integer
     # arithmetic on both sides (products < 2^47 — no overflow divergence).
     # MERGED (r5): per-stratum cap + systematic PPS (token-mass prefix sum
-    # along the Lehmer shuffle order; stride = max(1, total // 200))
+    # along the Lehmer shuffle order; stride = max(1, total // 200)) +
+    # weighted reservoir / priority sample (k largest
+    # floor(nt * 2^40 / (rank+1)) keys, tie-break doc_id)
     out["sample_stratified"] = r"""
 WITH st AS (
   SELECT doc_id, lang FROM (
@@ -1623,7 +1638,12 @@ SELECT 'stratified' AS section, doc_id, lang AS grp,
        CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2 FROM st
 UNION ALL
 SELECT 'pps', c.doc_id, '', c.nt, CAST(c.cum_after // s.stride AS BIGINT)
-FROM c, s WHERE c.cum_after // s.stride > (c.cum_after - c.nt) // s.stride"""
+FROM c, s WHERE c.cum_after // s.stride > (c.cum_after - c.nt) // s.stride
+UNION ALL
+SELECT 'wres', doc_id, '', nt, wkey FROM (
+  SELECT doc_id, nt, (nt * 1099511627776) // (rank + 1) AS wkey
+  FROM w WHERE nt > 0
+  ORDER BY wkey DESC, doc_id LIMIT 200)"""
 
     out["quality_scores"] = """
 WITH w AS (

@@ -97,6 +97,71 @@ def domain_mixture(sf_dir: str, weights: dict[str, int] | None = None):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+_WKEY_SCALE = np.int64(1) << np.int64(40)
+
+
+def weighted_priority_keys(ids: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Integer priority-sampling key ``floor(w * 2^40 / (rank+1))`` where
+    rank is the Lehmer rank of the id (Duffield, Lund & Thorup 2007
+    "Priority sampling": priority q = w/u with u uniform in (0,1]; keeping
+    the k largest priorities is a weighted sample without replacement whose
+    inclusion probability is proportional to weight for w << threshold).
+    The uniform is (rank+1)/2^31-1 — deterministic, resume-stable — and the
+    key is one int64 floor-division, so the oracle replays it as plain SQL
+    integer arithmetic (no float log / division divergence)."""
+    w = weights.astype(np.int64)
+    if len(w) and int(w.max()) >= (1 << 22):
+        # 2^22 * 2^40 = 2^62: the int64 budget. DuckDB would raise on
+        # overflow while numpy wraps silently — fail loudly instead.
+        raise ValueError("weight too large for the 2^40 priority key scale")
+    r = lehmer_rank(ids) + 1            # [1, 2^31-1]: never divides by 0
+    return (w * _WKEY_SCALE) // r
+
+
+def sample_weighted_reservoir(sf_dir: str, k: int = 200):
+    """Deterministic weighted reservoir sample (A-ES / priority-sampling
+    shape, Efraimidis & Spirakis 2006): keep the ``k`` docs with the
+    largest integer priority keys, weight = whitespace token count, so
+    long documents are proportionally more likely to be picked — the
+    standard design for drawing eval/inspection subsets where token mass,
+    not doc count, is the budget.
+
+    Scale shape: each batch reduces to its LOCAL top-k partial (map-side
+    combine — at most k rows leave any batch regardless of batch size), and
+    one constant-key exchange merges the partials with a final
+    (wkey DESC, doc_id) head-k. Total moved data is O(k x num_batches)
+    rows of 3 int64s; nothing rescans the corpus. Zero-weight (empty)
+    docs are excluded. Output (doc_id, n_tokens, wkey).
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+    from pixcrawler_ray.stages.textstats import _segment_sum, _split_words
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        _, offs, lens = _split_words(t.column("text"))
+        nt = _segment_sum((lens > 0).astype(np.int64), offs)
+        keep = nt > 0
+        ids, nt = ids[keep].astype(np.int64), nt[keep]
+        key = weighted_priority_keys(ids, nt)
+        if len(ids) > k:                      # local top-k partial
+            order = np.lexsort((ids, -key))[:k]
+            ids, nt, key = ids[order], nt[order], key[order]
+        return pa.table({"g": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                         "doc_id": pa.array(ids),
+                         "n_tokens": pa.array(nt),
+                         "wkey": pa.array(key)})
+
+    def merge(g):
+        s = g.sort_values(["wkey", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return s[["doc_id", "n_tokens", "wkey"]].reset_index(drop=True)
+
+    return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["g"], merge, num_buckets=1)
+
+
 def sample_pps_systematic(sf_dir: str, k: int = 200, num_buckets: int = 8):
     """Systematic probability-proportional-to-size sampling: order docs by
     the deterministic Lehmer shuffle rank, take the token-count prefix sum

@@ -426,3 +426,42 @@ def test_bm25_topk_bit_exact_vs_sql_non_default_params(ray_session, sf_tiny):
         "SELECT text FROM documents WHERE doc_id IN "
         f"({','.join(str(i) for i in got.doc_id)})").df()
     assert all(any(t in txt.split() for t in terms) for txt in docs.text)
+
+
+def test_weighted_reservoir_matches_serial_and_prefers_heavy(
+        ray_session, sf_tiny):
+    """Distributed priority sample == a serial numpy replay of the same
+    integer key arithmetic; invariant to k larger than any batch's local
+    top-k; heavier docs dominate the picked set's token mass."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.sample import (lehmer_rank,
+                                              sample_weighted_reservoir,
+                                              weighted_priority_keys)
+
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    nt = docs["text"].str.split().str.len().to_numpy(dtype=np.int64)
+    ids = docs["doc_id"].to_numpy(dtype=np.int64)
+    m = nt > 0
+    ids, nt = ids[m], nt[m]
+    key = weighted_priority_keys(ids, nt)
+    order = np.lexsort((ids, -key))
+
+    for k in (7, 200):
+        want = ids[order[:k]]
+        got = (sample_weighted_reservoir(sf_tiny, k=k).to_pandas()
+               .sort_values(["wkey", "doc_id"],
+                            ascending=[False, True]))
+        assert (got["doc_id"].to_numpy() == want).all()
+        assert (got["wkey"].to_numpy() == key[order[:k]]).all()
+
+    # PPS property: the sample's mean token count exceeds the corpus mean
+    # (heavier docs get larger keys on average)
+    got = sample_weighted_reservoir(sf_tiny, k=50).to_pandas()
+    assert got["n_tokens"].mean() > nt.mean()
+
+    # key arithmetic is the exact SQL replay (floor div, rank+1)
+    r = lehmer_rank(ids) + 1
+    assert (key == (nt * (1 << 40)) // r).all()
