@@ -571,6 +571,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bk, batch_format="pyarrow")
         return a.union(b).union(c)
 
+    def cms_sketch_q(sf_dir: str):
+        from pixcrawler_ray.stages.sketch import cms_term_sketch
+        return cms_term_sketch(sf_dir)
+
     def pivot_lang_source_q(sf_dir: str):
         return rel.q_pivot_lang_source(sf_dir)
 
@@ -1161,6 +1165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   == UNION ALL of SQL aggregates
         "pivot_lang_source": pivot_lang_source_q,  # conditional-aggregation
         #   pivot == FILTER(WHERE) columns
+        "cms_sketch": cms_sketch_q,   # Count-Min term-frequency sketch +
+        #   probe estimates — FULLY SQL-oracled (md5-slice hash replay) but
+        #   beyond the 50-row capture window; value-checked by the driver-
+        #   mimic pytest
         # ====== tail: rows-only, pytest-oracled (blake2b / seeded-RNG /
         # greedy-merge internals have no SQL analog) — beyond the driver's
         # 50-row capture window by design, each verified in tests/ ======
@@ -2709,5 +2717,39 @@ SELECT 'pred' AS section, doc_id AS k1, lang, lang_pred,
        CAST(-1 AS BIGINT) AS n FROM p
 UNION ALL
 SELECT 'confusion', CAST(-1 AS BIGINT), lang, lang_pred, n_docs FROM c""")
+
+    # Count-Min sketch: hash_j(term) = j-th 8-hex md5 slice mod 1024 (DuckDB
+    # md5 == hashlib.md5); cellwise-sum grid + min-over-rows probe estimates.
+    # Beyond the 50-row capture window — value-checked by the mimic pytest.
+    out["cms_sketch"] = r"""
+WITH wd AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT js.j,
+         CAST(concat('0x', substr(md5(wd.term), 1 + 8 * js.j, 8)) AS BIGINT)
+             % 1024 AS cell
+  FROM wd, js
+), sk AS (
+  SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY j, cell
+), probes(term) AS (
+  VALUES ('a'),('an'),('and'),('are'),('as'),('at'),('be'),('been'),('by'),
+         ('for'),('in'),('is'),('it'),('of'),('on'),('or'),('the'),('to'),
+         ('was'),('were'),('with')
+), pcell AS (
+  SELECT p.term, js.j,
+         CAST(concat('0x', substr(md5(p.term), 1 + 8 * js.j, 8)) AS BIGINT)
+             % 1024 AS cell
+  FROM probes p, js
+), pe AS (
+  SELECT pcell.term, MIN(COALESCE(sk.cnt, 0)) AS est
+  FROM pcell LEFT JOIN sk USING (j, cell) GROUP BY pcell.term
+)
+SELECT 'sketch' AS section, '' AS term, CAST(j AS BIGINT) AS j,
+       CAST(cell AS BIGINT) AS cell, cnt FROM sk
+UNION ALL
+SELECT 'est', term, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(est AS BIGINT) FROM pe"""
 
     return out

@@ -301,3 +301,103 @@ def hll_distinct_urls_per_host(sf_dir: str, p: int = HLL_P,
 
     return per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
                       ["key"], merge, num_buckets=num_buckets)
+
+
+# -------------------------------------------------------------- Count-Min --
+
+CMS_W = 1024
+CMS_D = 4
+
+
+def cms_cells(terms: list[str], w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """(d, n) Count-Min cell indices: hash_j(term) = the j-th 8-hex-digit
+    slice of md5(term) mod w — four independent 32-bit hashes from one
+    digest, each exactly replayable in SQL as
+    ``CAST(concat('0x', substr(md5(term), 1+8*j, 8)) AS BIGINT) % w``
+    (DuckDB md5 == Python hashlib.md5; same parity contract as
+    functions.hashing.md5_hex_array). Scalar md5 — callers pass the
+    DEDUPLICATED term list, never the raw occurrence stream."""
+    import hashlib
+    out = np.empty((d, len(terms)), dtype=np.int64)
+    for i, t in enumerate(terms):
+        hx = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for j in range(d):
+            out[j, i] = int(hx[8 * j:8 * j + 8], 16) % w
+    return out
+
+
+def cms_term_sketch(sf_dir: str, w: int = CMS_W, d: int = CMS_D,
+                    probes: tuple[str, ...] | None = None,
+                    num_buckets: int = 4):
+    """Count-Min sketch over the corpus TERM stream (Cormode &
+    Muthukrishnan 2005) + point estimates for the probe terms — the
+    at-scale frequency-estimation shape when the term domain is too large
+    to groupby exactly: every batch reduces to a fixed d x w counter grid
+    (independent of batch size or vocabulary), grids merge by cellwise SUM
+    through ONE tiny keyed exchange, and a point query reads min_j of d
+    cells. Estimates are deterministic (sums are associative) and obey
+    est >= true count (pytest-pinned), with overestimate bounded by
+    collisions at w cells.
+
+    Per-batch cost discipline: words are dictionary-encoded (value_counts)
+    first, so the scalar md5 runs over batch-DISTINCT terms only;
+    occurrence mass enters via one weighted bincount per hash row. Output
+    is section-tagged (section, term, j, cell, cnt): the merged sketch's
+    nonzero cells ('sketch', <= d*w rows by construction — the driver-side
+    materialize is bounded by the sketch size, never the corpus) and one
+    ('est') row per probe. SQL-oracled end to end (mimic row: md5-slice
+    hashes, cell grouping and min-estimate replayed verbatim in DuckDB).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+    from pixcrawler_ray.stages.textstats import _STOPWORDS, _split_words
+
+    if probes is None:
+        probes = tuple(sorted(_STOPWORDS))
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, _, lens = _split_words(t.column("text"))
+        flat = pc.list_flatten(words).filter(pa.array(lens > 0))
+        vc = flat.value_counts()
+        uniq = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        cells = cms_cells(uniq, w, d)
+        js, cs, ns = [], [], []
+        for j in range(d):
+            grid = np.bincount(cells[j], weights=cnts,
+                               minlength=w).astype(np.int64)
+            nz = np.flatnonzero(grid)
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            cs.append(nz.astype(np.int64))
+            ns.append(grid[nz])
+        return pa.table({"j": pa.array(np.concatenate(js)),
+                         "cell": pa.array(np.concatenate(cs)),
+                         "cnt": pa.array(np.concatenate(ns))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["j", "cell"], sort=False)["cnt"].sum()
+                .reset_index())
+
+    sk = per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["j", "cell"], merge,
+                    num_buckets=num_buckets).to_pandas()
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[sk["j"].to_numpy(), sk["cell"].to_numpy()] = sk["cnt"].to_numpy()
+    pcells = cms_cells(list(probes), w, d)
+    est = grid[np.arange(d)[:, None], pcells].min(axis=0)
+    out = pa.table({
+        "section": pa.array(["sketch"] * len(sk) + ["est"] * len(probes)),
+        "term": pa.array([""] * len(sk) + list(probes)),
+        "j": pa.array(np.concatenate(
+            [sk["j"].to_numpy(), np.full(len(probes), -1)]
+            ).astype(np.int64)),
+        "cell": pa.array(np.concatenate(
+            [sk["cell"].to_numpy(), np.full(len(probes), -1)]
+            ).astype(np.int64)),
+        "cnt": pa.array(np.concatenate([sk["cnt"].to_numpy(), est]
+                                       ).astype(np.int64))})
+    return rd.from_arrow(out)

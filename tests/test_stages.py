@@ -1019,3 +1019,41 @@ def test_hll_sketch_error_bound_and_merge_invariance(ray_session, sf_tiny):
     p2 = hll_partial(np.zeros(40_000, dtype=object), hashes[60_000:])
     est2 = hll_estimate_frame(pd.concat([p1, p2], ignore_index=True))
     assert int(est2.n_distinct_est.iloc[0]) == int(est.n_distinct_est.iloc[0])
+
+
+def test_cms_sketch_guarantees(ray_session, sf_tiny):
+    """Count-Min invariants: every probe estimate >= its exact count; each
+    hash row's cell mass == the total token count; rerun-deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.sketch import CMS_D, cms_term_sketch
+
+    out = cms_term_sketch(sf_tiny).to_pandas()
+    sk = out[out["section"] == "sketch"]
+    est = out[out["section"] == "est"].set_index("term")["cnt"]
+
+    docs = pq.read_table(f"{sf_tiny}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    words = docs["text"].str.split().explode().dropna()
+    words = words[words.str.len() > 0]
+    exact = words.value_counts()
+    total = int(len(words))
+
+    # each of the d rows conserves total occurrence mass
+    row_mass = sk.groupby("j")["cnt"].sum()
+    assert len(row_mass) == CMS_D and (row_mass == total).all()
+
+    # CMS one-sided error: estimate never undercounts
+    for term, e in est.items():
+        assert e >= int(exact.get(term, 0))
+    # at least one probe present in the corpus estimates within 5% of exact
+    present = [t for t in est.index if exact.get(t, 0) > 0]
+    assert present
+    errs = [est[t] - exact[t] for t in present]
+    assert min(errs) >= 0 and min(errs) <= max(1, 0.05 * max(exact))
+
+    again = cms_term_sketch(sf_tiny).to_pandas()
+    assert np.array_equal(
+        out.sort_values(["section", "term", "j", "cell"]).to_numpy(),
+        again.sort_values(["section", "term", "j", "cell"]).to_numpy())
