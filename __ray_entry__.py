@@ -346,8 +346,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 rd, batch_format="pyarrow"))
 
     def robots_parse_q(sf_dir: str):
-        from pixcrawler_ray.stages.robots import robots_parse
-        return robots_parse(sf_dir)
+        # MERGED (one registry row): robots.txt byte round-trip ('robots')
+        # + sitemap.xml byte round-trip ('sitemap', r5), section-tagged on
+        # (section, host_id, s1, s2, n1)
+        import pyarrow as _pa
+
+        from pixcrawler_ray.stages.robots import robots_parse, sitemap_parse
+
+        def rob(t):
+            return _pa.table({
+                "section": _pa.array(["robots"] * t.num_rows,
+                                     type=_pa.string()),
+                "host_id": t.column("host_id").cast(_pa.int64()),
+                "s1": t.column("disallow_prefix"),
+                "s2": _pa.array([""] * t.num_rows, type=_pa.string()),
+                "n1": t.column("crawl_delay").cast(_pa.int64())})
+
+        def sm(t):
+            return _pa.table({
+                "section": _pa.array(["sitemap"] * t.num_rows,
+                                     type=_pa.string()),
+                "host_id": t.column("host_id").cast(_pa.int64()),
+                "s1": t.column("url"),
+                "s2": t.column("lastmod"),
+                "n1": t.column("priority").cast(_pa.int64())})
+
+        a = robots_parse(sf_dir).map_batches(rob, batch_format="pyarrow")
+        b = sitemap_parse(sf_dir).map_batches(sm, batch_format="pyarrow")
+        return a.union(b)
 
     def link_mass_q(sf_dir: str):
         # MERGED (one registry row): undamped propagation ('plain') +
@@ -1940,17 +1966,36 @@ GROUP BY doc_id, i // 16"""
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle
     # replays the generating rule — a parser defect diverges.
+    # MERGED (r5): + sitemap.xml round-trip — the oracle computes each
+    # host's sitemap entries (url, lastmod 2025-MM-DD, priority digit)
+    # from the doc arithmetic directly; the Ray side must recover them by
+    # PARSING the synthesized XML bytes.
     out["robots_parse"] = """
 WITH h AS (
   SELECT DISTINCT CASE WHEN doc_id % 3 = 0 THEN 0
                   ELSE 1 + (doc_id * 2654435761) % 499 END AS host_id
   FROM documents
 )
-SELECT host_id,
-       CAST(1 + host_id % 3 AS BIGINT) AS crawl_delay,
+SELECT 'robots' AS section, host_id,
        CASE WHEN host_id % 20 = 1 AND host_id <> 0
-            THEN '/private/' ELSE '' END AS disallow_prefix
-FROM h"""
+            THEN '/private/' ELSE '' END AS s1,
+       '' AS s2,
+       CAST(1 + host_id % 3 AS BIGINT) AS n1
+FROM h
+UNION ALL
+SELECT 'sitemap',
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+       ELSE 1 + (doc_id * 2654435761) % 499 END AS BIGINT),
+  'http://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+       ELSE 1 + (doc_id * 2654435761) % 499 END AS VARCHAR)
+    || '.example.com'
+    || CASE WHEN doc_id % 50 = 7
+       THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+       ELSE '/doc/' || CAST(doc_id AS VARCHAR) END,
+  '2025-' || lpad(CAST(1 + (doc_id // 28) % 12 AS VARCHAR), 2, '0')
+    || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0'),
+  CAST(doc_id % 10 AS BIGINT)
+FROM documents"""
 
     # frontier alias collapse: 3 syntactic aliases per doc all canonicalize
     # to the same URL; keep-first by priority (variant*131 + doc_id) % 7,

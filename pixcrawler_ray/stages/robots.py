@@ -133,3 +133,97 @@ def apply_robots(frontier_ds, keep_blocked: bool = False):
             ["robots_allowed"]),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------------------- sitemap.xml --
+
+def sitemap_lastmod_priority(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-doc sitemap metadata: lastmod date
+    2025-MM-DD with MM = 1 + (id // 28) % 12, DD = 1 + id % 28, and
+    priority digit id % 10 — plain integer/string arithmetic so the SQL
+    oracle replays it with lpad/CAST, no date library divergence."""
+    d = d.astype(np.int64)
+    month = (1 + (d // 28) % 12).astype("U2")
+    day = (1 + d % 28).astype("U2")
+    lastmod = np.char.add(
+        np.char.add("2025-", np.char.zfill(month, 2)),
+        np.char.add("-", np.char.zfill(day, 2)))
+    return lastmod, d % 10
+
+
+def sitemap_xml(sf_dir: str, num_buckets: int = 8):
+    """Synthesize each host's literal sitemap.xml (sitemaps.org protocol
+    shape: urlset of <url><loc/><lastmod/><priority/> entries, entries
+    sorted by doc_id) — the crawl-seeding artifact a real frontier ingests
+    per host. ONE host-keyed exchange groups the host's docs; the XML body
+    is built with vectorized pandas string concatenation + a C-level join
+    per host. Output (host_id, sitemap_xml)."""
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        url, _ = corpus.urls_hosts_arrow(ids)
+        lastmod, pri = sitemap_lastmod_priority(ids)
+        return pa.table({
+            "host_id": pa.array(corpus.host_ids(ids)),
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "url": url,
+            "lastmod": pa.array(lastmod.tolist(), type=pa.string()),
+            "pri": pa.array(pri)})
+
+    def build(df) -> "pd.DataFrame":
+        import pandas as pd
+        df = df.sort_values(["host_id", "doc_id"], kind="mergesort")
+        ent = ("<url><loc>" + df["url"] + "</loc><lastmod>" + df["lastmod"]
+               + "</lastmod><priority>0." + df["pri"].astype(str)
+               + "</priority></url>")
+        g = ent.groupby(df["host_id"].to_numpy(), sort=True).agg("".join)
+        body = ('<?xml version="1.0" encoding="UTF-8"?><urlset>'
+                + g.to_numpy(dtype=object) + "</urlset>")
+        return pd.DataFrame({"host_id": g.index.to_numpy(),
+                             "sitemap_xml": body})
+
+    return per_bucket(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["host_id"], build, num_buckets=num_buckets)
+
+
+def parse_sitemap_batch(t: pa.Table) -> pa.Table:
+    """Recover (host_id, url, lastmod, priority) rows from literal
+    sitemap.xml bytes with Arrow kernels only: split on the entry closer,
+    then one extract_regex per field over the flattened fragments (the
+    trailing '</urlset>' fragment has no <loc> and is dropped)."""
+    import pyarrow.compute as pc
+
+    xml = t.column("sitemap_xml")
+    if isinstance(xml, pa.ChunkedArray):
+        xml = xml.combine_chunks()
+    frs = pc.split_pattern(xml, "</url>")
+    n = pc.list_value_length(frs).to_numpy(zero_copy_only=False)
+    host_rep = np.repeat(
+        t.column("host_id").to_numpy(zero_copy_only=False), n)
+    flat = pc.list_flatten(frs)
+    loc = pc.extract_regex(flat, r"<loc>(?P<u>[^<]*)</loc>")
+    keep = pc.is_valid(loc)
+    lm = pc.extract_regex(flat, r"<lastmod>(?P<m>[^<]*)</lastmod>")
+    pr = pc.extract_regex(flat, r"<priority>0\.(?P<p>\d)</priority>")
+    mask = keep.to_numpy(zero_copy_only=False)
+    return pa.table({
+        "host_id": pa.array(host_rep[mask]),
+        "url": pc.struct_field(loc.filter(keep), "u"),
+        "lastmod": pc.struct_field(lm.filter(keep), "m"),
+        "priority": pc.cast(pc.struct_field(pr.filter(keep), "p"),
+                            pa.int64())})
+
+
+def sitemap_parse(sf_dir: str, num_buckets: int = 8):
+    """Byte-level sitemap round-trip (SQL-oracled): synthesize every
+    host's sitemap.xml, then recover each entry by PARSING the bytes —
+    the oracle computes the same rows from the doc arithmetic directly,
+    so any synthesis or parser defect diverges. One host-keyed exchange
+    (the synthesis grouping); parsing is a stateless Arrow-kernel map."""
+    return sitemap_xml(sf_dir, num_buckets=num_buckets).map_batches(
+        parse_sitemap_batch, batch_format="pyarrow")

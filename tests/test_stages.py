@@ -1057,3 +1057,40 @@ def test_cms_sketch_guarantees(ray_session, sf_tiny):
     assert np.array_equal(
         out.sort_values(["section", "term", "j", "cell"]).to_numpy(),
         again.sort_values(["section", "term", "j", "cell"]).to_numpy())
+
+
+def test_sitemap_roundtrip_and_bucket_invariance(ray_session, sf_tiny):
+    """Every doc appears exactly once across all host sitemaps; parsed
+    fields equal the synthesis arithmetic; result invariant to exchange
+    width; XML bodies are well-formed urlsets."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.stages.robots import (sitemap_lastmod_priority,
+                                              sitemap_parse, sitemap_xml)
+
+    ids = pq.read_table(f"{sf_tiny}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    out = (sitemap_parse(sf_tiny).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert len(out) == len(ids)
+
+    want_urls = np.sort(corpus.urls_for(ids))
+    assert (out["url"].to_numpy() == want_urls).all()
+    lastmod, pri = sitemap_lastmod_priority(ids)
+    order = np.argsort(corpus.urls_for(ids))
+    assert (out["lastmod"].to_numpy() == lastmod[order]).all()
+    assert (out["priority"].to_numpy() == pri[order]).all()
+    hid = corpus.host_ids(ids)
+    assert (out["host_id"].to_numpy() == hid[order]).all()
+
+    out2 = (sitemap_parse(sf_tiny, num_buckets=3).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert out.equals(out2)
+
+    xml = sitemap_xml(sf_tiny).to_pandas()
+    assert xml["sitemap_xml"].str.startswith(
+        '<?xml version="1.0" encoding="UTF-8"?><urlset>').all()
+    assert xml["sitemap_xml"].str.endswith("</urlset>").all()
+    assert int(xml["sitemap_xml"].str.count("<loc>").sum()) == len(ids)
