@@ -597,9 +597,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bk, batch_format="pyarrow")
         return a.union(b).union(c)
 
-    def cms_sketch_q(sf_dir: str):
+    def top_terms_q(sf_dir: str):
+        # MERGED (r5): per-lang top-k terms + the Count-Min term-frequency
+        # sketch/probe row, tag-unioned onto one schema so both sit inside
+        # the driver's 50-row capture window. Shared columns:
+        # (section, lang, term, j, cell, cnt) — topk reuses j for rank.
+        import pyarrow as _pa
+
         from pixcrawler_ray.stages.sketch import cms_term_sketch
-        return cms_term_sketch(sf_dir)
+
+        def tag_topk(t: "_pa.Table") -> "_pa.Table":
+            n = t.num_rows
+            return _pa.table({
+                "section": _pa.array(["topk"] * n, type=_pa.string()),
+                "lang": t.column("lang"),
+                "term": t.column("term"),
+                "j": t.column("rank"),
+                "cell": _pa.array([-1] * n, type=_pa.int64()),
+                "cnt": t.column("cnt")})
+
+        def tag_cms(t: "_pa.Table") -> "_pa.Table":
+            n = t.num_rows
+            return _pa.table({
+                "section": t.column("section"),
+                "lang": _pa.array([""] * n, type=_pa.string()),
+                "term": t.column("term"),
+                "j": t.column("j"),
+                "cell": t.column("cell"),
+                "cnt": t.column("cnt")})
+
+        a = ts.top_terms(sf_dir, k=20).map_batches(
+            tag_topk, batch_format="pyarrow")
+        b = cms_term_sketch(sf_dir).map_batches(
+            tag_cms, batch_format="pyarrow")
+        return a.union(b)
 
     def pivot_lang_source_q(sf_dir: str):
         return rel.q_pivot_lang_source(sf_dir)
@@ -1155,7 +1186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id_eval,   # MERGED: per-doc preds + confusion matrix
         "curate_corpus": curate_q,                 # gate + dedup stages
         "length_outliers": ts.length_outliers,
-        "top_terms": lambda sf: ts.top_terms(sf, k=20),
+        "top_terms": top_terms_q,   # MERGED (r5): per-lang top-k + the
+        #   Count-Min sketch/probe row (md5-slice hash replay)
         "sample_stratified": sample_stratified_q,
         "distinctive_terms": ts.distinctive_terms,
         "doc_fingerprints_flat": ts.doc_fingerprints_flat,
@@ -1191,10 +1223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   == UNION ALL of SQL aggregates
         "pivot_lang_source": pivot_lang_source_q,  # conditional-aggregation
         #   pivot == FILTER(WHERE) columns
-        "cms_sketch": cms_sketch_q,   # Count-Min term-frequency sketch +
-        #   probe estimates — FULLY SQL-oracled (md5-slice hash replay) but
-        #   beyond the 50-row capture window; value-checked by the driver-
-        #   mimic pytest
         # ====== tail: rows-only, pytest-oracled (blake2b / seeded-RNG /
         # greedy-merge internals have no SQL analog) — beyond the driver's
         # 50-row capture window by design, each verified in tests/ ======
@@ -1629,7 +1657,9 @@ SELECT n.doc_id, n.lang, n.n_tokens, qn.cut
 FROM n JOIN qn USING (lang)
 WHERE n.n_tokens > qn.cut"""
 
-    # top-k terms per lang; tie-break count DESC then term ASC on both sides
+    # MERGED (r5): top-k terms per lang (tie-break count DESC then term
+    # ASC on both sides; rank carried in j) + the Count-Min sketch row
+    # (md5-slice hashes, cell grouping and min-estimate replayed verbatim)
     out["top_terms"] = r"""
 WITH w AS (
   SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -1637,13 +1667,41 @@ WITH w AS (
 ), c AS (
   SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM w GROUP BY lang, term
+), topk AS (
+  SELECT lang, term, cnt, CAST(rn AS BIGINT) AS rank
+  FROM (SELECT lang, term, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, term) AS rn FROM c)
+  WHERE rn <= 20
+), js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT js.j,
+         CAST(concat('0x', substr(md5(w.term), 1 + 8 * js.j, 8)) AS BIGINT)
+             % 1024 AS cell
+  FROM w, js
+), sk AS (
+  SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY j, cell
+), probes(term) AS (
+  VALUES ('a'),('an'),('and'),('are'),('as'),('at'),('be'),('been'),('by'),
+         ('for'),('in'),('is'),('it'),('of'),('on'),('or'),('the'),('to'),
+         ('was'),('were'),('with')
+), pcell AS (
+  SELECT p.term, js.j,
+         CAST(concat('0x', substr(md5(p.term), 1 + 8 * js.j, 8)) AS BIGINT)
+             % 1024 AS cell
+  FROM probes p, js
+), pe AS (
+  SELECT pcell.term, MIN(COALESCE(sk.cnt, 0)) AS est
+  FROM pcell LEFT JOIN sk USING (j, cell) GROUP BY pcell.term
 )
-SELECT lang, term, cnt,
-       CAST(rn AS BIGINT) AS rank
-FROM (SELECT lang, term, cnt,
-             ROW_NUMBER() OVER (PARTITION BY lang
-                 ORDER BY cnt DESC, term) AS rn FROM c)
-WHERE rn <= 20"""
+SELECT 'topk' AS section, lang, term, rank AS j,
+       CAST(-1 AS BIGINT) AS cell, cnt FROM topk
+UNION ALL
+SELECT 'sketch', '', '', CAST(j AS BIGINT), CAST(cell AS BIGINT), cnt
+FROM sk
+UNION ALL
+SELECT 'est', '', term, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(est AS BIGINT) FROM pe"""
 
     # stratified sample: Lehmer/MINSTD rank on doc_id is plain integer
     # arithmetic on both sides (products < 2^47 — no overflow divergence).
@@ -2762,39 +2820,5 @@ SELECT 'pred' AS section, doc_id AS k1, lang, lang_pred,
        CAST(-1 AS BIGINT) AS n FROM p
 UNION ALL
 SELECT 'confusion', CAST(-1 AS BIGINT), lang, lang_pred, n_docs FROM c""")
-
-    # Count-Min sketch: hash_j(term) = j-th 8-hex md5 slice mod 1024 (DuckDB
-    # md5 == hashlib.md5); cellwise-sum grid + min-over-rows probe estimates.
-    # Beyond the 50-row capture window — value-checked by the mimic pytest.
-    out["cms_sketch"] = r"""
-WITH wd AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-  FROM documents WHERE trim(text) <> ''
-), js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-cells AS (
-  SELECT js.j,
-         CAST(concat('0x', substr(md5(wd.term), 1 + 8 * js.j, 8)) AS BIGINT)
-             % 1024 AS cell
-  FROM wd, js
-), sk AS (
-  SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY j, cell
-), probes(term) AS (
-  VALUES ('a'),('an'),('and'),('are'),('as'),('at'),('be'),('been'),('by'),
-         ('for'),('in'),('is'),('it'),('of'),('on'),('or'),('the'),('to'),
-         ('was'),('were'),('with')
-), pcell AS (
-  SELECT p.term, js.j,
-         CAST(concat('0x', substr(md5(p.term), 1 + 8 * js.j, 8)) AS BIGINT)
-             % 1024 AS cell
-  FROM probes p, js
-), pe AS (
-  SELECT pcell.term, MIN(COALESCE(sk.cnt, 0)) AS est
-  FROM pcell LEFT JOIN sk USING (j, cell) GROUP BY pcell.term
-)
-SELECT 'sketch' AS section, '' AS term, CAST(j AS BIGINT) AS j,
-       CAST(cell AS BIGINT) AS cell, cnt FROM sk
-UNION ALL
-SELECT 'est', term, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-       CAST(est AS BIGINT) FROM pe"""
 
     return out
