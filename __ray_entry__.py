@@ -377,25 +377,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def link_mass_q(sf_dir: str):
         # MERGED (one registry row): undamped propagation ('plain') +
-        # damped conserving integer PageRank ('pagerank'), section-tagged
+        # damped conserving integer PageRank ('pagerank') + hash-to-min
+        # connected components ('components', label in the mass column),
+        # section-tagged
         import pyarrow as _pa
 
-        from pixcrawler_ray.stages.graph import link_mass, pagerank_mass
+        from pixcrawler_ray.stages.graph import (
+            connected_components, link_mass, pagerank_mass)
 
-        def tag(section):
+        def tag(section, val="mass"):
             def f(t):
                 return _pa.table({
                     "section": _pa.array([section] * t.num_rows,
                                          type=_pa.string()),
                     "doc_id": t.column("doc_id").cast(_pa.int64()),
-                    "mass": t.column("mass").cast(_pa.int64())})
+                    "mass": t.column(val).cast(_pa.int64())})
             return f
 
         a = link_mass(sf_dir, rounds=3).map_batches(
             tag("plain"), batch_format="pyarrow")
         b = pagerank_mass(sf_dir, rounds=3).map_batches(
             tag("pagerank"), batch_format="pyarrow")
-        return a.union(b)
+        c = connected_components(sf_dir).map_batches(
+            tag("components", "component"), batch_format="pyarrow")
+        return a.union(b).union(c)
 
     def distinct_urls_kmv_q(sf_dir: str):
         # MERGED (rows-only row, pytest-oracled): KMV + HyperLogLog
@@ -2016,10 +2021,16 @@ GROUP BY doc_id, i // 16"""
             f"p{_r + 1} AS (SELECT r.doc_id, CAST(r.mass + t.rr // t.n "
             f"+ CASE WHEN r.doc_id < t.rr % t.n THEN 1 ELSE 0 END "
             f"AS BIGINT) AS mass FROM pr{_r + 1} r, pt{_r + 1} t)")
+    # + (r5) connected components over the intra-class path/chord graph
+    # (edges (d, d+97), (d, d+3*97)): each component IS one residue class,
+    # min label = doc_id % 97 — the Ray side earns this via hash-to-min
+    # propagation with pointer doubling (graph.connected_components).
     out["link_mass"] = (
         _lm + _pr
         + "\nSELECT 'plain' AS section, doc_id, mass FROM m3"
-        + "\nUNION ALL\nSELECT 'pagerank', doc_id, mass FROM p3")
+        + "\nUNION ALL\nSELECT 'pagerank', doc_id, mass FROM p3"
+        + "\nUNION ALL\nSELECT 'components', doc_id, "
+          "CAST(doc_id % 97 AS BIGINT) FROM documents")
 
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle

@@ -188,3 +188,108 @@ def link_mass_resumable(sf_dir: str, out_dir: str, rounds: int = 3,
         mass = rd.read_parquet(final, file_extensions=["parquet"])
 
     return mass
+
+
+# ------------------------------------------------- connected components --
+
+CC_MODULUS = 97
+
+
+def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
+                         num_buckets: int = 8, max_rounds: int = 32,
+                         stats: dict | None = None):
+    """Distributed connected components by min-label propagation with
+    POINTER DOUBLING (the hash-to-min shape, Rastogi et al. 2012; the
+    MapReduce CC family of Kiveris et al. 2014) — the link-graph clustering
+    step of a web corpus (mirror groups, site families), here over a
+    deterministic undirected graph whose TRUE components are known in
+    closed form so the fixpoint is SQL-oracleable: intra-class path +
+    chord edges (d, d+m) and (d, d+3m) with class g = d % m over
+    contiguous doc ids, so each component is exactly one residue class
+    and its min label is g. The Ray side must EARN that answer by
+    propagating over the edges — a missed edge direction, a wrong min, or
+    a premature stop all diverge from the oracle.
+
+    Per round, two keyed exchanges and one scalar to the driver:
+      1. neighbor-min: each (node, lbl) row emits itself + its <=4
+         arithmetic neighbors (edges are ARITHMETIC, never a table),
+         groupby-min over node;
+      2. pointer doubling: lbl <- min(lbl, labels[lbl]) via one bucketed
+         hash join — chains of depth D collapse in O(log D) rounds
+         instead of D (a residue-class path at 10^10 nodes is ~10^8 hops;
+         doubling makes that ~27 rounds);
+      3. convergence: labels only decrease, so the fixpoint test is a
+         single int64 (SUM of labels) per round — nothing corpus-sized
+         ever reaches the driver, same discipline as pagerank's residue
+         scalar.
+    State is one fixed-width (node, lbl) table per round — the same
+    O(nodes) checkpoint granule as ``link_mass_resumable``.
+
+    Output (doc_id, component): component == doc_id % modulus at the
+    fixpoint (pytest + SQL oracle). ``stats`` (test hook) records the
+    rounds actually run.
+    """
+    import pyarrow.compute as pc
+
+    from pixcrawler_ray.stages.shuffle import bucketed_join, per_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    labels = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id").cast(pa.int64()),
+                            "lbl": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    prev_sum = int(labels.sum("lbl"))
+    rounds_run = 0
+
+    def send(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy(zero_copy_only=False)
+        l = t.column("lbl").to_numpy(zero_copy_only=False)
+        nodes, lbls = [d], [l]
+        for step in (modulus, 3 * modulus):
+            for sgn in (1, -1):
+                nb = d + sgn * step
+                sel = (nb >= 0) & (nb < n)
+                nodes.append(nb[sel])
+                lbls.append(l[sel])
+        return pa.table({"node": pa.array(np.concatenate(nodes)),
+                         "lbl": pa.array(np.concatenate(lbls))})
+
+    def nmin(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False)["lbl"].min().reset_index()
+
+    for _ in range(max_rounds):
+        rounds_run += 1
+        after_send = per_bucket(
+            labels.map_batches(send, batch_format="pyarrow"),
+            ["node"], nmin, num_buckets=num_buckets)
+        # pointer doubling: look up labels[lbl] with one bucketed join
+        req = after_send.map_batches(
+            lambda t: pa.table({"lkey": t.column("lbl"),
+                                "node": t.column("node"),
+                                "lbl": t.column("lbl")}),
+            batch_format="pyarrow")
+        mp = labels.map_batches(
+            lambda t: pa.table({"lkey": t.column("node"),
+                                "lbl2": t.column("lbl")}),
+            batch_format="pyarrow")
+        labels = bucketed_join(req, mp, on="lkey",
+                               num_buckets=num_buckets).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "lbl": pc.min_element_wise(t.column("lbl"),
+                                           t.column("lbl2"))}),
+            batch_format="pyarrow").materialize()
+        cur_sum = int(labels.sum("lbl"))
+        if cur_sum == prev_sum:      # labels only decrease: sum-stable
+            break                    # means every label is stable
+        prev_sum = cur_sum
+
+    if stats is not None:
+        stats["rounds"] = rounds_run
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "component": t.column("lbl")}),
+        batch_format="pyarrow")

@@ -492,3 +492,29 @@ def test_upsert_as_of_time_travel(ray_session, sf_tiny):
     deleted = set(v1.doc_id[v1.doc_id % 31 == 4])
     assert set(cur.doc_id) == set(v1.doc_id) - deleted
     assert n == len(v2) == len(cur) + len(deleted)
+
+
+def test_connected_components_fixpoint_and_doubling(sf_tiny):
+    """Hash-to-min CC must converge to the closed-form components
+    (component == doc_id % 97 over the intra-class path/chord graph),
+    be invariant to the bucket count, and converge in logarithmically
+    few rounds (the pointer doubling is real: a residue-class path of
+    length L must close in O(log L) rounds, not L)."""
+    import math
+
+    from pixcrawler_ray.stages.graph import connected_components
+
+    stats = {}
+    got = (connected_components(sf_tiny, stats=stats).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    n = len(got)
+    assert n > 97, "fixture must span several residue classes"
+    assert (got["component"] == got["doc_id"] % 97).all()
+    # path length per class is ceil(n/97); doubling halves remaining
+    # depth per round (+1 detect round, +small propagation constant)
+    path_len = -(-n // 97)
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(path_len)) + 3
+
+    other = (connected_components(sf_tiny, num_buckets=3).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert (other["component"] == got["component"]).all()
