@@ -309,9 +309,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MERGED (one registry row): canonicalize + alias collapse
         # ('canon') + redirect-chain resolution by pointer doubling
         # ('redirect', resolve_redirects — final target, hop count, loop
-        # flag), section-tagged on (section, doc_id, a, b, s1, s2, s3)
+        # flag) + anchor-text index ('anchors', r5: per-target inlink
+        # count + sorted-distinct anchor strings over the arithmetic link
+        # graph), section-tagged on (section, doc_id, a, b, s1, s2, s3)
         import pyarrow as _pa
 
+        from pixcrawler_ray.stages.graph import anchor_text_index
         from pixcrawler_ray.stages.urlnorm import (resolve_redirects,
                                                    url_canonical_dedup)
 
@@ -340,10 +343,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     _pa.scalar("ok", type=_pa.string())).cast(_pa.string()),
                 "s2": empty, "s3": empty})
 
+        def an(t):
+            empty = _pa.array([""] * t.num_rows, type=_pa.string())
+            return _pa.table({
+                "section": _pa.array(["anchors"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "a": t.column("n_inlinks").cast(_pa.int64()),
+                "b": _pa.array([-1] * t.num_rows, type=_pa.int64()),
+                "s1": t.column("anchors").cast(_pa.string()),
+                "s2": empty, "s3": empty})
+
         return url_canonical_dedup(sf_dir).map_batches(
             ca, batch_format="pyarrow").union(
             resolve_redirects(sf_dir).map_batches(
-                rd, batch_format="pyarrow"))
+                rd, batch_format="pyarrow")).union(
+            anchor_text_index(sf_dir).map_batches(
+                an, batch_format="pyarrow"))
 
     def robots_parse_q(sf_dir: str):
         # MERGED (one registry row): robots.txt byte round-trip ('robots')
@@ -2258,10 +2274,38 @@ SELECT doc_id, cur AS final_id, hops AS n_hops, lp AS is_loop
 FROM walk
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hops DESC) = 1"""
 
+    # + (r5) anchor-text index: same arithmetic out-links as link_mass
+    # (k = 1 + d % 3 edges, target (d*mult+add) % n); anchor of edge j is
+    # the source's first whitespace token || '-j'. n_inlinks counts with
+    # multiplicity; anchors = '|'-joined sorted DISTINCT strings.
+    _anchor_sql = r"""
+WITH fw AS (
+  SELECT doc_id, regexp_extract(trim(text), '^\S+') AS w1,
+         1 + doc_id % 3 AS k
+  FROM documents
+), nd AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT (f.doc_id * 7 + 13) % nd.n AS tgt, f.w1 || '-0' AS anchor
+  FROM fw f, nd WHERE f.k > 0
+  UNION ALL
+  SELECT (f.doc_id * 9 + 14) % nd.n, f.w1 || '-1'
+  FROM fw f, nd WHERE f.k > 1
+  UNION ALL
+  SELECT (f.doc_id * 11 + 15) % nd.n, f.w1 || '-2'
+  FROM fw f, nd WHERE f.k > 2
+), cnt AS (SELECT tgt, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+           FROM e GROUP BY tgt),
+da AS (SELECT DISTINCT tgt, anchor FROM e),
+ag AS (SELECT tgt, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+       FROM da GROUP BY tgt)
+SELECT cnt.tgt AS doc_id, cnt.n_inlinks, ag.anchors
+FROM cnt JOIN ag ON cnt.tgt = ag.tgt"""
+
     out["url_canonical_dedup"] = (
         "WITH a AS (" + out.pop("url_canonical") + "),\n"
         "b AS (" + out.pop("url_alias_dedup") + "),\n"
-        "r AS (" + _redir_sql + """)
+        "r AS (" + _redir_sql + "),\n"
+        "anch AS (" + _anchor_sql + """)
 SELECT 'canon' AS section, a.doc_id, CAST(-1 AS BIGINT) AS a,
        CAST(-1 AS BIGINT) AS b, a.url_raw AS s1, a.url_canon AS s2,
        b.kept_variant AS s3
@@ -2269,7 +2313,10 @@ FROM a JOIN b ON a.doc_id = b.doc_id
 UNION ALL
 SELECT 'redirect', doc_id, final_id, n_hops,
        CASE WHEN is_loop THEN 'loop' ELSE 'ok' END, '', ''
-FROM r""")
+FROM r
+UNION ALL
+SELECT 'anchors', doc_id, n_inlinks, CAST(-1 AS BIGINT), anchors, '', ''
+FROM anch""")
 
     # ---- round-4 registry merges (window budget: 50 oracled rows) ----
     # topk_union = top_parts_by_qty + lineitem_topk_revenue, section-tagged

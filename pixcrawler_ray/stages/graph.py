@@ -293,3 +293,66 @@ def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
         lambda t: pa.table({"doc_id": t.column("node"),
                             "component": t.column("lbl")}),
         batch_format="pyarrow")
+
+
+# ----------------------------------------------------- anchor-text index --
+
+def anchor_text_index(sf_dir: str, num_buckets: int = 8):
+    """Anchor-text aggregation — the classic web-corpus inverted view of
+    the link graph (anchor text describes the TARGET page; search engines
+    and LLM-corpus builders both index it, e.g. the anchor-text datasets
+    of TREC / MS MARCO): for every page, the number of in-links and the
+    sorted-distinct set of anchor strings pointing at it.
+
+    Edges are the same arithmetic out-link rule as ``link_mass`` (k(d) =
+    1 + d % 3 targets, never a materialized edge table); the anchor string
+    of edge j from source d is derived from d's TEXT (its first
+    whitespace token) + the edge index, so the operator must actually
+    move per-source strings through the exchange — exactly the shape of a
+    real anchor-text build, where anchor strings ride the (target-keyed)
+    shuffle. One keyed exchange on target; the per-bucket kernel sorts
+    (target, anchor) once, dedups, and joins per segment.
+
+    Output (doc_id, n_inlinks, anchors): n_inlinks counts edges WITH
+    multiplicity; anchors is '|'.join(sorted(set(anchor))) — both
+    replayed verbatim in the SQL oracle (url_canonical_dedup row,
+    'anchors' section).
+    """
+    import pyarrow.compute as pc
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sp = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text")))
+        # first token, '' for empty docs (matches regexp_extract '^\S+')
+        first = pc.binary_join(pc.list_slice(sp, 0, 1), "").to_pandas() \
+            .to_numpy(dtype=object)
+        k = _out_degree(d)
+        tgts, ancs = [], []
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            sel = k > j
+            tgts.append((d[sel] * mu + ad) % n)
+            ancs.append(np.char.add(first[sel].astype(str), f"-{j}"))
+        return pa.table({
+            "tgt": pa.array(np.concatenate(tgts), type=pa.int64()),
+            "anchor": pa.array(np.concatenate(ancs), type=pa.string())})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("tgt", sort=False).size().rename("n_inlinks")
+        d = (g.drop_duplicates()
+             .sort_values(["tgt", "anchor"], kind="mergesort"))
+        anc = d.groupby("tgt", sort=False)["anchor"].agg("|".join)
+        out = pd.concat([cnt, anc], axis=1).reset_index()
+        return pd.DataFrame({
+            "doc_id": out["tgt"].astype(np.int64),
+            "n_inlinks": out["n_inlinks"].astype(np.int64),
+            "anchors": out["anchor"].astype(str)})
+
+    return per_bucket(docs.map_batches(explode, batch_format="pyarrow"),
+                      ["tgt"], agg, num_buckets=num_buckets)

@@ -518,3 +518,42 @@ def test_connected_components_fixpoint_and_doubling(sf_tiny):
     other = (connected_components(sf_tiny, num_buckets=3).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert (other["component"] == got["component"]).all()
+
+
+def test_anchor_text_index_serial_parity(sf_tiny):
+    """Distributed anchor-text aggregation must equal the serial
+    replication of the edge rule, and be invariant to bucket count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.graph import (ADDS, MULTS,
+                                             anchor_text_index)
+
+    got = (anchor_text_index(sf_tiny).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    t = pq.read_table(f"{sf_tiny}/documents.parquet",
+                      columns=["doc_id", "text"])
+    n = t.num_rows
+    d = t.column("doc_id").to_numpy().astype(np.int64)
+    sp = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text")))
+    first = (pc.binary_join(pc.list_slice(sp, 0, 1), "")
+             .to_pandas().to_numpy(dtype=object))
+    k = 1 + d % 3
+    rows = {}
+    for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+        for i in np.flatnonzero(k > j):
+            tgt = int((d[i] * mu + ad) % n)
+            rows.setdefault(tgt, []).append(f"{first[i]}-{j}")
+    exp = pd.DataFrame({
+        "doc_id": sorted(rows),
+        "n_inlinks": [len(rows[t_]) for t_ in sorted(rows)],
+        "anchors": ["|".join(sorted(set(rows[t_]))) for t_ in sorted(rows)],
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    alt = (anchor_text_index(sf_tiny, num_buckets=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(alt, got)
