@@ -524,10 +524,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n": t.column("n_docs").cast(_pa.int64()),
             })
 
+        def segmix(t):
+            # r5: per-segment language agreement (mC4/CCNet line-filter
+            # shape) — one measure-tagged row per doc per counter
+            n = t.num_rows
+            parts = []
+            for sec, col in (("segmix_segs", "n_segs"),
+                             ("segmix_agree", "n_agree"),
+                             ("segmix_und", "n_und")):
+                parts.append(_pa.table({
+                    "section": _pa.array([sec] * n, type=_pa.string()),
+                    "k1": t.column("doc_id").cast(_pa.int64()),
+                    "lang": t.column("lang").cast(_pa.string()),
+                    "lang_pred": _pa.array([""] * n, type=_pa.string()),
+                    "n": t.column(col).cast(_pa.int64())}))
+            return _pa.concat_tables(parts)
+
         a = ts.lang_id(sf_dir).map_batches(preds, batch_format="pyarrow")
         b = ts.lang_confusion(sf_dir).map_batches(conf,
                                                   batch_format="pyarrow")
-        return a.union(b)
+        c = ts.segment_lang_mix(sf_dir).map_batches(
+            segmix, batch_format="pyarrow")
+        return a.union(b).union(c)
 
     def tar_shards_q(sf_dir: str):
         # MERGED (one registry row): WebDataset tar shard manifest ('tar')
@@ -2871,12 +2889,62 @@ FROM d GROUP BY lang"""
 
     # lang_id widens to per-doc predictions + the confusion matrix over the
     # same replay, on (section, k1, lang, lang_pred, n)
+    # + (r5) per-SEGMENT language agreement (mC4/CCNet line-filter shape):
+    # same 12-word chunking as segment_dedup, same stopword profiles and
+    # argmax tie-break as the doc-level classifier, per-doc counters as
+    # measure-tagged rows
+    _segmix_sql = r"""
+WITH ws AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), segs0 AS (
+  SELECT doc_id, lang, w,
+         unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS seg_idx
+  FROM ws
+), segw AS (
+  SELECT doc_id, lang, seg_idx,
+         list_distinct(list_transform(
+           w[(seg_idx * 12 + 1):(seg_idx * 12 + 12)],
+           x -> lower(x))) AS sw
+  FROM segs0
+), sc AS (
+  SELECT doc_id, lang, seg_idx,
+         len(list_intersect(sw, ['the', 'and', 'of'])) AS s_en,
+         len(list_intersect(sw, ['der', 'und', 'die'])) AS s_de,
+         len(list_intersect(sw, ['le', 'et', 'la'])) AS s_fr,
+         len(list_intersect(sw, ['el', 'y', 'de'])) AS s_es
+  FROM segw
+), pr AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr'
+           ELSE 'es'
+         END AS pred
+  FROM sc
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_und
+FROM pr GROUP BY doc_id, lang"""
+
     out["lang_id"] = (
         "WITH p AS (" + out["lang_id"] + "),\n"
-        "c AS (" + out.pop("lang_confusion") + """)
+        "c AS (" + out.pop("lang_confusion") + "),\n"
+        "sm AS (" + _segmix_sql + """)
 SELECT 'pred' AS section, doc_id AS k1, lang, lang_pred,
        CAST(-1 AS BIGINT) AS n FROM p
 UNION ALL
-SELECT 'confusion', CAST(-1 AS BIGINT), lang, lang_pred, n_docs FROM c""")
+SELECT 'confusion', CAST(-1 AS BIGINT), lang, lang_pred, n_docs FROM c
+UNION ALL
+SELECT 'segmix_' || m.measure, doc_id, lang, '',
+       CASE m.measure WHEN 'segs' THEN n_segs
+            WHEN 'agree' THEN n_agree ELSE n_und END
+FROM sm CROSS JOIN (VALUES ('segs'), ('agree'), ('und')) m(measure)""")
 
     return out

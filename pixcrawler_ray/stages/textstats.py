@@ -272,6 +272,80 @@ def lang_id(sf_dir: str):
     return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
+def segment_lang_mix(sf_dir: str, k: int = 12):
+    """Per-SEGMENT language agreement — the mC4 / CCNet per-line langid
+    filtering shape (Xue et al. 2021; Wenzek et al. 2020 filter each LINE
+    by language before document assembly): split each doc into k-word
+    segments (same chunking as ``segment_dedup``), language-ID every
+    segment with the same stopword profiles and argmax tie-break as
+    :class:`LangId`, and report per doc how many segments agree with the
+    doc's labeled lang and how many are unidentifiable — a
+    mixed-language doc is one with ``n_agree < n_segs``.
+
+    Scale shape: ZERO shuffles. A doc's segments never leave its batch,
+    so segment scoring AND the per-doc aggregation are both map-side by
+    construction — one streaming pass, presence scoring via one
+    ``pc.equal`` + ``bincount`` per cue word over the flat lowercased
+    word buffer (~12 vectorized sweeps, no per-segment Python).
+
+    Output (doc_id, lang, n_segs, n_agree, n_und); wordless docs emit no
+    row (matching the SQL segment explode).
+    """
+    from pixcrawler_ray.stages.textprep import _nonempty_words
+
+    langs = [l for l in LangId.PROFILES if LangId.PROFILES[l]]
+    cues = [sorted(LangId.PROFILES[l]) for l in langs]
+    lang_arr = np.array(langs, dtype=object)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        flat, nw = _nonempty_words(t.column("text"))
+        n = t.num_rows
+        nseg = -(-nw // k)
+        total = int(nseg.sum())
+        if total == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "n_segs": pa.array([], type=pa.int64()),
+                "n_agree": pa.array([], type=pa.int64()),
+                "n_und": pa.array([], type=pa.int64())})
+        low = pc.utf8_lower(flat)
+        doc_of_word = np.repeat(np.arange(n, dtype=np.int64), nw)
+        starts = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        pos = np.arange(len(doc_of_word), dtype=np.int64) \
+            - starts[doc_of_word]
+        seg_off = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+        seg_of_word = seg_off[doc_of_word] + pos // k
+        scores = np.zeros((total, len(langs)), dtype=np.int64)
+        for li, cw in enumerate(cues):
+            for w in cw:
+                hit = pc.equal(low, w).to_numpy(
+                    zero_copy_only=False).astype(bool)
+                scores[:, li] += np.bincount(
+                    seg_of_word[hit], minlength=total) > 0
+        best = np.argmax(scores, axis=1)
+        bs = scores[np.arange(total), best]
+        pred = np.where(bs > 0, lang_arr[best], "und")
+        doc_of_seg = np.repeat(np.arange(n, dtype=np.int64), nseg)
+        doclang = t.column("lang").to_pandas().to_numpy()
+        n_agree = np.bincount(
+            doc_of_seg[pred == doclang[doc_of_seg]], minlength=n)
+        n_und = np.bincount(doc_of_seg[pred == "und"], minlength=n)
+        keep = nseg > 0
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "lang": pa.array(doclang[keep], type=pa.string()),
+            "n_segs": pa.array(nseg[keep].astype(np.int64)),
+            "n_agree": pa.array(n_agree[keep].astype(np.int64)),
+            "n_und": pa.array(n_und[keep].astype(np.int64))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def length_outliers(sf_dir: str, q: float = 0.9):
     """Docs whose token count exceeds their lang's q-quantile (SQL-oracled)
     — the quantile-gated length filter of C4/Gopher curation. Two-stage

@@ -505,3 +505,26 @@ def test_pca_power_iteration_bit_exact_and_converged(sf_tiny):
     lam = np.linalg.eigvalsh(C)[-1]
     _, v40 = pca_power_iteration(sf_tiny, iters=40)
     assert float(v40 @ C @ v40) >= 0.95 * lam
+
+
+def test_segment_lang_mix_detects_mixed_docs(ray_session, tmp_path):
+    """Crafted corpus: a doc whose first 12-word segment is English cue
+    text and whose second is German must report n_segs=2, n_agree=1 under
+    lang='en'; a cueless doc is all-'und'; a wordless doc emits no row."""
+    import pyarrow.parquet as pq
+    from pixcrawler_ray.stages.textstats import segment_lang_mix
+
+    en = "the cat and the dog of note pad one two three four"   # 12 words
+    de = "der hund und die katze aus haus eins zwei drei vier x"  # 12 words
+    na = "zzz yyy xxx"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "lang": pa.array(["en", "xx", "en"]),
+        "text": pa.array([f"{en} {de}", na, ""]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (segment_lang_mix(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1]        # empty doc absent
+    assert got.loc[0, ["n_segs", "n_agree", "n_und"]].tolist() == [2, 1, 0]
+    assert got.loc[1, ["n_segs", "n_agree", "n_und"]].tolist() == [1, 0, 1]
