@@ -688,6 +688,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds, _w = logreg_train_quality(sf_dir)
         return ds
 
+    def corpus_build_q(sf_dir: str):
+        # rows-only: shard manifest of the composed curate -> segment-dedup
+        # -> tar-shards build (paths are tempdir-local, so the stable
+        # columns are the manifest counts/sizes)
+        import tempfile
+
+        from pixcrawler_ray.pipelines.corpusbuild import (
+            build_training_corpus)
+
+        out = tempfile.mkdtemp(prefix="corpusbuild_")
+        manifest, _report = build_training_corpus(sf_dir, out)
+        return manifest.drop_columns(["path"])
+
     def events_running_q(sf_dir: str):
         return rel.q_events_running(sf_dir)
 
@@ -1295,6 +1308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_train": quality_train_q,    # distributed logreg trainer;
         #   bit-exact vs serial GD replay + separation bound, pinned in
         #   pytest (sigmoid floats have no SQL analog)
+        "corpus_build": corpus_build_q,      # r5: composed 3-stage build
+        #   (curate -> segment dedup -> tar shards) with stage-granular
+        #   resume; byte-identical shards + crash-resume pinned in pytest
     }
 
 

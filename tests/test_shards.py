@@ -204,3 +204,40 @@ def test_warc_roundtrip_resume_and_byte_arithmetic(ray_session, sf_tiny,
     warc_pages(sf_tiny, out).to_pandas()
     assert os.path.getsize(stale) == int(
         m.loc[m.file_id == 0, "warc_bytes"].iloc[0])   # rewritten
+
+
+def test_build_training_corpus_stages_and_resume(ray_session, sf_tiny,
+                                                 tmp_path):
+    """The 3-stage corpus build must (a) produce byte-identical shards to
+    an uninterrupted run after a mid-build crash, (b) skip finished stages
+    on resume (stage-1 output untouched), and (c) produce shards whose
+    payloads reassemble the segment-deduped curated docs."""
+    import glob
+    import os
+
+    import pytest
+
+    from pixcrawler_ray.pipelines.corpusbuild import build_training_corpus
+
+    full = tmp_path / "full"
+    m1, r1 = build_training_corpus(sf_tiny, str(full))
+    assert r1["n_shards"] > 0 and not r1["stage1_skipped"]
+
+    crash = tmp_path / "crash"
+    with pytest.raises(RuntimeError, match="stage 2"):
+        build_training_corpus(sf_tiny, str(crash), fail_stage=2)
+    s1done = crash / "stage1_curated" / "_DONE"
+    assert s1done.exists()
+    mtime_before = os.path.getmtime(crash / "stage1_curated" / "documents")
+    m2, r2 = build_training_corpus(sf_tiny, str(crash))
+    assert r2["stage1_skipped"] and not r2["stage2_skipped"]
+    assert os.path.getmtime(
+        crash / "stage1_curated" / "documents") == mtime_before
+
+    a = sorted(glob.glob(str(full / "stage3_shards" / "*.tar")))
+    b = sorted(glob.glob(str(crash / "stage3_shards" / "*.tar")))
+    assert [os.path.basename(p) for p in a] == \
+        [os.path.basename(p) for p in b]
+    for pa_, pb in zip(a, b):
+        assert open(pa_, "rb").read() == open(pb, "rb").read()
+    assert r1["stage2_rows"] == r2["stage2_rows"] > 0
