@@ -494,7 +494,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         au = mm.audio_frame_energy(mm.synthetic_audio(sf_dir)).map_batches(
             tag("audio", "frame_idx", "energy", c_col="sample_rate"),
             batch_format="pyarrow")
-        return sn.union(fr).union(au)
+
+        def cs(t):
+            # r5: charset detection + byte round-trip (real decode path)
+            neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+            return _pa.table({
+                "section": _pa.array(["charset"] * t.num_rows,
+                                     type=_pa.string()),
+                "media_id": t.column("doc_id").cast(_pa.int64()),
+                "a": t.column("n_chars").cast(_pa.int64()),
+                "b": t.column("roundtrip_ok").cast(_pa.int64()),
+                "c": neg,
+                "fmt": t.column("charset").cast(_pa.string())})
+
+        ch = mm.charset_sniff(sf_dir).map_batches(
+            cs, batch_format="pyarrow")
+        return sn.union(fr).union(au).union(ch)
 
     def lang_id_eval(sf_dir: str):
         # MERGED (one registry row): per-doc language predictions + the
@@ -2831,6 +2846,10 @@ SELECT 'embed', vec_a, vec_b, -1.0 FROM em""")
 
     # multimodal_sniff widens to sniff + frames + audio, section-tagged on
     # (section, media_id, a, b, c, fmt); -1 / '' = n/a for a leg
+    # + (r5) charset sniff: the payload synthesis rule is closed-form
+    # (doc_id % 3 -> ascii-in-utf8 / BOM'd utf-16 / latin-1 with an 0xE9
+    # tail that is invalid utf-8), so the oracle states the expected
+    # detection + decoded length; the Ray side earns it by real decodes.
     out["multimodal_sniff"] = (
         "WITH sn AS (" + out["multimodal_sniff"] + "),\n"
         "fr AS (" + out.pop("multimodal_frames") + "),\n"
@@ -2841,7 +2860,15 @@ UNION ALL
 SELECT 'frames', media_id, frame_idx, frame_bytes, CAST(-1 AS BIGINT), ''
 FROM fr
 UNION ALL
-SELECT 'audio', media_id, frame_idx, energy, sample_rate, '' FROM au""")
+SELECT 'audio', media_id, frame_idx, energy, sample_rate, '' FROM au
+UNION ALL
+SELECT 'charset', doc_id,
+       CAST(length(text) + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END
+            AS BIGINT),
+       CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+       CASE doc_id % 3 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-16'
+            ELSE 'latin-1' END
+FROM documents""")
 
     # events_running: the cumulative window family replayed verbatim
     out["events_running"] = """

@@ -456,3 +456,70 @@ def sample_frames(media_ds, frame_bytes: int = 1024, stride: int = 4,
 
     return media_ds.map_batches(explode, batch_format="pyarrow",
                                 batch_size=256)
+
+
+# ------------------------------------------------------ charset sniffing --
+
+def charset_sniff(sf_dir: str):
+    """Charset detection + byte round-trip over a synthesized encoded-bytes
+    column — the Common Crawl reality that page bytes arrive in mixed
+    encodings and must be sniffed before any text stage (the WARC
+    `WARC-Identified-Content-Charset` problem). The payload synthesis rule
+    is closed-form (so the SQL oracle can state the expected outcome), but
+    the Ray side must EARN it by actually decoding bytes:
+
+      doc_id % 3 == 0  ->  utf-8 bytes of text            (all-ASCII corpus
+                            => detector must report 'ascii')
+      doc_id % 3 == 1  ->  utf-16-le with BOM             (-> 'utf-16')
+      doc_id % 3 == 2  ->  latin-1 bytes of text + 0xE9   (0xE9 is invalid
+                            standalone utf-8 => detector must FALL BACK to
+                            'latin-1' after a real utf-8 decode failure)
+
+    Detector (per payload, documented-scalar like the zlib recompress
+    kernel — decode validity is a byte-level library call, not an Arrow
+    kernel): BOM => utf-16; else all bytes < 0x80 => ascii; else try
+    utf-8, on UnicodeDecodeError fall back latin-1. Output
+    (doc_id, charset, n_chars, roundtrip_ok) where n_chars counts decoded
+    characters and roundtrip_ok asserts decode(encode(text)) == expected
+    text — a decoder defect diverges from the oracle.
+    """
+    from pixcrawler_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        charsets, n_chars, ok = [], [], []
+        for d, txt in zip(ids, texts):
+            txt = txt or ""
+            m = int(d) % 3
+            if m == 0:
+                payload = txt.encode("utf-8")
+                expect = txt
+            elif m == 1:
+                payload = b"\xff\xfe" + txt.encode("utf-16-le")
+                expect = txt
+            else:
+                expect = txt + "\xe9"
+                payload = expect.encode("latin-1")
+            # ---- detection over the BYTES only ----
+            if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                cs, dec = "utf-16", payload.decode("utf-16")
+            elif not payload or max(payload) < 0x80:
+                cs, dec = "ascii", payload.decode("ascii")
+            else:
+                try:
+                    cs, dec = "utf-8", payload.decode("utf-8")
+                except UnicodeDecodeError:
+                    cs, dec = "latin-1", payload.decode("latin-1")
+            charsets.append(cs)
+            n_chars.append(len(dec))
+            ok.append(dec == expect)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "charset": pa.array(charsets, type=pa.string()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "roundtrip_ok": pa.array(ok, type=pa.bool_())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -290,3 +290,16 @@ def test_vendored_png_all_filters_roundtrip():
         got = decode_png(forward(f))
         assert got is not None, f"filter {f} failed to decode"
         assert np.array_equal(got[0], img), f"filter {f} wrong pixels"
+
+
+def test_charset_sniff_detects_and_roundtrips(ray_session, sf_tiny):
+    """Every synthesis class must be detected by its BYTES (utf-16 via
+    BOM, latin-1 via a real utf-8 decode failure) and round-trip."""
+    from pixcrawler_ray.stages.multimodal import charset_sniff
+
+    df = charset_sniff(sf_tiny).to_pandas()
+    assert df["roundtrip_ok"].all()
+    got = df.assign(cls=df["doc_id"] % 3).groupby("cls")["charset"].unique()
+    assert list(got[0]) == ["ascii"]
+    assert list(got[1]) == ["utf-16"]
+    assert list(got[2]) == ["latin-1"]
