@@ -204,14 +204,15 @@ def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
     step of a web corpus (mirror groups, site families), here over a
     deterministic undirected graph whose TRUE components are known in
     closed form so the fixpoint is SQL-oracleable: intra-class path +
-    chord edges (d, d+m) and (d, d+3m) with class g = d % m over
-    contiguous doc ids, so each component is exactly one residue class
-    and its min label is g. The Ray side must EARN that answer by
+    chord edges (d, d+m), (d, d+3m) and (d, d+9m) with class g = d % m
+    over contiguous doc ids, so each component is exactly one residue
+    class and its min label is g (the chord ladder only shrinks the
+    diameter — the component set, and hence the oracle, is chord-free). The Ray side must EARN that answer by
     propagating over the edges — a missed edge direction, a wrong min, or
     a premature stop all diverge from the oracle.
 
     Per round, two keyed exchanges and one scalar to the driver:
-      1. neighbor-min: each (node, lbl) row emits itself + its <=4
+      1. neighbor-min: each (node, lbl) row emits itself + its <=6
          arithmetic neighbors (edges are ARITHMETIC, never a table),
          groupby-min over node;
       2. pointer doubling: lbl <- min(lbl, labels[lbl]) via one bucketed
@@ -247,7 +248,7 @@ def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
         d = t.column("node").to_numpy(zero_copy_only=False)
         l = t.column("lbl").to_numpy(zero_copy_only=False)
         nodes, lbls = [d], [l]
-        for step in (modulus, 3 * modulus):
+        for step in (modulus, 3 * modulus, 9 * modulus):
             for sgn in (1, -1):
                 nb = d + sgn * step
                 sel = (nb >= 0) & (nb < n)
