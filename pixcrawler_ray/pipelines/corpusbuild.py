@@ -9,14 +9,17 @@ shards, chained from the repo's own stages:
   stage 3  WebDataset shards  (deterministic USTAR tar shards + manifest —
                                pipelines/shards.py)
 
-Each stage commits its output as an atomically-renamed parquet directory
-with a ``_DONE`` marker; a preempted build resumes at the FIRST incomplete
-stage and never recomputes a finished one (stage-granular recovery — the
-partition-granular variant inside a stage is what
-``state.checkpoint.write_partitioned`` / ``resumable_curation`` already
-demonstrate; a 100 TB build composes both). The tar stage additionally
-reuses ``write_tar_shards``' per-file resume, so even a crash inside
-stage 3 only rewrites missing shards.
+Each stage commits its output as an atomically-renamed parquet directory;
+the RENAME IS THE MARKER (``os.rename`` is atomic, and the tmp dir is
+never named like a committed one), so there is no crash window between
+"data committed" and "marked done" — a preempted build resumes at the
+FIRST incomplete stage and never recomputes a finished one, including
+stage 3, whose manifest is itself a committed parquet directory re-read
+on resume (stage-granular recovery — the partition-granular variant
+inside a stage is what ``state.checkpoint.write_partitioned`` /
+``resumable_curation`` already demonstrate; a 100 TB build composes
+both). The tar stage additionally reuses ``write_tar_shards``' per-file
+resume, so even a crash inside stage 3 only rewrites missing shards.
 
 Stage boundaries are plain ``documents`` parquet directories readable by
 ``sources.readers.read_table``, so every intermediate is itself queryable
@@ -27,30 +30,25 @@ the chunked dataset layout of `docs/CHUNK_ORCHESTRATION_GUIDE.md`).
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 
 
-def _done(d: str) -> bool:
-    return os.path.exists(os.path.join(d, "_DONE"))
-
-
-def _mark(d: str) -> None:
-    open(os.path.join(d, "_DONE"), "w").close()
-
-
-def _commit_documents(ds, stage_dir: str) -> None:
-    """Write ``ds`` as ``stage_dir/documents`` via tmp-dir + atomic rename."""
-    import shutil
-
+def _commit_dataset(ds, stage_dir: str, name: str) -> None:
+    """Write ``ds`` as ``stage_dir/name`` via tmp-dir + atomic rename —
+    presence of the final directory IS the commit marker."""
     os.makedirs(stage_dir, exist_ok=True)
-    tmp = os.path.join(stage_dir, "_tmp_documents")
-    final = os.path.join(stage_dir, "documents")
+    tmp = os.path.join(stage_dir, f"_tmp_{name}")
+    final = os.path.join(stage_dir, name)
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
-    _mark(stage_dir)
+
+
+def _committed(stage_dir: str, name: str) -> bool:
+    return os.path.isdir(os.path.join(stage_dir, name))
 
 
 def build_training_corpus(sf_dir: str, out_dir: str,
@@ -62,6 +60,8 @@ def build_training_corpus(sf_dir: str, out_dir: str,
     tests can assert the resume skips every earlier stage and the final
     shards are byte-identical to an uninterrupted run.
     """
+    import ray.data as rd
+
     from pixcrawler_ray.pipelines.curation import curated_dataset
     from pixcrawler_ray.pipelines.shards import write_tar_shards
     from pixcrawler_ray.sources.readers import read_table
@@ -73,7 +73,7 @@ def build_training_corpus(sf_dir: str, out_dir: str,
     report: dict[str, int | bool] = {}
 
     # ---- stage 1: curation gate + exact dedup -> documents dir ----
-    if _done(s1):
+    if _committed(s1, "documents"):
         report["stage1_skipped"] = True
     else:
         if fail_stage == 1:
@@ -84,12 +84,12 @@ def build_training_corpus(sf_dir: str, out_dir: str,
                 "lang": t.column("keyword").cast(pa.string()),
                 "text": t.column("text").cast(pa.string())}),
             batch_format="pyarrow")
-        _commit_documents(cur, s1)
+        _commit_dataset(cur, s1, "documents")
         report["stage1_skipped"] = False
     report["stage1_rows"] = read_table(s1, "documents").count()
 
     # ---- stage 2: segment-level dedup over the curated survivors ----
-    if _done(s2):
+    if _committed(s2, "documents"):
         report["stage2_skipped"] = True
     else:
         if fail_stage == 2:
@@ -99,27 +99,34 @@ def build_training_corpus(sf_dir: str, out_dir: str,
                 "doc_id": t.column("doc_id").cast(pa.int64()),
                 "text": t.column("clean_text").cast(pa.string())}),
             batch_format="pyarrow")
-        _commit_documents(seg, s2)
+        _commit_dataset(seg, s2, "documents")
         report["stage2_skipped"] = False
     report["stage2_rows"] = read_table(s2, "documents").count()
 
     # ---- stage 3: WebDataset tar shards (per-file resume inside) ----
-    if fail_stage == 3 and not _done(s3):
-        raise RuntimeError("simulated crash before stage 3")
-    os.makedirs(s3, exist_ok=True)
-    docs = read_table(s2, "documents")
+    if _committed(s3, "manifest"):
+        # finished build: the committed manifest short-circuits the whole
+        # stage — nothing is re-read, re-shuffled or re-packed
+        report["stage3_skipped"] = True
+        manifest = rd.read_parquet(os.path.join(s3, "manifest"))
+    else:
+        if fail_stage == 3:
+            raise RuntimeError("simulated crash before stage 3")
+        report["stage3_skipped"] = False
+        os.makedirs(s3, exist_ok=True)
+        docs = read_table(s2, "documents")
 
-    def to_payload(t: pa.Table) -> pa.Table:
-        # Arrow strings are already utf-8 — the binary cast is zero-copy
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "payload": t.column("text").cast(pa.binary())})
+        def to_payload(t: pa.Table) -> pa.Table:
+            # Arrow strings are already utf-8 — the binary cast is zero-copy
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "payload": t.column("text").cast(pa.binary())})
 
-    manifest = write_tar_shards(
-        docs.map_batches(to_payload, batch_format="pyarrow"), s3,
-        key_col="doc_id", payload_col="payload",
-        samples_per_shard=samples_per_shard,
-        name_suffix=".txt").materialize()
-    _mark(s3)
+        manifest = write_tar_shards(
+            docs.map_batches(to_payload, batch_format="pyarrow"), s3,
+            key_col="doc_id", payload_col="payload",
+            samples_per_shard=samples_per_shard,
+            name_suffix=".txt").materialize()
+        _commit_dataset(manifest, s3, "manifest")
     report["n_shards"] = manifest.count()
     return manifest, report

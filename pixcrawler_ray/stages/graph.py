@@ -243,6 +243,7 @@ def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
         batch_format="pyarrow").materialize()
     prev_sum = int(labels.sum("lbl"))
     rounds_run = 0
+    converged = False
 
     def send(t: pa.Table) -> pa.Table:
         d = t.column("node").to_numpy(zero_copy_only=False)
@@ -284,11 +285,19 @@ def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
             batch_format="pyarrow").materialize()
         cur_sum = int(labels.sum("lbl"))
         if cur_sum == prev_sum:      # labels only decrease: sum-stable
-            break                    # means every label is stable
+            converged = True         # means every label is stable
+            break
         prev_sum = cur_sum
 
     if stats is not None:
         stats["rounds"] = rounds_run
+        stats["converged"] = converged
+    if not converged:
+        # a silent non-fixpoint would emit labels that are NOT component
+        # minima — fail loudly instead (the docstring's oracle contract)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds; raise max_rounds (doubling needs O(log diameter))")
 
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("node"),
@@ -329,8 +338,10 @@ def anchor_text_index(sf_dir: str, num_buckets: int = 8):
     def explode(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        sp = pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(t.column("text")))
+        # null text folds to '' on BOTH sides (SQL: coalesce(text, ''))
+        # before the split, so a null doc emits '-j' anchors, never 'None-j'
+        txt = pc.fill_null(t.column("text"), "")
+        sp = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(txt))
         # first token, '' for empty docs (matches regexp_extract '^\S+')
         first = pc.binary_join(pc.list_slice(sp, 0, 1), "").to_pandas() \
             .to_numpy(dtype=object)

@@ -481,7 +481,11 @@ def charset_sniff(sf_dir: str):
     utf-8, on UnicodeDecodeError fall back latin-1. Output
     (doc_id, charset, n_chars, roundtrip_ok) where n_chars counts decoded
     characters and roundtrip_ok asserts decode(encode(text)) == expected
-    text — a decoder defect diverges from the oracle.
+    text — a decoder defect diverges from the oracle. (Inherent sniffing
+    ambiguity, documented: latin-1 byte runs that happen to form valid
+    utf-8 sequences are indistinguishable from utf-8 — real detectors
+    carry the same blind spot; the trailing 0xE9 construction keeps the
+    synthesized class unambiguous on latin-1-only text.)
     """
     from pixcrawler_ray.sources.readers import read_table
 
@@ -501,7 +505,11 @@ def charset_sniff(sf_dir: str):
                 payload = b"\xff\xfe" + txt.encode("utf-16-le")
                 expect = txt
             else:
-                expect = txt + "\xe9"
+                # latin-1 can't carry chars above U+00FF: fold them out of
+                # the SYNTHESIS (never crash); the all-ASCII corpus is
+                # unaffected, so the closed-form oracle still holds there
+                safe = txt.encode("latin-1", "ignore").decode("latin-1")
+                expect = safe + "\xe9"
                 payload = expect.encode("latin-1")
             # ---- detection over the BYTES only ----
             if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):

@@ -226,13 +226,19 @@ def test_build_training_corpus_stages_and_resume(ray_session, sf_tiny,
     crash = tmp_path / "crash"
     with pytest.raises(RuntimeError, match="stage 2"):
         build_training_corpus(sf_tiny, str(crash), fail_stage=2)
-    s1done = crash / "stage1_curated" / "_DONE"
-    assert s1done.exists()
+    # the atomically-renamed documents dir IS the stage-1 commit marker
+    assert (crash / "stage1_curated" / "documents").is_dir()
     mtime_before = os.path.getmtime(crash / "stage1_curated" / "documents")
     m2, r2 = build_training_corpus(sf_tiny, str(crash))
     assert r2["stage1_skipped"] and not r2["stage2_skipped"]
     assert os.path.getmtime(
         crash / "stage1_curated" / "documents") == mtime_before
+    # a THIRD run of a finished build must short-circuit every stage to
+    # manifest reads (no recompute, no re-pack)
+    m3, r3 = build_training_corpus(sf_tiny, str(crash))
+    assert r3["stage1_skipped"] and r3["stage2_skipped"] \
+        and r3["stage3_skipped"]
+    assert r3["n_shards"] == r2["n_shards"]
 
     a = sorted(glob.glob(str(full / "stage3_shards" / "*.tar")))
     b = sorted(glob.glob(str(crash / "stage3_shards" / "*.tar")))
