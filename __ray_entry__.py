@@ -394,12 +394,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def link_mass_q(sf_dir: str):
         # MERGED (one registry row): undamped propagation ('plain') +
         # damped conserving integer PageRank ('pagerank') + hash-to-min
-        # connected components ('components', label in the mass column),
+        # connected components ('components', label in the mass column)
+        # + (r5) integer HITS hubs/authorities ('hub'/'auth'),
         # section-tagged
         import pyarrow as _pa
 
         from pixcrawler_ray.stages.graph import (
-            connected_components, link_mass, pagerank_mass)
+            connected_components, hits_scores, link_mass, pagerank_mass)
 
         def tag(section, val="mass"):
             def f(t):
@@ -416,7 +417,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("pagerank"), batch_format="pyarrow")
         c = connected_components(sf_dir).map_batches(
             tag("components", "component"), batch_format="pyarrow")
-        return a.union(b).union(c)
+        d = hits_scores(sf_dir, rounds=2).map_batches(
+            lambda t: _pa.table({
+                "section": t.column("section"),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "mass": t.column("score").cast(_pa.int64())}),
+            batch_format="pyarrow")
+        return a.union(b).union(c).union(d)
 
     def distinct_urls_kmv_q(sf_dir: str):
         # MERGED (rows-only row, pytest-oracled): KMV + HyperLogLog
@@ -2098,12 +2105,33 @@ GROUP BY doc_id, i // 16"""
     # residue class regardless of the chord ladder,
     # min label = doc_id % 97 — the Ray side earns this via hash-to-min
     # propagation with pointer doubling (graph.connected_components).
+    # + (r5) integer HITS (Kleinberg 1999) at rounds=2: h0=1, then per
+    # round a(v) = SUM h over in-edges (0 when none) and h(u) = SUM a
+    # over out-edges — forward-edge joins only (graph.hits_scores).
+    _he = " UNION ALL ".join(
+        f"SELECT d.doc_id AS src, (d.doc_id * {mu} + {ad}) % nd.n AS tgt "
+        f"FROM documents d, nd WHERE 1 + d.doc_id % 3 > {j}"
+        for j, (mu, ad) in enumerate(zip((7, 9, 11), (13, 14, 15))))
+    _ht = (f",\nhe AS ({_he}),\n"
+           "hh0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS v FROM documents)")
+    for _r in range(2):
+        _ht += (
+            f",\nha{_r + 1} AS (SELECT d.doc_id, CAST(COALESCE(s.v, 0) "
+            f"AS BIGINT) AS v FROM documents d LEFT JOIN "
+            f"(SELECT e.tgt AS doc_id, SUM(h.v) AS v FROM he e "
+            f"JOIN hh{_r} h ON h.doc_id = e.src GROUP BY e.tgt) s "
+            f"ON s.doc_id = d.doc_id),\n"
+            f"hh{_r + 1} AS (SELECT e.src AS doc_id, CAST(SUM(a.v) "
+            f"AS BIGINT) AS v FROM he e JOIN ha{_r + 1} a "
+            f"ON a.doc_id = e.tgt GROUP BY e.src)")
     out["link_mass"] = (
-        _lm + _pr
+        _lm + _pr + _ht
         + "\nSELECT 'plain' AS section, doc_id, mass FROM m3"
         + "\nUNION ALL\nSELECT 'pagerank', doc_id, mass FROM p3"
         + "\nUNION ALL\nSELECT 'components', doc_id, "
-          "CAST(doc_id % 97 AS BIGINT) FROM documents")
+          "CAST(doc_id % 97 AS BIGINT) FROM documents"
+        + "\nUNION ALL\nSELECT 'hub', doc_id, v FROM hh2"
+        + "\nUNION ALL\nSELECT 'auth', doc_id, v FROM ha2")
 
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle

@@ -305,6 +305,106 @@ def connected_components(sf_dir: str, modulus: int = CC_MODULUS,
         batch_format="pyarrow")
 
 
+# ------------------------------------------------------ HITS hubs/auths --
+
+def hits_scores(sf_dir: str, rounds: int = 2, num_buckets: int = 8):
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+    a hyperlinked environment") over the same arithmetic link graph as
+    ``link_mass`` — the other classic frontier-priority signal next to
+    PageRank (a crawler seeds from high-hub pages; an LLM-corpus builder
+    weights high-authority ones). Run UNNORMALIZED in integer arithmetic:
+    h0 = 1, then per round a(v) = Σ_{u→v} h(u) and h'(u) = Σ_{u→v} a(v).
+    Forward edges only — the SQL replay is a plain unrolled self-join
+    with no modular inverses — and every update is order-insensitive
+    integer summation, so the fixed-round prefix value-hashes exactly
+    (the float power-iteration norm would not). Growth per round is
+    bounded by (max_indeg · max_outdeg) ≤ ~100; at rounds ≤ 4 scores sit
+    far inside int64.
+
+    Distributed shape per round, TWO keyed exchanges and nothing to the
+    driver: one map explodes each (u, h) row into its ≤3 arithmetic edge
+    rows (tgt, src, h) plus one ground row (u, -1, 0) so zero-in-degree
+    nodes keep an authority row; exchange 1 (keyed on tgt) runs a kernel
+    that groupby-sums a(tgt) and emits BOTH the authority rows
+    (kind='a') and the per-edge replies (kind='r': src, a(tgt)) — the
+    authority table and the hub scatter ride the SAME exchange; exchange
+    2 (keyed on src over the replies) groupby-sums h'(src). Per-round
+    state is one fixed-width table — the ``link_mass_resumable``
+    checkpoint granule. Reference has no graph stage; frontier priority
+    analog: ``backend/services/crawl_job.py`` tier scheduling.
+
+    Returns one section-tagged Dataset: (section ∈ {hub, auth}, doc_id,
+    score) at round ``rounds``.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    hubs = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id").cast(pa.int64()),
+                            "h": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        k = _out_degree(d)
+        tgts, srcs, hs = [d], [np.full(len(d), -1, dtype=np.int64)], \
+            [np.zeros(len(d), dtype=np.int64)]          # ground rows
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            sel = k > j
+            tgts.append((d[sel] * mu + ad) % n)
+            srcs.append(d[sel])
+            hs.append(h[sel])
+        return pa.table({"tgt": pa.array(np.concatenate(tgts)),
+                         "src": pa.array(np.concatenate(srcs)),
+                         "h": pa.array(np.concatenate(hs))})
+
+    def auth_and_reply(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("tgt", sort=False)["h"].sum()
+        e = g[g["src"].to_numpy() >= 0]
+        return pd.DataFrame({
+            "kind": np.concatenate([np.full(len(a), "a", dtype=object),
+                                    np.full(len(e), "r", dtype=object)]),
+            "node": np.concatenate([a.index.to_numpy(dtype=np.int64),
+                                    e["src"].to_numpy(dtype=np.int64)]),
+            "val": np.concatenate([a.to_numpy(dtype=np.int64),
+                                   a.loc[e["tgt"]].to_numpy(
+                                       dtype=np.int64)])})
+
+    def hsum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False)["val"].sum().reset_index()
+
+    auth = None
+    for _ in range(rounds):
+        mixed = per_bucket(
+            hubs.map_batches(explode, batch_format="pyarrow"),
+            ["tgt"], auth_and_reply, num_buckets=num_buckets).materialize()
+        auth = mixed.filter(expr="kind == 'a'")
+        hubs = per_bucket(mixed.filter(expr="kind == 'r'"),
+                          ["node"], hsum, num_buckets=num_buckets) \
+            .map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "h": t.column("val")}),
+            batch_format="pyarrow")
+
+    tagged_h = hubs.map_batches(
+        lambda t: pa.table({
+            "section": pa.array(["hub"] * t.num_rows, type=pa.string()),
+            "doc_id": t.column("node").cast(pa.int64()),
+            "score": t.column("h").cast(pa.int64())}),
+        batch_format="pyarrow")
+    tagged_a = auth.map_batches(
+        lambda t: pa.table({
+            "section": pa.array(["auth"] * t.num_rows, type=pa.string()),
+            "doc_id": t.column("node").cast(pa.int64()),
+            "score": t.column("val").cast(pa.int64())}),
+        batch_format="pyarrow")
+    return tagged_h.union(tagged_a)
+
+
 # ----------------------------------------------------- anchor-text index --
 
 def anchor_text_index(sf_dir: str, num_buckets: int = 8):

@@ -346,6 +346,42 @@ def test_link_mass_conserves_and_converges(sf_tiny):
         assert (t["mass"] >= 0).all()
 
 
+def test_hits_matches_serial_spec(sf_tiny):
+    """Distributed 2-exchange HITS == a serial numpy power iteration over
+    the same arithmetic edge set (unnormalized integer updates), with a
+    full (hub, auth) row pair for every node — zero-in-degree nodes must
+    keep an auth=0 row via the ground rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.graph import ADDS, MULTS, hits_scores
+
+    n = pq.read_table(sf_tiny + "/documents.parquet",
+                      columns=["doc_id"]).num_rows
+    d = np.arange(n, dtype=np.int64)
+    k = 1 + d % 3
+    src, tgt = [], []
+    for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+        sel = k > j
+        src.append(d[sel])
+        tgt.append((d[sel] * mu + ad) % n)
+    src, tgt = np.concatenate(src), np.concatenate(tgt)
+    h = np.ones(n, dtype=np.int64)
+    for _ in range(2):
+        a = np.zeros(n, dtype=np.int64)
+        np.add.at(a, tgt, h[src])
+        h2 = np.zeros(n, dtype=np.int64)
+        np.add.at(h2, src, a[tgt])
+        h = h2
+
+    res = hits_scores(sf_tiny, rounds=2).to_pandas()
+    hub = res[res.section == "hub"].set_index("doc_id")["score"]
+    auth = res[res.section == "auth"].set_index("doc_id")["score"]
+    assert len(hub) == n and len(auth) == n
+    assert (hub.loc[d].to_numpy() == h).all()
+    assert (auth.loc[d].to_numpy() == a).all()
+
+
 def test_bpe_counter_matches_scalar_and_merges():
     """BpeCounter batch counts == per-word scalar spec; spot-check known
     merges (the->1 token via t+h then th+e; unmergeable stays chars)."""
