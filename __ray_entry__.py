@@ -423,7 +423,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "doc_id": t.column("doc_id").cast(_pa.int64()),
                 "mass": t.column("score").cast(_pa.int64())}),
             batch_format="pyarrow")
-        return a.union(b).union(c).union(d)
+
+        # (r5) OPIC crawl-importance state after 3 rounds, two sections
+        from pixcrawler_ray.stages.graph import opic_importance
+
+        def opic_tag(t: _pa.Table) -> _pa.Table:
+            import numpy as _np
+            nr = t.num_rows
+            doc = t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(_np.int64)
+            return _pa.table({
+                "section": _pa.array(["opic_cash"] * nr + ["opic_hist"] * nr,
+                                     type=_pa.string()),
+                "doc_id": _pa.array(_np.concatenate([doc, doc]),
+                                    type=_pa.int64()),
+                "mass": _pa.array(_np.concatenate([
+                    t.column("cash").to_numpy(zero_copy_only=False),
+                    t.column("hist").to_numpy(zero_copy_only=False)]),
+                    type=_pa.int64())})
+
+        e = opic_importance(sf_dir, rounds=3, k_crawl=50).map_batches(
+            opic_tag, batch_format="pyarrow")
+        return a.union(b).union(c).union(d).union(e)
 
     def distinct_urls_kmv_q(sf_dir: str):
         # MERGED (rows-only row, pytest-oracled): KMV + HyperLogLog
@@ -2124,14 +2145,44 @@ GROUP BY doc_id, i // 16"""
             f"hh{_r + 1} AS (SELECT e.src AS doc_id, CAST(SUM(a.v) "
             f"AS BIGINT) AS v FROM he e JOIN ha{_r + 1} a "
             f"ON a.doc_id = e.tgt GROUP BY e.src)")
+    # + (r5) OPIC (Abiteboul 2003) at rounds=3, k=50: each round the 50
+    # cash-richest pages (cash DESC, doc_id ASC — total order) distribute
+    # floor(cash/k) per out-edge, keep cash % k, and bank the distributed
+    # amount into history (graph.opic_importance).
+    _oc = (",\noc0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS cash, "
+           "CAST(0 AS BIGINT) AS hist FROM documents)")
+    for _r in range(3):
+        _osend = " UNION ALL ".join(
+            f"SELECT (t.doc_id * {mu} + {ad}) % nd.n AS doc_id, "
+            f"t.cash // (1 + t.doc_id % 3) AS v FROM oc{_r} t "
+            f"JOIN osel{_r} s ON s.doc_id = t.doc_id, nd "
+            f"WHERE 1 + t.doc_id % 3 > {j}"
+            for j, (mu, ad) in enumerate(zip((7, 9, 11), (13, 14, 15))))
+        _oc += (
+            f",\nosel{_r} AS (SELECT doc_id FROM oc{_r} "
+            f"ORDER BY cash DESC, doc_id LIMIT 50),\n"
+            f"osend{_r} AS ({_osend}),\n"
+            f"orecv{_r} AS (SELECT doc_id, SUM(v) AS v FROM osend{_r} "
+            f"GROUP BY doc_id),\n"
+            f"oc{_r + 1} AS (SELECT t.doc_id, "
+            f"CAST(CASE WHEN s.doc_id IS NOT NULL THEN "
+            f"t.cash % (1 + t.doc_id % 3) ELSE t.cash END "
+            f"+ COALESCE(rv.v, 0) AS BIGINT) AS cash, "
+            f"CAST(t.hist + CASE WHEN s.doc_id IS NOT NULL THEN "
+            f"t.cash - (t.cash % (1 + t.doc_id % 3)) ELSE 0 END "
+            f"AS BIGINT) AS hist "
+            f"FROM oc{_r} t LEFT JOIN osel{_r} s ON s.doc_id = t.doc_id "
+            f"LEFT JOIN orecv{_r} rv ON rv.doc_id = t.doc_id)")
     out["link_mass"] = (
-        _lm + _pr + _ht
+        _lm + _pr + _ht + _oc
         + "\nSELECT 'plain' AS section, doc_id, mass FROM m3"
         + "\nUNION ALL\nSELECT 'pagerank', doc_id, mass FROM p3"
         + "\nUNION ALL\nSELECT 'components', doc_id, "
           "CAST(doc_id % 97 AS BIGINT) FROM documents"
         + "\nUNION ALL\nSELECT 'hub', doc_id, v FROM hh2"
-        + "\nUNION ALL\nSELECT 'auth', doc_id, v FROM ha2")
+        + "\nUNION ALL\nSELECT 'auth', doc_id, v FROM ha2"
+        + "\nUNION ALL\nSELECT 'opic_cash', doc_id, cash FROM oc3"
+        + "\nUNION ALL\nSELECT 'opic_hist', doc_id, hist FROM oc3")
 
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle

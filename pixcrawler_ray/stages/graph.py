@@ -405,6 +405,98 @@ def hits_scores(sf_dir: str, rounds: int = 2, num_buckets: int = 8):
     return tagged_h.union(tagged_a)
 
 
+# ------------------------------------------------- OPIC crawl importance --
+
+def opic_importance(sf_dir: str, rounds: int = 3, k_crawl: int = 50,
+                    num_buckets: int = 8):
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003) — the crawl-native importance estimator:
+    every page holds CASH; each round the scheduler "crawls" the k pages
+    with the most cash, which distribute their cash equally over their
+    out-links and bank the distributed amount into their HISTORY (the
+    importance estimate that converges to PageRank without ever running
+    a full power iteration — exactly the frontier-priority signal an
+    incremental crawler wants, because it is updated online as pages are
+    fetched). Integer-conserving batch variant so the fixed-round prefix
+    value-hashes: a crawled page with out-degree k ships floor(cash/k)
+    per edge, keeps cash % k, and banks k·floor(cash/k); total cash is
+    invariant (== 1000·n every round, pytest-pinned). Selection is total-
+    ordered (cash DESC, doc_id ASC), so Ray and SQL pick identical sets.
+
+    Distributed shape per round: a per-block partial top-k map (each
+    block emits ≤ k rows) reduces the state to ≤ k·blocks rows, a global
+    ``sort().limit(k)`` on that REDUCED set yields the crawl set (k rows
+    — a legitimately broadcastable object, shipped once via ``ray.put``),
+    then ONE stateless map emits per-edge cash sends + self rows and ONE
+    keyed exchange groupby-sums (cash, hist) by node. Nothing
+    corpus-sized reaches the driver; per-round state is one fixed-width
+    table — the ``link_mass_resumable`` checkpoint granule. Reference
+    analog: priority scheduling in ``backend/services/crawl_job.py``
+    (tier queues), re-expressed as the public-literature OPIC rule.
+
+    Returns (doc_id, cash, hist) after ``rounds`` rounds.
+    """
+    import ray as _ray
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    state = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "cash": pa.array(np.full(t.num_rows, INIT_MASS,
+                                     dtype=np.int64)),
+            "hist": pa.array(np.zeros(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "cash"]).to_pandas()
+        top = df.sort_values(["cash", "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(k_crawl)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge_state(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("doc_id", sort=False)[["cash", "hist"]]
+                 .sum().reset_index())
+
+    for _ in range(rounds):
+        reduced = state.map_batches(partial_topk, batch_format="pyarrow",
+                                    batch_size=None)
+        sel = (reduced.sort(["cash", "doc_id"], descending=[True, False])
+               .limit(k_crawl).to_pandas())
+        sel_ref = _ray.put(np.sort(sel["doc_id"].to_numpy(dtype=np.int64)))
+
+        def step(t: pa.Table, _sel=sel_ref) -> pa.Table:
+            ids = _ray.get(_sel)
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            c = t.column("cash").to_numpy(zero_copy_only=False)
+            h = t.column("hist").to_numpy(zero_copy_only=False)
+            k = _out_degree(d)
+            crawled = np.isin(d, ids)
+            share = np.where(crawled, c // k, 0)
+            dist = k * share
+            nodes = [d]
+            cashes = [c - dist]
+            hists = [h + dist]
+            for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+                sel_j = crawled & (k > j)
+                nodes.append((d[sel_j] * mu + ad) % n)
+                cashes.append(share[sel_j])
+                hists.append(np.zeros(int(sel_j.sum()), dtype=np.int64))
+            return pa.table({
+                "doc_id": pa.array(np.concatenate(nodes)),
+                "cash": pa.array(np.concatenate(cashes)),
+                "hist": pa.array(np.concatenate(hists))})
+
+        state = per_bucket(state.map_batches(step, batch_format="pyarrow"),
+                           ["doc_id"], merge_state,
+                           num_buckets=num_buckets).materialize()
+
+    return state
+
+
 # ----------------------------------------------------- anchor-text index --
 
 def anchor_text_index(sf_dir: str, num_buckets: int = 8):

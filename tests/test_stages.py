@@ -382,6 +382,44 @@ def test_hits_matches_serial_spec(sf_tiny):
     assert (auth.loc[d].to_numpy() == a).all()
 
 
+def test_opic_matches_serial_spec_and_conserves(sf_tiny):
+    """Distributed OPIC (bounded top-k select + one keyed cash exchange
+    per round) == a serial numpy replay of the Abiteboul 2003 rule, and
+    total cash is invariant every round (integer conservation)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.graph import (ADDS, INIT_MASS, MULTS,
+                                             opic_importance)
+
+    n = pq.read_table(sf_tiny + "/documents.parquet",
+                      columns=["doc_id"]).num_rows
+    K, R = 50, 3
+    d = np.arange(n, dtype=np.int64)
+    k = 1 + d % 3
+    cash = np.full(n, INIT_MASS, dtype=np.int64)
+    hist = np.zeros(n, dtype=np.int64)
+    for _ in range(R):
+        order = np.lexsort((d, -cash))
+        sel = np.zeros(n, dtype=bool)
+        sel[order[:K]] = True
+        share = np.where(sel, cash // k, 0)
+        dist = k * share
+        new_cash = cash - dist
+        hist = hist + dist
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            m = sel & (k > j)
+            np.add.at(new_cash, (d[m] * mu + ad) % n, share[m])
+        cash = new_cash
+
+    res = (opic_importance(sf_tiny, rounds=R, k_crawl=K)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(res) == n
+    assert (res["cash"].to_numpy() == cash).all()
+    assert (res["hist"].to_numpy() == hist).all()
+    assert res["cash"].sum() == INIT_MASS * n
+
+
 def test_bpe_counter_matches_scalar_and_merges():
     """BpeCounter batch counts == per-word scalar spec; spot-check known
     merges (the->1 token via t+h then th+e; unmergeable stays chars)."""
