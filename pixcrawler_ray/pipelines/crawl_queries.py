@@ -207,11 +207,14 @@ def q_crawl_delta(sf_dir: str):
 def q_crawl_delta_recrawl(sf_dir: str):
     """MERGED registry row (one driver-capture slot): the incremental-crawl
     delta ('delta' section) unioned with the recrawl schedule derived from
-    snapshot change history ('recrawl' section, r5 — stages/recrawl.py).
-    Both are crawl-maintenance outputs answering "what should the next
-    crawl round visit"; section-tagged on (section, url, k, a, b, c)."""
+    snapshot change history ('recrawl' section, r5 — stages/recrawl.py)
+    and the host-level webgraph rollup ('hostgraph' section, r5 —
+    stages/graph.py: a = out-edges, b = distinct out-hosts, c = in-edges).
+    All are crawl-maintenance/planning outputs answering "what should the
+    next crawl round visit"; section-tagged on (section, url, k, a, b, c)."""
     import pyarrow as _pa
 
+    from pixcrawler_ray.stages.graph import host_graph
     from pixcrawler_ray.stages.recrawl import recrawl_schedule
 
     def delta_tag(t: _pa.Table) -> _pa.Table:
@@ -233,9 +236,20 @@ def q_crawl_delta_recrawl(sf_dir: str):
             "b": t.column("n_snaps").cast(_pa.int64()),
             "c": t.column("next_epoch").cast(_pa.int64())})
 
+    def hg_tag(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "section": _pa.array(["hostgraph"] * t.num_rows,
+                                 type=_pa.string()),
+            "url": t.column("host"),
+            "k": _pa.array([""] * t.num_rows, type=_pa.string()),
+            "a": t.column("n_out_edges").cast(_pa.int64()),
+            "b": t.column("n_out_hosts").cast(_pa.int64()),
+            "c": t.column("n_in_edges").cast(_pa.int64())})
+
     a = q_crawl_delta(sf_dir).map_batches(delta_tag, batch_format="pyarrow")
     b = recrawl_schedule(sf_dir).map_batches(rec_tag, batch_format="pyarrow")
-    return a.union(b)
+    c = host_graph(sf_dir).map_batches(hg_tag, batch_format="pyarrow")
+    return a.union(b).union(c)
 
 
 def q_crawl_extract(sf_dir: str):
@@ -722,14 +736,38 @@ rec AS (
          (COUNT(*) - 1)
            + GREATEST(1, (COUNT(*) - 1) // (SUM(c) + 1)) AS next_epoch
   FROM chg GROUP BY url
-)
+),
+nd2 AS (SELECT COUNT(*) AS n FROM documents),
+hge AS (
+  SELECT doc_id AS s, (doc_id * 7 + 13) % nd2.n AS t
+  FROM documents, nd2 WHERE 1 + doc_id % 3 > 0
+  UNION ALL SELECT doc_id, (doc_id * 9 + 14) % nd2.n
+  FROM documents, nd2 WHERE 1 + doc_id % 3 > 1
+  UNION ALL SELECT doc_id, (doc_id * 11 + 15) % nd2.n
+  FROM documents, nd2 WHERE 1 + doc_id % 3 > 2
+),
+hgh AS (
+  SELECT CASE WHEN s % 3 = 0 THEN 0
+              ELSE 1 + (s * 2654435761) % 499 END AS h_src,
+         CASE WHEN t % 3 = 0 THEN 0
+              ELSE 1 + (t * 2654435761) % 499 END AS h_tgt
+  FROM hge
+),
+hgo AS (SELECT h_src AS h, COUNT(*) AS oe, COUNT(DISTINCT h_tgt) AS oh
+        FROM hgh GROUP BY h_src),
+hgi AS (SELECT h_tgt AS h, COUNT(*) AS ie FROM hgh GROUP BY h_tgt)
 SELECT 'delta' AS section, e2.url, e2.keyword AS k,
        e2.seq AS a, CAST(-1 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS c
 FROM e2 ANTI JOIN e1 USING (url)
 UNION ALL
 SELECT 'recrawl', url, '', CAST(changes AS BIGINT),
        CAST(n_snaps AS BIGINT), CAST(next_epoch AS BIGINT)
-FROM rec"""
+FROM rec
+UNION ALL
+SELECT 'hostgraph', 'h' || CAST(hgo.h AS VARCHAR) || '.example.com', '',
+       CAST(hgo.oe AS BIGINT), CAST(hgo.oh AS BIGINT),
+       CAST(COALESCE(hgi.ie, 0) AS BIGINT)
+FROM hgo LEFT JOIN hgi ON hgi.h = hgo.h"""
     out["crawl_extract"] = _sql_cand() + f"""
 SELECT s.url, s.seq,
        md5(CASE WHEN s.doc_id % 97 = 13 THEN '' ELSE d.text END) AS text_md5,

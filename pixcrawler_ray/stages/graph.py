@@ -497,6 +497,82 @@ def opic_importance(sf_dir: str, rounds: int = 3, k_crawl: int = 50,
     return state
 
 
+# ------------------------------------------------------ host-graph rollup --
+
+HOST_MULT = 2654435761      # the repo-wide host rule (robots/sitemap/urls)
+HOST_MOD = 499
+
+
+def _host_of(d: np.ndarray) -> np.ndarray:
+    return np.where(d % 3 == 0, 0, 1 + (d * HOST_MULT) % HOST_MOD)
+
+
+def host_graph(sf_dir: str, num_buckets: int = 8):
+    """Host-level webgraph rollup — the Common Crawl webgraph shape (CC
+    publishes host- and domain-level graphs aggregated from the page
+    graph; crawl schedulers budget per HOST, so the host rollup is the
+    planning view): project every doc-level arithmetic edge through the
+    repo-wide host rule and aggregate per host.
+
+    Distributed shape: one stateless map explodes each doc into its ≤3
+    edges ALREADY projected to (h_src, h_tgt) and mirrors each edge into
+    two tagged rows — (key=h_src, other=h_tgt, out) and (key=h_tgt,
+    other=h_src, in) — so out- and in-aggregation ride ONE host-keyed
+    exchange; the per-bucket kernel groupby-counts edges, distinct
+    counterpart hosts, and self-loops per side. Host cardinality is
+    bounded (≤500 here; ~10⁸ real-web hosts), so the output is always a
+    small table regardless of corpus size — the classic high-fan-in
+    rollup where the exchange, not a driver collect, does the fan-in.
+
+    Output: (host_id, host, n_out_edges, n_out_hosts, n_in_edges,
+    n_in_hosts, n_self) — hosts with no in-edges keep zeros.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = _out_degree(d)
+        hs, ht = [], []
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            sel = k > j
+            hs.append(_host_of(d[sel]))
+            ht.append(_host_of((d[sel] * mu + ad) % n))
+        hs, ht = np.concatenate(hs), np.concatenate(ht)
+        return pa.table({
+            "host": pa.array(np.concatenate([hs, ht]), type=pa.int64()),
+            "other": pa.array(np.concatenate([ht, hs]), type=pa.int64()),
+            "is_out": pa.array(np.concatenate([
+                np.ones(len(hs), dtype=np.int8),
+                np.zeros(len(ht), dtype=np.int8)]))})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_out"].to_numpy() == 1]
+        i = g[g["is_out"].to_numpy() == 0]
+        oe = o.groupby("host", sort=False)["other"].agg(
+            n_out_edges="size", n_out_hosts="nunique")
+        ie = i.groupby("host", sort=False)["other"].agg(
+            n_in_edges="size", n_in_hosts="nunique")
+        ns = (o[o["host"].to_numpy() == o["other"].to_numpy()]
+              .groupby("host", sort=False).size().rename("n_self"))
+        res = oe.join([ie, ns], how="outer").fillna(0).reset_index()
+        host = res["host"].astype(np.int64)
+        return pd.DataFrame({
+            "host_id": host,
+            "host": "h" + host.astype(str) + ".example.com",
+            "n_out_edges": res["n_out_edges"].astype(np.int64),
+            "n_out_hosts": res["n_out_hosts"].astype(np.int64),
+            "n_in_edges": res["n_in_edges"].astype(np.int64),
+            "n_in_hosts": res["n_in_hosts"].astype(np.int64),
+            "n_self": res["n_self"].astype(np.int64)})
+
+    return per_bucket(docs.map_batches(explode, batch_format="pyarrow"),
+                      ["host"], agg, num_buckets=num_buckets)
+
+
 # ----------------------------------------------------- anchor-text index --
 
 def anchor_text_index(sf_dir: str, num_buckets: int = 8):

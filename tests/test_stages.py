@@ -420,6 +420,42 @@ def test_opic_matches_serial_spec_and_conserves(sf_tiny):
     assert res["cash"].sum() == INIT_MASS * n
 
 
+def test_host_graph_matches_serial_spec(sf_tiny):
+    """Host-graph rollup == a serial pandas aggregation of the projected
+    edge list, including the two stats the SQL row omits (distinct
+    in-hosts, self-loops)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pixcrawler_ray.stages.graph import ADDS, MULTS, _host_of, host_graph
+
+    n = pq.read_table(sf_tiny + "/documents.parquet",
+                      columns=["doc_id"]).num_rows
+    d = np.arange(n, dtype=np.int64)
+    k = 1 + d % 3
+    hs, ht = [], []
+    for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+        sel = k > j
+        hs.append(_host_of(d[sel]))
+        ht.append(_host_of((d[sel] * mu + ad) % n))
+    e = pd.DataFrame({"s": np.concatenate(hs), "t": np.concatenate(ht)})
+    exp = pd.DataFrame({
+        "n_out_edges": e.groupby("s").size(),
+        "n_out_hosts": e.groupby("s")["t"].nunique(),
+        "n_in_edges": e.groupby("t").size(),
+        "n_in_hosts": e.groupby("t")["s"].nunique(),
+        "n_self": e[e.s == e.t].groupby("s").size(),
+    }).fillna(0).astype(np.int64)
+
+    got = host_graph(sf_tiny).to_pandas().set_index("host_id").sort_index()
+    assert len(got) == len(exp)
+    for col in exp.columns:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    assert (got["host"] == "h" + got.index.astype(str)
+            + ".example.com").all()
+
+
 def test_bpe_counter_matches_scalar_and_merges():
     """BpeCounter batch counts == per-word scalar spec; spot-check known
     merges (the->1 token via t+h then th+e; unmergeable stays chars)."""
