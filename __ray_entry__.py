@@ -285,8 +285,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def curate_q(sf_dir: str):
         # MERGED (one registry row): the fused curation gate survivors
         # (stage='curated') + the resumable_curation pipeline's exact
-        # post-dedup survivor set (stage='deduped')
+        # post-dedup survivor set (stage='deduped') + (r5) the Dolma-shape
+        # tagger/mixer survivors (stage='mixed': attributes written to a
+        # keyed build dir by 3 taggers, then one doc-keyed pivot+rule
+        # exchange — the DECOUPLED counterpart of the fused gate)
+        import hashlib as _hl
+        import os as _os
+        import shutil as _sh
+        import tempfile as _tf
+
         import pyarrow as _pa
+        from pixcrawler_ray.pipelines.attributes import (mix_corpus,
+                                                         tag_attributes)
         from pixcrawler_ray.pipelines.curation import curated_dataset
 
         def tag(stage, id_col, lang_col):
@@ -303,7 +313,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("curated", "doc_id", "lang"), batch_format="pyarrow")
         ded = curated_dataset(sf_dir).map_batches(
             tag("deduped", "seq", "keyword"), batch_format="pyarrow")
-        return cur.union(ded)
+        atag = _hl.md5(f"{sf_dir}|attrs".encode()).hexdigest()[:8]
+        adir = _os.path.join(_tf.gettempdir(), f"pxr_attrs_{atag}")
+        _sh.rmtree(adir, ignore_errors=True)
+        tag_attributes(sf_dir, adir)
+        mix = mix_corpus(sf_dir, adir).map_batches(
+            tag("mixed", "doc_id", "lang"), batch_format="pyarrow")
+        return cur.union(ded).union(mix)
 
     def url_canonical_dedup_q(sf_dir: str):
         # MERGED (one registry row): canonicalize + alias collapse
@@ -2384,12 +2400,41 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(d.text)
                            ORDER BY c.doc_id) = 1""")
 
     # gate survivors + post-dedup survivors in one row, stage-tagged
+    # (r5) Dolma-shape mixer replay: the three tagger attributes (token
+    # count, trailer email count, exact-dup first flag) recomputed inline
+    # and the mixer rule applied verbatim (pipelines/attributes.py —
+    # 5 <= n_tokens <= 10000 AND n_emails <= 1 AND first occurrence).
+    _mix_sql = r"""
+WITH mx AS (
+  SELECT doc_id, lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' and admin@corp.example.org' ELSE '' END
+              || ' call +1-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+              || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 3) % 256 AS VARCHAR) AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(
+                   regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM mx
+WHERE n_tokens BETWEEN 5 AND 10000
+  AND CAST(len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) <= 1
+  AND rn = 1"""
     out["curate_corpus"] = (
         "WITH curated AS (" + curate_sql + "),\n"
-        "dd AS (" + curate_dedup_sql + """)
+        "dd AS (" + curate_dedup_sql + "),\n"
+        "mixed AS (" + _mix_sql + """)
 SELECT doc_id, lang, 'curated' AS stage FROM curated
 UNION ALL
-SELECT doc_id, lang, 'deduped' AS stage FROM dd""")
+SELECT doc_id, lang, 'deduped' AS stage FROM dd
+UNION ALL
+SELECT doc_id, lang, 'mixed' AS stage FROM mixed""")
 
     # url_canonical + url_alias_dedup joined per doc (both pure doc_id
     # functions, 1:1 row sets)

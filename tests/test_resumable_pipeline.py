@@ -128,3 +128,36 @@ def test_resumable_curation_crash_and_resume(sf_tiny, tmp_path):
     assert resumed.num_rows == full.num_rows > 0
     assert resumed.sort_by([("seq", "ascending")]).equals(
         full.sort_by([("seq", "ascending")]))
+
+
+def test_attribute_tagger_resume_and_mixer_decoupling(sf_tiny, tmp_path):
+    """Dolma-shape taggers commit atomically and resume skips complete
+    ones; the mixer re-runs with a different rule WITHOUT re-tagging
+    (the decoupling that makes filter sweeps cheap at scale)."""
+    import os
+
+    import pytest
+
+    from pixcrawler_ray.pipelines.attributes import (mix_corpus,
+                                                     tag_attributes)
+
+    out = str(tmp_path / "attrs")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tag_attributes(sf_tiny, out, fail_after=1)
+    assert os.path.exists(os.path.join(out, "attr=textstat", "_DONE"))
+    assert not os.path.exists(os.path.join(out, "attr=pii", "_DONE"))
+
+    paths = tag_attributes(sf_tiny, out)
+    assert sorted(paths) == ["dup", "pii", "textstat"]
+    mtimes = {n: os.path.getmtime(os.path.join(p, "_DONE"))
+              for n, p in paths.items()}
+    # re-run: all three skipped (markers untouched)
+    tag_attributes(sf_tiny, out)
+    for n, p in paths.items():
+        assert os.path.getmtime(os.path.join(p, "_DONE")) == mtimes[n]
+
+    base = mix_corpus(sf_tiny, out).to_pandas()
+    strict = mix_corpus(sf_tiny, out, min_tokens=50).to_pandas()
+    assert 0 < len(strict) < len(base)
+    assert (strict["n_tokens"] >= 50).all()
+    assert set(strict["doc_id"]) <= set(base["doc_id"])
