@@ -1482,7 +1482,23 @@ SELECT 'sliding' AS kind, event_type,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_value_cents
 FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
-GROUP BY event_type, date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR"""
+GROUP BY event_type, date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR
+UNION ALL
+SELECT CASE WHEN mx IS NOT NULL AND mx - ts > INTERVAL 60 MINUTE
+            THEN 'late' ELSE 'watermarked' END AS kind,
+       event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM (
+  SELECT event_type, ts, value,
+         MAX(ts) OVER (ORDER BY event_id
+                         + CASE WHEN event_id % 10 = 3 THEN 40 ELSE 0 END,
+                       event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mx
+  FROM events)
+GROUP BY 1, 2, 3"""
 
     # A-then-B-within-T funnel: first signup per user, purchases within 24h
     out["events_funnel"] = """

@@ -254,7 +254,9 @@ def q_events_windows(sf_dir: str, window_hours: int = 2):
     """Tumbling (1 h) + sliding (``window_hours`` h, hop 1 h) window
     aggregates in ONE registry row (driver 50-row cap), tagged by ``kind``
     — both remain their own groupby plans; the union is schema-aligned
-    (event_type, window_start, n_events, sum_value_cents)."""
+    (event_type, window_start, n_events, sum_value_cents). (r5) + the
+    watermarked tumbling aggregate with its late side output
+    (``q_events_watermarked``): kinds 'watermarked' and 'late'."""
 
     def tag(kind: str):
         def f(t: pa.Table) -> pa.Table:
@@ -273,7 +275,137 @@ def q_events_windows(sf_dir: str, window_hours: int = 2):
         tag("tumbling"), batch_format="pyarrow")
     sliding = q_events_sliding(sf_dir, window_hours).map_batches(
         tag("sliding"), batch_format="pyarrow")
-    return hourly.union(sliding)
+    return hourly.union(sliding).union(q_events_watermarked(sf_dir))
+
+
+# watermark arrival model: deterministic STRAGGLERS — every 10th event
+# (event_id % 10 == 3) arrives WM_JIT positions late, everything else in
+# append order (the events table is time-ordered, so this simulates the
+# real failure mode: a minority of messages delayed in transit past the
+# allowed lateness while the watermark advances on the in-order majority).
+# Both sides replay the rule verbatim.
+WM_STRAGGLER_MOD = 10
+WM_STRAGGLER_RES = 3
+WM_JIT = 40
+_WM_RANGES = 64
+
+
+def q_events_watermarked(sf_dir: str, delay_minutes: int = 60,
+                         num_buckets: int = 8):
+    """Watermarked tumbling-window aggregate with a LATE side output —
+    the Dataflow/Beam allowed-lateness semantics (Akidau et al., VLDB
+    2015) re-expressed as batch dataflow: events "arrive" in the
+    deterministic straggler order ``a = event_id + (WM_JIT if straggler
+    else 0)`` (ties by event_id); the low watermark at an event's arrival
+    is the MAX event-time of all PRIOR arrivals minus the allowed delay;
+    an event whose ts lies below that watermark is LATE and routed to the
+    side output, everything else aggregates normally. Both partitions
+    emit the same (event_type, hour) count + cents-sum schema, tagged.
+
+    Distributed shape — the exclusive global prefix-MAX is the same
+    two-step scan as ``scan_prefix_tokens`` (textprep): (1) per-range max
+    partials (range = arrival-key interval) collapse to a 64-row table,
+    exclusive-max-scanned on the driver and broadcast; (2) one
+    range-keyed exchange, each kernel sorts its ranges by arrival key and
+    takes a local exclusive cummax + its range base. Then the standard
+    map-side-combine aggregation. Nothing corpus-sized on the driver; no
+    sort of the full stream.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    delay_us = np.int64(delay_minutes) * 60 * 1_000_000
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    n_events = ds.count()
+    a_span = n_events + WM_JIT
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        a = ids + np.where(ids % WM_STRAGGLER_MOD == WM_STRAGGLER_RES,
+                           WM_JIT, 0)
+        rng = (a * _WM_RANGES) // a_span
+        ts_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "event_id": pa.array(ids), "akey": pa.array(a),
+            "rng": pa.array(rng), "ts_us": ts_us,
+            "event_type": t.column("event_type"),
+            "value_cents": _cents(t.column("value"))})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    # step 1: per-range max partials -> 64-row exclusive max scan
+    def range_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"rng": t.column("rng").to_numpy(),
+                           "mx": t.column("ts_us").to_numpy()})
+        g = df.groupby("rng", sort=False)["mx"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def range_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("rng", sort=False)["mx"].max().reset_index()
+
+    totals = per_bucket(keyed_ds.map_batches(range_partial,
+                                             batch_format="pyarrow"),
+                        ["rng"], range_merge, num_buckets=2).to_pandas()
+    totals = totals.sort_values("rng")
+    run = np.maximum.accumulate(totals["mx"].to_numpy())
+    base = dict(zip(totals["rng"].to_numpy()[1:], run[:-1].astype(np.int64)))
+
+    # step 2: range-keyed exchange, local exclusive cummax + range base
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rng", "akey", "event_id"], kind="mergesort")
+        ts = df["ts_us"].to_numpy().astype(np.int64)
+        rng = df["rng"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], rng[1:] != rng[:-1]]))
+        # exclusive cummax restarting at each range boundary: the kernel
+        # holds <= 64 ranges, so a per-segment pandas accumulate is a
+        # bounded loop over segments, not rows
+        seg = np.repeat(starts, np.diff(np.append(starts, len(rng))))
+        excl = pd.Series(ts).groupby(seg).apply(
+            lambda s: s.cummax().shift(
+                1, fill_value=np.iinfo(np.int64).min)).to_numpy()
+        bases = np.array([base.get(int(r), np.iinfo(np.int64).min)
+                          for r in rng], dtype=np.int64)
+        wm_src = np.maximum(excl, bases)
+        late = (wm_src != np.iinfo(np.int64).min) & (wm_src - ts > delay_us)
+        out = df[["event_type", "value_cents"]].copy()
+        out["hour_us"] = (df["ts_us"].to_numpy() // 3_600_000_000
+                          * 3_600_000_000)
+        out["kind"] = np.where(late, "late", "watermarked")
+        return out
+
+    flagged = per_bucket(keyed_ds, ["rng"], flag, num_buckets=num_buckets)
+
+    # map-side combine -> one small keyed exchange (token_counts shape)
+    def agg_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby(["kind", "event_type", "hour_us"], sort=False)
+             .agg(n_events=("value_cents", "size"),
+                  sum_value_cents=("value_cents", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def agg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["kind", "event_type", "hour_us"], sort=False)
+                .agg(n_events=("n_events", "sum"),
+                     sum_value_cents=("sum_value_cents", "sum"))
+                .reset_index())
+
+    merged = per_bucket(flagged.map_batches(agg_partial,
+                                            batch_format="pyarrow"),
+                        ["kind", "event_type", "hour_us"], agg_merge,
+                        num_buckets=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": t.column("kind"),
+            "event_type": t.column("event_type"),
+            "window_start": t.column("hour_us").cast(pa.timestamp("us")),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "sum_value_cents": t.column("sum_value_cents").cast(pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def q_events_sessionize(sf_dir: str, gap_minutes: int = 30):

@@ -557,3 +557,30 @@ def test_anchor_text_index_serial_parity(sf_tiny):
     alt = (anchor_text_index(sf_tiny, num_buckets=3).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(alt, got)
+
+
+def test_watermarked_windows_straggler_semantics(sf_tiny):
+    """The late side output is exactly the straggler events displaced past
+    the allowed lateness (here: all of them — 1/10 of the stream), the
+    on-time/late split is a partition of the full stream, and the result
+    is invariant to the exchange bucket count."""
+    from pixcrawler_ray.pipelines.relational import (WM_STRAGGLER_MOD,
+                                                     q_events_watermarked)
+
+    a = (q_events_watermarked(sf_tiny, num_buckets=3).to_pandas()
+         .sort_values(["kind", "event_type", "window_start"])
+         .reset_index(drop=True))
+    b = (q_events_watermarked(sf_tiny, num_buckets=13).to_pandas()
+         .sort_values(["kind", "event_type", "window_start"])
+         .reset_index(drop=True))
+    assert a.equals(b)
+
+    import pyarrow.parquet as pq
+    n = pq.read_table(sf_tiny + "/events.parquet",
+                      columns=["event_id"]).num_rows
+    late_n = int(a[a["kind"] == "late"]["n_events"].sum())
+    on_n = int(a[a["kind"] == "watermarked"]["n_events"].sum())
+    assert late_n + on_n == n
+    # sf events are spaced ~minutes apart, so every straggler (displaced
+    # WM_JIT positions ~ hours of event time) lands past the 60-min delay
+    assert late_n == sum(1 for i in range(n) if i % WM_STRAGGLER_MOD == 3)
