@@ -879,7 +879,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cum_end, included docs only — whole docs, never exceeds the
         # budget), section-tagged on (section, doc_id, shuffle_rank,
         # n_tokens, v); both ride the SAME distributed two-step prefix
-        # scan over the Lehmer shuffle order
+        # scan over the Lehmer shuffle order. + (r5) snake-balanced shard
+        # assignment ('balanced': shuffle_rank = token-mass rank, v =
+        # shard id — sort-free distributed rank via the bounded
+        # token-histogram base + tie exchange)
         import pyarrow as _pa
 
         def pk(t):
@@ -900,10 +903,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n_tokens": t.column("n_tokens").cast(_pa.int64()),
                 "v": t.column("cum_end").cast(_pa.int64())})
 
+        def bl(t):
+            return _pa.table({
+                "section": _pa.array(["balanced"] * t.num_rows,
+                                     type=_pa.string()),
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "shuffle_rank": t.column("rank").cast(_pa.int64()),
+                "n_tokens": t.column("n_tokens").cast(_pa.int64()),
+                "v": t.column("shard_id").cast(_pa.int64())})
+
         return tp.pack_contexts(sf_dir, budget=256).map_batches(
             pk, batch_format="pyarrow").union(
             tp.token_budget_cut(sf_dir, budget_tokens=20_000).map_batches(
-                ct, batch_format="pyarrow"))
+                ct, batch_format="pyarrow")).union(
+            tp.balanced_shards(sf_dir, n_shards=8).map_batches(
+                bl, batch_format="pyarrow"))
 
     def links_captions_q(sf_dir: str):
         # MERGED (one registry row): per-page raw/valid link counts
@@ -2819,7 +2833,14 @@ FROM scan
 UNION ALL
 SELECT 'cut', doc_id, shuffle_rank, n_tokens,
        prefix_before + n_tokens
-FROM scan WHERE prefix_before + n_tokens <= 20000"""
+FROM scan WHERE prefix_before + n_tokens <= 20000
+UNION ALL
+SELECT 'balanced', doc_id, r, n_tokens,
+       CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                 ELSE 7 - (r % 8) END AS BIGINT)
+FROM (SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM toks)"""
 
     # bigram_lm_stats: global bigram/context counts joined back per doc;
     # the engine runs BOTH size-switch paths (broadcast + bucketed join),

@@ -582,6 +582,79 @@ def pack_contexts(sf_dir: str, budget: int = 256):
         binned, batch_format="pyarrow")
 
 
+def balanced_shards(sf_dir: str, n_shards: int = 8, num_buckets: int = 16):
+    """Balanced shard assignment by token mass — snake (boustrophedon)
+    placement over docs ranked by (n_tokens DESC, doc_id ASC): rank r goes
+    to shard ``r % k`` on even passes and ``k-1 - r % k`` on odd passes,
+    the classic deterministic near-LPT balancer (per-shard totals differ
+    by at most one document) used to cut training corpora into equal-work
+    shards for tokenizer/dataloader fleets.
+
+    The global rank needs NO global sort: (1) per-batch partial token-
+    count histograms merge through one n_tokens-keyed exchange into the
+    global (n_tokens → count) table — bounded by DISTINCT document
+    lengths, not corpus size — whose exclusive cumsum in DESC token order
+    (computed on the driver over that bounded table, broadcast once)
+    gives each token value its rank base; (2) one n_tokens-keyed exchange
+    ranks ties by doc_id; global rank = base + tie rank. Output
+    (doc_id, rank, n_tokens, shard_id), all int64; SQL replays it as one
+    ROW_NUMBER window.
+    """
+    import ray as _ray
+
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        _, nw = _nonempty_words(t.column("text"))
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(nw.astype(np.int64))})
+
+    docs = ds.map_batches(toks, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t.column("n_tokens").to_numpy(), return_counts=True)
+        return pa.table({"n_tokens": pa.array(v.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def hist_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("n_tokens", sort=False)["cnt"].sum().reset_index()
+
+    hist = per_bucket(docs.map_batches(hist_partial, batch_format="pyarrow"),
+                      ["n_tokens"], hist_merge,
+                      num_buckets=4).to_pandas()
+    hist = hist.sort_values("n_tokens", ascending=False)
+    base = dict(zip(
+        hist["n_tokens"].to_numpy(),
+        np.concatenate([[0], np.cumsum(hist["cnt"].to_numpy())[:-1]])
+        .astype(np.int64)))
+    base_ref = _ray.put(base)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        b = _ray.get(base_ref)
+        g = g.sort_values(["n_tokens", "doc_id"], kind="mergesort")
+        tie = g.groupby("n_tokens", sort=False).cumcount().to_numpy()
+        tok = g["n_tokens"].to_numpy()
+        rank = np.array([b[int(v)] for v in tok[
+            np.concatenate([[True], tok[1:] != tok[:-1]])]],
+            dtype=np.int64)  # one lookup per distinct value in this bucket
+        starts = np.flatnonzero(np.concatenate(
+            [[True], tok[1:] != tok[:-1]]))
+        rank = np.repeat(rank, np.diff(np.append(starts, len(tok))))
+        rank = rank + tie
+        q, pos = np.divmod(rank, n_shards)
+        shard = np.where(q % 2 == 0, pos, n_shards - 1 - pos)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "rank": rank,
+            "n_tokens": tok.astype(np.int64),
+            "shard_id": shard.astype(np.int64)})
+
+    return per_bucket(docs, ["n_tokens"], assign, num_buckets=num_buckets)
+
+
 def token_budget_cut(sf_dir: str, budget_tokens: int = 20_000):
     """Fixed-token training-mix cut: take WHOLE docs in the seeded global
     shuffle order until the token budget is exhausted — a doc is included

@@ -465,3 +465,24 @@ def test_weighted_reservoir_matches_serial_and_prefers_heavy(
     # key arithmetic is the exact SQL replay (floor div, rank+1)
     r = lehmer_rank(ids) + 1
     assert (key == (nt * (1 << 40)) // r).all()
+
+
+def test_balanced_shards_balance_and_invariance(sf_tiny):
+    """Snake placement: per-shard token totals differ by at most one
+    document's tokens; assignment is a partition of the corpus and is
+    invariant to the exchange bucket count."""
+    from pixcrawler_ray.stages.textprep import balanced_shards
+
+    a = (balanced_shards(sf_tiny, n_shards=8, num_buckets=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (balanced_shards(sf_tiny, n_shards=8, num_buckets=17).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+    tot = a.groupby("shard_id")["n_tokens"].sum()
+    assert len(tot) == 8
+    assert tot.max() - tot.min() <= a["n_tokens"].max()
+    # ranks are a permutation 0..n-1; shards partition the corpus
+    n = len(a)
+    assert sorted(a["rank"]) == list(range(n))
+    assert a["shard_id"].between(0, 7).all()
