@@ -311,14 +311,16 @@ def q_events_watermarked(sf_dir: str, delay_minutes: int = 60,
     map-side-combine aggregation. Nothing corpus-sized on the driver; no
     sort of the full stream.
     """
-    from pixcrawler_ray.stages.shuffle import per_bucket
+    from pixcrawler_ray.stages.shuffle import per_bucket, range_scan_totals
 
     delay_us = np.int64(delay_minutes) * 60 * 1_000_000
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "event_type", "value"])
 
-    n_events = ds.count()
-    a_span = n_events + WM_JIT
+    # range-partition the ARRIVAL-KEY DOMAIN [0, max_id + JIT]: the range
+    # count stays <= _WM_RANGES whatever the id layout (sparse/offset ids
+    # would blow a count()-based span up to one range per event)
+    a_span = int(ds.max("event_id")) + WM_JIT + 1
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t.column("event_id").to_numpy(
@@ -335,21 +337,10 @@ def q_events_watermarked(sf_dir: str, delay_minutes: int = 60,
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
 
-    # step 1: per-range max partials -> 64-row exclusive max scan
-    def range_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"rng": t.column("rng").to_numpy(),
-                           "mx": t.column("ts_us").to_numpy()})
-        g = df.groupby("rng", sort=False)["mx"].max().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def range_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("rng", sort=False)["mx"].max().reset_index()
-
-    totals = per_bucket(keyed_ds.map_batches(range_partial,
-                                             batch_format="pyarrow"),
-                        ["rng"], range_merge, num_buckets=2).to_pandas()
-    totals = totals.sort_values("rng")
-    run = np.maximum.accumulate(totals["mx"].to_numpy())
+    # step 1: per-range max partials -> <=64-row exclusive max scan
+    # (shared two-step-scan helper, reduce='max')
+    totals = range_scan_totals(keyed_ds, "rng", "ts_us", reduce="max")
+    run = np.maximum.accumulate(totals["ts_us"].to_numpy())
     base = dict(zip(totals["rng"].to_numpy()[1:], run[:-1].astype(np.int64)))
 
     # step 2: range-keyed exchange, local exclusive cummax + range base
@@ -366,8 +357,11 @@ def q_events_watermarked(sf_dir: str, delay_minutes: int = 60,
         excl = pd.Series(ts).groupby(seg).apply(
             lambda s: s.cummax().shift(
                 1, fill_value=np.iinfo(np.int64).min)).to_numpy()
-        bases = np.array([base.get(int(r), np.iinfo(np.int64).min)
-                          for r in rng], dtype=np.int64)
+        # one base lookup per SEGMENT (<= 64), repeated — not per row
+        seg_bases = np.array([base.get(int(r), np.iinfo(np.int64).min)
+                              for r in rng[starts]], dtype=np.int64)
+        bases = np.repeat(seg_bases,
+                          np.diff(np.append(starts, len(rng))))
         wm_src = np.maximum(excl, bases)
         late = (wm_src != np.iinfo(np.int64).min) & (wm_src - ts > delay_us)
         out = df[["event_type", "value_cents"]].copy()

@@ -338,6 +338,8 @@ def hits_scores(sf_dir: str, rounds: int = 2, num_buckets: int = 8):
     """
     from pixcrawler_ray.stages.shuffle import per_bucket
 
+    if rounds < 1:
+        raise ValueError("hits_scores needs rounds >= 1")
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     n = docs.count()
 

@@ -359,6 +359,34 @@ def per_bucket(ds, key_cols: Sequence[str], kernel: Callable[[pd.DataFrame], pd.
     return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
 
 
+def range_scan_totals(ds, rng_col: str, val_col: str,
+                      reduce: str = "sum") -> pd.DataFrame:
+    """Step 1 of the two-step distributed prefix scan (scan_prefix_tokens,
+    q_events_watermarked): collapse ``ds`` to one row per range id via
+    per-batch partials + one tiny keyed exchange, and return the merged
+    (rng, val) table sorted by rng. ``reduce`` is 'sum' or 'max'. The
+    result is bounded by the RANGE COUNT (callers use <=64), never the
+    input size — the caller exclusive-scans it on the driver and
+    broadcasts the per-range bases."""
+    if reduce not in ("sum", "max"):
+        raise ValueError(f"unsupported reduce {reduce!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({rng_col: t.column(rng_col).to_numpy(),
+                           val_col: t.column(val_col).to_numpy()})
+        g = getattr(df.groupby(rng_col, sort=False)[val_col],
+                    reduce)().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return getattr(g.groupby(rng_col, sort=False)[val_col],
+                       reduce)().reset_index()
+
+    totals = per_bucket(ds.map_batches(partial, batch_format="pyarrow"),
+                        [rng_col], merge, num_buckets=2).to_pandas()
+    return totals.sort_values(rng_col)
+
+
 def per_bucket_take(ds, key_cols: Sequence[str], helper_cols: Sequence[str],
                     index_kernel, num_buckets: int = DEFAULT_BUCKETS,
                     fuse_slices: int = 1):

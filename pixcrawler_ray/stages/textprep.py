@@ -518,23 +518,14 @@ def scan_prefix_tokens(sf_dir: str):
 
     toks = ds.map_batches(tokens, batch_format="pyarrow")
 
-    def range_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"rng": t.column("rng").to_numpy(),
-                           "tok": t.column("n_tokens").to_numpy()})
-        g = df.groupby("rng", sort=False)["tok"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def range_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("rng", sort=False)["tok"].sum().reset_index()
-
-    totals = per_bucket(toks.map_batches(range_partial,
-                                         batch_format="pyarrow"),
-                        ["rng"], range_merge, num_buckets=2).to_pandas()
-    totals = totals.sort_values("rng")
-    base = dict(zip(totals["rng"].to_numpy(),
-                    np.concatenate([[0],
-                                    np.cumsum(totals["tok"].to_numpy())[:-1]
-                                    ]).astype(np.int64)))
+    # step 1 via the shared two-step-scan helper (reduce='sum')
+    from pixcrawler_ray.stages.shuffle import range_scan_totals
+    totals = range_scan_totals(toks, "rng", "n_tokens", reduce="sum")
+    base = dict(zip(
+        totals["rng"].to_numpy(),
+        np.concatenate([[0],
+                        np.cumsum(totals["n_tokens"].to_numpy())[:-1]
+                        ]).astype(np.int64)))
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         # per_bucket hands a UNION of ranges (bucket = hash(rng) % B) —
