@@ -416,7 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as _pa
 
         from pixcrawler_ray.stages.graph import (
-            connected_components, hits_scores, link_mass, pagerank_mass)
+            connected_components, hits_scores, link_mass, pagerank_mass,
+            trustrank_mass)
 
         def tag(section, val="mass"):
             def f(t):
@@ -460,7 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         e = opic_importance(sf_dir, rounds=3, k_crawl=50).map_batches(
             opic_tag, batch_format="pyarrow")
-        return a.union(b).union(c).union(d).union(e)
+        f = trustrank_mass(sf_dir, rounds=3).map_batches(
+            tag("trust"), batch_format="pyarrow")
+        return a.union(b).union(c).union(d).union(e).union(f)
 
     def distinct_urls_kmv_q(sf_dir: str):
         # MERGED (rows-only row, pytest-oracled): KMV + HyperLogLog
@@ -2219,8 +2222,35 @@ GROUP BY doc_id, i // 16"""
             f"AS BIGINT) AS hist "
             f"FROM oc{_r} t LEFT JOIN osel{_r} s ON s.doc_id = t.doc_id "
             f"LEFT JOIN orecv{_r} rv ON rv.doc_id = t.doc_id)")
+    # + (r5) TrustRank (Gyöngyi 2004) at rounds=3: pagerank's damped
+    # sends, but the pooled residue teleports ONLY to the seed set
+    # doc_id % 31 == 0 — floor(R/n_seeds) per seed, leftover to the
+    # lowest seed ids (graph.trustrank_mass).
+    _tr = (",\nnseed AS (SELECT CAST((n + 30) // 31 AS BIGINT) AS ns "
+           "FROM nd),\n"
+           "t0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS mass "
+           "FROM documents)")
+    _tr_sends = " UNION ALL ".join(
+        f"SELECT (m.doc_id * {mu} + {ad}) % nd.n AS doc_id, "
+        f"(m.mass * 85 // 100) // (1 + m.doc_id % 3) AS mass "
+        f"FROM t{{r}} m, nd WHERE 1 + m.doc_id % 3 > {j}"
+        for j, (mu, ad) in enumerate(zip((7, 9, 11), (13, 14, 15)))
+    ) + (" UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM documents")
+    for _r in range(3):
+        _tr += (
+            f",\ntrs{_r} AS ({_tr_sends.format(r=_r)}),\n"
+            f"trr{_r + 1} AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) "
+            f"AS mass FROM trs{_r} GROUP BY doc_id),\n"
+            f"trt{_r + 1} AS (SELECT CAST(1000 AS BIGINT) * nd.n "
+            f"- (SELECT SUM(mass) FROM trr{_r + 1}) AS rr, ns.ns AS ns "
+            f"FROM nd, nseed ns),\n"
+            f"t{_r + 1} AS (SELECT r.doc_id, CAST(r.mass + CASE WHEN "
+            f"r.doc_id % 31 = 0 THEN t.rr // t.ns + CASE WHEN "
+            f"r.doc_id // 31 < t.rr % t.ns THEN 1 ELSE 0 END "
+            f"ELSE 0 END AS BIGINT) AS mass "
+            f"FROM trr{_r + 1} r, trt{_r + 1} t)")
     out["link_mass"] = (
-        _lm + _pr + _ht + _oc
+        _lm + _pr + _ht + _oc + _tr
         + "\nSELECT 'plain' AS section, doc_id, mass FROM m3"
         + "\nUNION ALL\nSELECT 'pagerank', doc_id, mass FROM p3"
         + "\nUNION ALL\nSELECT 'components', doc_id, "
@@ -2228,7 +2258,8 @@ GROUP BY doc_id, i // 16"""
         + "\nUNION ALL\nSELECT 'hub', doc_id, v FROM hh2"
         + "\nUNION ALL\nSELECT 'auth', doc_id, v FROM ha2"
         + "\nUNION ALL\nSELECT 'opic_cash', doc_id, cash FROM oc3"
-        + "\nUNION ALL\nSELECT 'opic_hist', doc_id, hist FROM oc3")
+        + "\nUNION ALL\nSELECT 'opic_hist', doc_id, hist FROM oc3"
+        + "\nUNION ALL\nSELECT 'trust', doc_id, mass FROM t3")
 
     # robots.txt byte round-trip: the Ray side synthesizes each host's
     # literal robots.txt and parses it back with regex kernels; the oracle

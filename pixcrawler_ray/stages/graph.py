@@ -131,6 +131,71 @@ def _pagerank_round(mass_ds, n_docs: int, total: int, damp_pct: int):
     return received.map_batches(teleport, batch_format="pyarrow")
 
 
+TRUST_SEED_MOD = 31     # trusted seed set: doc_id % 31 == 0 (closed form)
+
+
+def trustrank_mass(sf_dir: str, rounds: int = 3, damp_pct: int = 85):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+    web-spam countermeasure every production crawler runs beside
+    PageRank: identical damped propagation, but the teleport residue is
+    redistributed ONLY over a trusted seed set, so trust flows outward
+    from seeds and link-spam farms that PageRank's uniform teleport
+    subsidizes get nothing. Seeds here are the closed-form set
+    doc_id % 31 == 0 (the oracle replays it); the integer-conserving
+    arithmetic is the same as ``pagerank_mass`` — sends
+    floor(floor(m·d%)/k) per edge, pooled residue R teleports as
+    floor(R/n_seeds) per seed with the R % n_seeds leftover going to the
+    lowest seed ids. Total mass invariant every round (pytest-pinned).
+
+    Distributed shape per round: one keyed exchange for the receive sum
+    + one O(nodes) streaming ``sum`` for the residue scalar + a
+    stateless seed-teleport map — exactly ``_pagerank_round``'s plan with
+    a different teleport mask; state is the same fixed-width
+    checkpoint granule as ``link_mass_resumable``.
+    """
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    mass, n_docs = _initial_mass(sf_dir)
+    total = INIT_MASS * n_docs
+    n_seeds = (n_docs + TRUST_SEED_MOD - 1) // TRUST_SEED_MOD
+
+    def send(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = t.column("mass").to_numpy(zero_copy_only=False)
+        k = _out_degree(d)
+        share = (m * damp_pct) // 100 // k
+        nodes, masses = [d], [np.zeros(len(d), dtype=np.int64)]  # ground
+        for j, (mu, ad) in enumerate(zip(MULTS, ADDS)):
+            sel = k > j
+            nodes.append((d[sel] * mu + ad) % n_docs)
+            masses.append(share[sel])
+        return pa.table({"doc_id": pa.array(np.concatenate(nodes)),
+                         "mass": pa.array(np.concatenate(masses))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("doc_id", sort=False)["mass"].sum().reset_index())
+
+    for _ in range(rounds):
+        received = per_bucket(
+            mass.map_batches(send, batch_format="pyarrow"),
+            ["doc_id"], merge, num_buckets=8).materialize()
+        resid = total - int(received.sum("mass"))
+        per_seed, rem = divmod(resid, n_seeds)
+
+        def teleport(t: pa.Table, _ps=per_seed, _rem=rem) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = t.column("mass").to_numpy(zero_copy_only=False)
+            is_seed = d % TRUST_SEED_MOD == 0
+            seed_rank = d // TRUST_SEED_MOD   # seed index among seeds
+            add = np.where(is_seed, _ps + (seed_rank < _rem), 0)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "mass": pa.array(m + add)})
+
+        mass = received.map_batches(teleport, batch_format="pyarrow")
+
+    return mass
+
+
 def pagerank_mass(sf_dir: str, rounds: int = 3, damp_pct: int = 85):
     """Damped PageRank (Page et al. 1999) over the same arithmetic link
     graph as ``link_mass``, in conserving integer fixed-point: damping

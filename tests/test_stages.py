@@ -1204,3 +1204,16 @@ def test_sitemap_roundtrip_and_bucket_invariance(ray_session, sf_tiny):
         '<?xml version="1.0" encoding="UTF-8"?><urlset>').all()
     assert xml["sitemap_xml"].str.endswith("</urlset>").all()
     assert int(xml["sitemap_xml"].str.count("<loc>").sum()) == len(ids)
+
+
+def test_trustrank_conserves_and_concentrates_on_seeds(sf_tiny):
+    """TrustRank: total mass invariant every round; the teleport residue
+    lands only on the closed-form seed set, so the mean seed mass must
+    exceed the mean non-seed mass (trust flows outward from seeds)."""
+    from pixcrawler_ray.stages.graph import (INIT_MASS, TRUST_SEED_MOD,
+                                             trustrank_mass)
+
+    t = trustrank_mass(sf_tiny, rounds=3).to_pandas()
+    assert t["mass"].sum() == len(t) * INIT_MASS
+    seed = t["doc_id"] % TRUST_SEED_MOD == 0
+    assert t.loc[seed, "mass"].mean() > t.loc[~seed, "mass"].mean()
