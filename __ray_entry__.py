@@ -612,7 +612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tar_shards_q(sf_dir: str):
         # MERGED (one registry row): WebDataset tar shard manifest ('tar')
         # + WARC archive manifest ('warc', pipelines/warc.py — the Common
-        # Crawl layout; record bytes are pure arithmetic the SQL replays),
+        # Crawl layout; record bytes are pure arithmetic the SQL replays)
+        # + (r5) the per-record CDX random-access index ('cdx', column
+        # mapping: n_records = doc_id, payload_bytes = byte OFFSET,
+        # archive_bytes = record LENGTH — seek-proven in pytest),
         # section-tagged on (section, file_id, n_records, payload_bytes,
         # archive_bytes)
         import hashlib as _hl
@@ -647,7 +650,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(tg("warc", ("file_id", "n_records",
                                      "payload_bytes", "warc_bytes")),
                          batch_format="pyarrow")
-        return a.union(b)
+        c = _warc.cdx_index(sf_dir, records_per_file=64) \
+            .map_batches(tg("cdx", ("file_id", "doc_id",
+                                    "offset", "length")),
+                         batch_format="pyarrow")
+        return a.union(b).union(c)
 
     def domain_mixture_q(sf_dir: str):
         from pixcrawler_ray.stages.sample import domain_mixture
@@ -2931,7 +2938,7 @@ FROM sq, qc"""
            AS entries_bytes
   FROM sizes GROUP BY doc_id // 64
 ), wrec AS (
-  SELECT doc_id // 64 AS file_id, nb,
+  SELECT doc_id, doc_id // 64 AS file_id, nb,
          179 + length('http://h' ||
            CAST(CASE WHEN doc_id % 3 = 0 THEN 0
                      ELSE 1 + (doc_id * 2654435761) % 499 END AS VARCHAR)
@@ -2953,7 +2960,14 @@ SELECT 'tar' AS section, shard_id AS file_id, n_samples AS n_records,
          AS archive_bytes
 FROM agg
 UNION ALL
-SELECT 'warc', file_id, n_records, payload_bytes, warc_bytes FROM wagg""")
+SELECT 'warc', file_id, n_records, payload_bytes, warc_bytes FROM wagg
+UNION ALL
+SELECT 'cdx', file_id, doc_id,
+       CAST(COALESCE(SUM(rec_bytes) OVER (PARTITION BY file_id
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+       CAST(rec_bytes AS BIGINT) AS length
+FROM wrec""")
 
     # heavy_hitters: the two-pass MG+verify plan is EXACT, so the oracle is
     # the plain GROUP BY ... HAVING cnt*(k+1) > n it avoids computing

@@ -144,6 +144,67 @@ def read_warc_dir(out_dir: str):
         parse, batch_size=1)
 
 
+def cdx_index(sf_dir: str, records_per_file: int = 64,
+              num_buckets: int = 8):
+    """CDX-style random-access index over the WARC layout — what Common
+    Crawl publishes beside its archives (the CDX(J) index: per record,
+    which file and which byte range, so one record is fetchable with a
+    single ranged read instead of a file scan). Because the archive
+    layout is deterministic, every offset is PURE ARITHMETIC: record size
+    = RECORD_FIXED_BYTES + len(url) + digits(len(payload)) + len(payload)
+    and a record's offset is the exclusive per-file prefix sum of the
+    sizes before it (records sorted by doc_id within file).
+
+    Distributed shape: one stateless map computes per-record sizes (urls
+    rebuilt arithmetically — the html payload column never moves), then
+    ONE file_id-keyed exchange runs a vectorized exclusive cumsum with
+    file-boundary resets. Output (doc_id, file_id, rec_idx, offset,
+    length), all int64; the pytest proves the offsets by actually
+    seeking the written archives.
+    """
+    from pixcrawler_ray import corpus
+    from pixcrawler_ray.stages.shuffle import per_bucket
+
+    pages = corpus.pages_dataset(sf_dir)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        url, _ = corpus.urls_hosts_arrow(ids)
+        ulen = pc.utf8_length(url).to_numpy(zero_copy_only=False)
+        nb = pc.binary_length(
+            t.column("html").cast(pa.binary())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        digits = np.char.str_len(nb.astype(np.int64).astype(str))
+        rec = RECORD_FIXED_BYTES + ulen + digits + nb
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "file_id": pa.array(ids // records_per_file),
+            "rec_bytes": pa.array(rec.astype(np.int64))})
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["file_id", "doc_id"], kind="mergesort")
+        rec = df["rec_bytes"].to_numpy().astype(np.int64)
+        fid = df["file_id"].to_numpy().astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(rec)[:-1]])
+        starts = np.flatnonzero(np.concatenate(
+            [[True], fid[1:] != fid[:-1]]))
+        reps = np.diff(np.append(starts, len(fid)))
+        offset = cum - np.repeat(cum[starts], reps)
+        rec_idx = np.arange(len(fid)) - np.repeat(starts, reps)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "file_id": fid,
+            "rec_idx": rec_idx.astype(np.int64),
+            "offset": offset.astype(np.int64),
+            "length": rec})
+
+    return per_bucket(pages.map_batches(sizes, batch_format="pyarrow"),
+                      ["file_id"], kernel, num_buckets=num_buckets)
+
+
 def warc_pages(sf_dir: str, out_dir: str, records_per_file: int = 64):
     """Archive the virtual page corpus (html keyed by doc_id + crawl url)
     — the query-registry entry point. Returns the manifest minus the
