@@ -765,17 +765,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so repeat invocations — bench min-of-repeats, CI — reuse it and
         # the build's stage-granular resume short-circuits to a manifest
         # read instead of leaking a fresh tree per call.
+        # MERGED (r5): + the COMPLETE web->training-shards composition
+        # ('from_crawl' section): stage 0 crawls + extracts + enriches,
+        # stages 1-3 are the same build over the crawl's output dir.
         import hashlib as _hl
         import os as _os
         import tempfile as _tf
 
+        import pyarrow as _pa
         from pixcrawler_ray.pipelines.corpusbuild import (
-            build_training_corpus)
+            build_from_crawl, build_training_corpus)
+        from pixcrawler_ray.stages.expand import CrawlConfig
 
         tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
         out = _os.path.join(_tf.gettempdir(), f"pxr_corpusbuild_{tag}")
         manifest, _report = build_training_corpus(sf_dir, out)
-        return manifest.drop_columns(["path"])
+
+        out2 = _os.path.join(_tf.gettempdir(), f"pxr_corpusbuild_c_{tag}")
+        cfg = CrawlConfig.from_dict({
+            "dataset_name": "bfc",
+            "categories": {"cats": ["cat", "kitten"], "dogs": ["dog"]},
+            "options": {"max_images": 20}})
+        m2, _r2 = build_from_crawl(cfg, sf_dir, out2)
+
+        def tg(section):
+            def f(t):
+                return _pa.table({
+                    "section": _pa.array([section] * t.num_rows,
+                                         type=_pa.string()),
+                    "shard_id": t.column("shard_id").cast(_pa.int64()),
+                    "n_samples": t.column("n_samples").cast(_pa.int64()),
+                    "payload_bytes": t.column("payload_bytes")
+                                      .cast(_pa.int64()),
+                    "tar_bytes": t.column("tar_bytes").cast(_pa.int64())})
+            return f
+
+        return (manifest.map_batches(tg("docs"), batch_format="pyarrow")
+                .union(m2.map_batches(tg("from_crawl"),
+                                      batch_format="pyarrow")))
 
     def events_running_q(sf_dir: str):
         return rel.q_events_running(sf_dir)

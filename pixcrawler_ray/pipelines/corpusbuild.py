@@ -130,3 +130,67 @@ def build_training_corpus(sf_dir: str, out_dir: str,
         _commit_dataset(manifest, s3, "manifest")
     report["n_shards"] = manifest.count()
     return manifest, report
+
+
+def build_from_crawl(config, sf_dir: str, out_dir: str,
+                     samples_per_shard: int = 32,
+                     fail_stage: int | None = None, **crawl_kw):
+    """The COMPLETE web→training-shards path — the composition the north
+    rule describes end to end: stage 0 runs the multi-generation crawl
+    (frontier → politeness → fetch → extract → retry/budget), recovers
+    doc ids from the crawled urls (the deterministic url rule), keeps
+    valid extractions, dedups to one row per document (min seq), enriches
+    (lang, source) via ONE doc-keyed bucketed join against the corpus
+    metadata table, and commits the result as a documents-shaped parquet
+    dir; stages 1–3 are exactly :func:`build_training_corpus` over that
+    dir (curation gate → segment dedup → tar shards), inheriting its
+    rename-as-marker stage resume. ``fail_stage=0`` crashes before the
+    crawl; 1–3 pass through to the inner build.
+
+    Every stage boundary is a queryable documents dir — a re-run after
+    any crash resumes at the first incomplete stage and the final shards
+    are byte-identical (pytest-asserted).
+    """
+    import pyarrow.compute as pc
+
+    from pixcrawler_ray.pipelines.crawl import run_crawl
+    from pixcrawler_ray.sources.readers import read_table
+    from pixcrawler_ray.stages.shuffle import bucketed_join, keep_first_by
+
+    s0 = os.path.join(out_dir, "stage0_crawl")
+    report: dict[str, int | bool] = {}
+    if _committed(s0, "documents"):
+        report["stage0_skipped"] = True
+    else:
+        if fail_stage == 0:
+            raise RuntimeError("simulated crash before stage 0")
+        crawled = run_crawl(config, sf_dir, **crawl_kw)
+
+        def project(t: pa.Table) -> pa.Table:
+            m = pc.extract_regex(t.column("url"), r"/doc/(?P<id>[0-9]+)$")
+            doc = pc.struct_field(m, "id").cast(pa.int64())
+            keep = pc.and_(pc.is_valid(doc),
+                           pc.fill_null(t.column("valid"), False))
+            out = pa.table({"doc_id": doc,
+                            "seq": t.column("seq").cast(pa.int64()),
+                            "text": t.column("text").cast(pa.string())})
+            return out.filter(keep)
+
+        meta = read_table(sf_dir, "documents",
+                          columns=["doc_id", "lang", "source"])
+        joined = bucketed_join(
+            crawled.map_batches(project, batch_format="pyarrow"),
+            meta, on="doc_id", num_buckets=16)
+        docs = keep_first_by(joined, ["doc_id"], "seq",
+                             num_buckets=16).map_batches(
+            lambda t: t.select(["doc_id", "lang", "source", "text"]),
+            batch_format="pyarrow")
+        _commit_dataset(docs, s0, "documents")
+        report["stage0_skipped"] = False
+    report["stage0_rows"] = read_table(s0, "documents").count()
+
+    manifest, inner = build_training_corpus(
+        s0, out_dir, samples_per_shard=samples_per_shard,
+        fail_stage=fail_stage if (fail_stage or 0) >= 1 else None)
+    report.update(inner)
+    return manifest, report

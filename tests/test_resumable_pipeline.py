@@ -161,3 +161,31 @@ def test_attribute_tagger_resume_and_mixer_decoupling(sf_tiny, tmp_path):
     assert 0 < len(strict) < len(base)
     assert (strict["n_tokens"] >= 50).all()
     assert set(strict["doc_id"]) <= set(base["doc_id"])
+
+
+def test_build_from_crawl_stage_resume_byte_identical(sf_tiny, tmp_path):
+    """The complete web->training-shards composition: crash before stage
+    2, resume skips the committed crawl + curation stages, and the final
+    shard manifest equals an uninterrupted build's."""
+    import pytest
+
+    from pixcrawler_ray.pipelines.corpusbuild import build_from_crawl
+    from pixcrawler_ray.stages.expand import CrawlConfig
+
+    cfg = CrawlConfig.from_dict({
+        "dataset_name": "v",
+        "categories": {"cats": ["cat", "kitten"], "dogs": ["dog"]},
+        "options": {"max_images": 20}})
+    out = str(tmp_path / "bfc")
+    with pytest.raises(RuntimeError, match="before stage 2"):
+        build_from_crawl(cfg, sf_tiny, out, fail_stage=2)
+    m, rep = build_from_crawl(cfg, sf_tiny, out)
+    assert rep["stage0_skipped"] and rep["stage1_skipped"]
+    assert not rep["stage2_skipped"]
+    assert rep["stage0_rows"] > 0
+
+    m2, _ = build_from_crawl(cfg, sf_tiny, str(tmp_path / "bfc2"))
+    cols = ["shard_id", "n_samples", "payload_bytes", "tar_bytes"]
+    a = m.to_pandas().sort_values("shard_id").reset_index(drop=True)[cols]
+    b = m2.to_pandas().sort_values("shard_id").reset_index(drop=True)[cols]
+    assert a.equals(b)
