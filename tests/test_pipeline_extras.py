@@ -584,3 +584,39 @@ def test_watermarked_windows_straggler_semantics(sf_tiny):
     # sf events are spaced ~minutes apart, so every straggler (displaced
     # WM_JIT positions ~ hours of event time) lands past the 60-min delay
     assert late_n == sum(1 for i in range(n) if i % WM_STRAGGLER_MOD == 3)
+
+
+def test_watermarked_windows_delay_param_matches_duckdb(sf_tiny):
+    """The allowed-lateness parameter must bind on both sides: replay the
+    aggregate at a non-default delay against DuckDB directly."""
+    import duckdb
+
+    from pixcrawler_ray.pipelines.relational import q_events_watermarked
+
+    got = (q_events_watermarked(sf_tiny, delay_minutes=30).to_pandas()
+           .sort_values(["kind", "event_type", "window_start"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_tiny}/events.parquet')")
+    exp = con.execute("""
+WITH wm AS (
+  SELECT event_type, ts, value,
+         MAX(ts) OVER (ORDER BY event_id
+                         + CASE WHEN event_id % 10 = 3 THEN 40 ELSE 0 END,
+                       event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mx
+  FROM events)
+SELECT CASE WHEN mx IS NOT NULL AND mx - ts > INTERVAL 30 MINUTE
+            THEN 'late' ELSE 'watermarked' END AS kind,
+       event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM wm GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""").df()
+    assert len(got) == len(exp)
+    assert (got["kind"].to_numpy() == exp["kind"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["sum_value_cents"].to_numpy()
+            == exp["sum_value_cents"].to_numpy()).all()

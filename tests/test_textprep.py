@@ -486,3 +486,18 @@ def test_balanced_shards_balance_and_invariance(sf_tiny):
     n = len(a)
     assert sorted(a["rank"]) == list(range(n))
     assert a["shard_id"].between(0, 7).all()
+
+
+def test_balanced_shards_n_shards_param(sf_tiny):
+    """The shard-count parameter binds: at k=5 the assignment is still a
+    partition with snake balance (spread <= max item)."""
+    from pixcrawler_ray.stages.textprep import balanced_shards
+
+    a = balanced_shards(sf_tiny, n_shards=5).to_pandas()
+    tot = a.groupby("shard_id")["n_tokens"].sum()
+    assert sorted(tot.index) == list(range(5))
+    assert tot.max() - tot.min() <= a["n_tokens"].max()
+    # snake arithmetic: shard of rank r is r%5 on even passes, 4-r%5 on odd
+    q, pos = a["rank"] // 5, a["rank"] % 5
+    expect = pos.where(q % 2 == 0, 4 - pos)
+    assert (a["shard_id"] == expect).all()
