@@ -105,24 +105,36 @@ class CrawlConfig:
           keywords not already present, in generator order — SURVEY D1; the
           reference's ``list(set(...))`` order is irreproducible by design)
         - keywords,    mode auto/disabled -> user keywords unchanged
+        - mode "ai" (ST5, r5): same union rules as enabled/auto but the
+          generator is the :class:`~pixcrawler_ray.functions.aikeywords.
+          LocalLMKeywordClient` — retries/backoff/fallback in virtual time
+          (pytest-verified; not SQL-oracled, the LM output has no SQL
+          analog — the client falls back to these templates on exhaustion)
 
         Returns per category: keywords, original_keywords, generated_keywords,
         generation_occurred (the reference's prepare_keywords dict).
         """
         mode = self.keyword_generation
+        if mode == "ai":
+            from pixcrawler_ray.functions.aikeywords import (
+                LocalLMKeywordClient)
+            client = LocalLMKeywordClient()
+            gen = lambda cat: client.generate(cat, 8)  # noqa: E731
+        else:
+            gen = generate_keywords
         plan: dict[str, dict] = {}
         for cat, kws in self.categories.items():
             original = [k.strip() for k in (kws or []) if k and k.strip()]
             generated: list[str] = []
             occurred = False
-            if not original and mode in ("auto", "enabled"):
-                generated = generate_keywords(cat)
+            if not original and mode in ("auto", "enabled", "ai"):
+                generated = gen(cat)
                 final = list(generated)
                 occurred = True
             elif not original:
                 final = [cat]
-            elif mode == "enabled":
-                generated = generate_keywords(cat)
+            elif mode in ("enabled", "ai"):
+                generated = gen(cat)
                 have = set(original)
                 final = original + [g for g in generated if g not in have]
                 occurred = True

@@ -1217,3 +1217,51 @@ def test_trustrank_conserves_and_concentrates_on_seeds(sf_tiny):
     assert t["mass"].sum() == len(t) * INIT_MASS
     seed = t["doc_id"] % TRUST_SEED_MOD == 0
     assert t.loc[seed, "mass"].mean() > t.loc[~seed, "mass"].mean()
+
+
+def test_ai_keyword_client_retry_backoff_fallback():
+    """ST5 client semantics in virtual time: deterministic output, pinned
+    retry/backoff schedule, fallback-to-templates on exhaustion, and
+    KeywordGenerator protocol conformance."""
+    from pixcrawler_ray.base import KeywordGenerator
+    from pixcrawler_ray.functions.aikeywords import (
+        AI_LATENCY_BASE_S, BACKOFF_BASE_S, LocalLMKeywordClient)
+    from pixcrawler_ray.functions.variations import generate_keywords
+
+    a, b = LocalLMKeywordClient(), LocalLMKeywordClient()
+    assert isinstance(a, KeywordGenerator)
+    k1, k2 = a.generate("cats", 5), b.generate("cats", 5)
+    assert k1 == k2 and len(k1) == 5
+    assert all(kw.startswith("cats ") for kw in k1)
+    assert a.stats["per_category"]["cats"]["attempts"] >= 1
+    # virtual latency: every attempt costs >= the AI base latency
+    per = a.stats["per_category"]["cats"]
+    assert per["virtual_seconds"] >= per["attempts"] * AI_LATENCY_BASE_S
+    # retries (if any) add exponential backoff on top
+    if per["attempts"] > 1:
+        assert per["virtual_seconds"] >= (
+            per["attempts"] * AI_LATENCY_BASE_S + BACKOFF_BASE_S)
+
+    # fail_mod=1: every attempt fails -> exhaustion -> template fallback
+    c = LocalLMKeywordClient(fail_mod=1)
+    out = c.generate("dogs", 4)
+    assert c.stats["fallbacks"] == 1
+    assert c.stats["per_category"]["dogs"]["fallback"] is True
+    assert c.stats["per_category"]["dogs"]["attempts"] == 4  # 1 + 3 retries
+    assert out == generate_keywords("dogs")[:4]
+
+
+def test_crawl_config_ai_mode_plan():
+    """mode 'ai' follows the same union rules as enabled, driven by the
+    LM client (fallback keeps the plan total even when flaky)."""
+    from pixcrawler_ray.stages.expand import CrawlConfig
+
+    cfg = CrawlConfig.from_dict({
+        "dataset_name": "v",
+        "categories": {"cats": [], "dogs": ["good dog"]},
+        "options": {"keyword_generation": "ai"}})
+    plan = cfg.keyword_plan()
+    assert plan["cats"]["generation_occurred"]
+    assert len(plan["cats"]["keywords"]) > 0
+    assert plan["dogs"]["keywords"][0] == "good dog"
+    assert len(plan["dogs"]["keywords"]) > 1  # union added generated ones
