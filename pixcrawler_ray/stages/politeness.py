@@ -493,6 +493,19 @@ class PolitenessShard:
         return {"hosts": len(vals), "max_admitted": max(vals),
                 "total": sum(vals)}
 
+    def state(self) -> tuple[list[str], list[int]]:
+        """Portable counter state (hosts, admitted-counts) — the robots /
+        budget caches are derived and rebuilt lazily after a restore."""
+        return list(self.admitted.keys()), list(self.admitted.values())
+
+    def load_state(self, hosts: list[str], counts: list[int]) -> int:
+        """Restore counters exported by :meth:`state` (additive: counts
+        for hosts already present are summed, so replaying two partial
+        snapshots composes)."""
+        for h, c in zip(hosts, counts):
+            self.admitted[h] = self.admitted.get(h, 0) + int(c)
+        return len(self.admitted)
+
 
 def make_politeness_shards(n_shards: int = 4,
                            budget_per_round: int = DEFAULT_BUDGET_PER_ROUND,

@@ -145,3 +145,61 @@ def test_sdk_load_dataset_roundtrip(sf_tiny, tmp_path):
     # no committed output at all -> FileNotFoundError
     with pytest.raises(FileNotFoundError):
         load_dataset(str(tmp_path / "nope"))
+
+
+def test_crawl_state_snapshot_roundtrip(tmp_path):
+    """Portable frontier snapshot: politeness counters restored into fresh
+    actors continue the admission stream EXACTLY where the interrupted one
+    left off (suffix equals the uninterrupted run's suffix); seen keys
+    survive the roundtrip, including a restore into a different shard
+    count (re-hash path)."""
+    import numpy as np
+    import ray as _ray
+
+    from pixcrawler_ray.state.frontier_snapshot import (export_crawl_state,
+                                                        restore_crawl_state)
+    from pixcrawler_ray.stages.politeness import make_politeness_shards
+    from pixcrawler_ray.stages.seen import kill_seen_shards, \
+        start_seen_shards
+
+    out = str(tmp_path / "snap")
+    keys = (np.arange(1, 1001, dtype=np.uint64) * np.uint64(2654435761))
+    seen = start_seen_shards(3)
+    place = (keys % np.uint64(3)).astype(np.int64)
+    _ray.get([seen[i].add.remote(keys[place == i]) for i in range(3)])
+
+    pol = make_politeness_shards(2, budget_per_round=3)
+    hosts = [f"h{i % 5}.example.com" for i in range(40)]
+    first = list(_ray.get(pol[0].admit.remote(hosts[:20])))
+
+    counts = export_crawl_state(seen, pol, out)
+    assert counts["seen_keys"] == 1000
+    kill_seen_shards(seen)
+    kill_seen_shards(pol)
+
+    seen2, pol2 = restore_crawl_state(out, budget_per_round=3)
+    assert len(seen2) == 3 and len(pol2) == 2
+    cont = list(_ray.get(pol2[0].admit.remote(hosts[20:])))
+
+    ref = make_politeness_shards(1, budget_per_round=3)
+    full = list(_ray.get(ref[0].admit.remote(hosts)))
+    assert first + cont == full
+
+    got = np.concatenate(_ray.get(
+        [seen2[i].contains.remote(keys[place == i]) for i in range(3)]))
+    assert got.all()
+    absent = keys + np.uint64(1)
+    miss = np.concatenate(_ray.get(
+        [seen2[i].contains.remote(absent[place == i]) for i in range(3)]))
+    assert not miss.any()
+    kill_seen_shards(seen2)
+    kill_seen_shards(pol2)
+
+    # re-hash restore into a different seen-shard count
+    seen3, _ = restore_crawl_state(out, num_seen_shards=5,
+                                   budget_per_round=3)
+    p5 = (keys % np.uint64(5)).astype(np.int64)
+    got5 = np.concatenate(_ray.get(
+        [seen3[i].contains.remote(keys[p5 == i]) for i in range(5)]))
+    assert got5.all()
+    kill_seen_shards(seen3)
