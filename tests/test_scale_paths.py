@@ -528,3 +528,44 @@ def test_segment_lang_mix_detects_mixed_docs(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [0, 1]        # empty doc absent
     assert got.loc[0, ["n_segs", "n_agree", "n_und"]].tolist() == [2, 1, 0]
     assert got.loc[1, ["n_segs", "n_agree", "n_und"]].tolist() == [1, 0, 1]
+
+
+def test_transient_task_failure_retries_to_exact_output(sf_tiny, tmp_path):
+    """Fault tolerance at the task level: a map stage whose FIRST attempt
+    per batch raises (simulating a transient fetch/storage hiccup) must,
+    with retry_exceptions enabled, converge to output identical to a
+    clean run — the resilience contract a 100 TB job leans on."""
+    import os
+
+    import pyarrow as pa
+
+    from pixcrawler_ray.sources.readers import read_table
+
+    marker_dir = str(tmp_path / "attempts")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def flaky(t: pa.Table) -> pa.Table:
+        lo = int(t.column("doc_id")[0].as_py())
+        marker = os.path.join(marker_dir, f"b{lo}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("injected transient failure")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pa.compute.utf8_length(
+                t.column("text")).cast(pa.int64())})
+
+    ds = read_table(sf_tiny, "documents", columns=["doc_id", "text"])
+    got = (ds.map_batches(flaky, batch_format="pyarrow",
+                          retry_exceptions=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(os.listdir(marker_dir)) > 0   # failures actually fired
+
+    clean = (ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pa.compute.utf8_length(
+                t.column("text")).cast(pa.int64())}),
+        batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(clean)
