@@ -1336,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_image_links": links_captions_q,   # MERGED: + caption agg
         "crawl_frontier": cq.q_crawl_frontier,     # + robots verdict
         "crawl_schedule": cq.q_crawl_schedule,     # + crawl-delay round
+        #   + r5 'authority' section: PageRank-prioritized admission
         "crawl_fetch_status": cq.q_crawl_fetch_status,
         "crawl_quarantine": cq.q_crawl_quarantine,
         "crawl_budget": cq.q_crawl_budget,

@@ -152,16 +152,62 @@ def q_crawl_frontier(sf_dir: str):
 
 
 def q_crawl_schedule(sf_dir: str):
-    """Politeness admission schedule over the allowed frontier — BOTH the
-    plain budget round and the robots-Crawl-delay-aware round
-    (``round_delay``: effective budget = max(1, budget // delay), so slow
-    hosts spread over proportionally more virtual rounds), from one rank
-    pass and one host-hash shuffle."""
+    """Politeness admission schedule over the allowed frontier — MERGED,
+    section-tagged (r5):
+
+    - 'budget': the plain budget round AND the robots-Crawl-delay-aware
+      round (``round_delay``: effective budget = max(1, budget // delay)),
+      from one rank pass and one host-hash shuffle;
+    - 'authority' (r5): the IMPORTANCE-DRIVEN schedule the north star
+      describes ("link-graph authority feeds frontier priority") — the
+      frontier re-prioritized by the target doc's damped integer PageRank
+      mass (one doc-keyed bucketed join against ``pagerank_mass``), then
+      the same politeness rank pass; round_delay = -1 for this section.
+    """
+    import pyarrow as _pa
+
+    from pixcrawler_ray.stages.graph import pagerank_mass
+    from pixcrawler_ray.stages.shuffle import bucketed_join
+
     fr = apply_robots(dedup_frontier(_frontier(sf_dir)))
-    ds = assign_rounds(fr, budget_per_round=ORACLE_BUDGET_PER_ROUND,
-                       emit_delay_round=True)
-    return ds.select_columns(["url", "host", "seq", "host_rank", "round",
-                              "round_delay"])
+    base = assign_rounds(fr, budget_per_round=ORACLE_BUDGET_PER_ROUND,
+                         emit_delay_round=True)
+
+    def tag_budget(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "section": _pa.array(["budget"] * t.num_rows,
+                                 type=_pa.string()),
+            "url": t.column("url"), "host": t.column("host"),
+            "seq": t.column("seq").cast(_pa.int64()),
+            "host_rank": t.column("host_rank").cast(_pa.int64()),
+            "round": t.column("round").cast(_pa.int64()),
+            "round_delay": t.column("round_delay").cast(_pa.int64())})
+
+    pr = pagerank_mass(sf_dir, rounds=3)
+    joined = bucketed_join(fr, pr, on="doc_id", num_buckets=16)
+
+    def repri(t: _pa.Table) -> _pa.Table:
+        cols = {n: t.column(n) for n in t.column_names
+                if n not in ("priority", "mass")}
+        cols["priority"] = t.column("mass").cast(_pa.int64())
+        return _pa.table(cols)
+
+    auth = assign_rounds(joined.map_batches(repri, batch_format="pyarrow"),
+                         budget_per_round=ORACLE_BUDGET_PER_ROUND)
+
+    def tag_auth(t: _pa.Table) -> _pa.Table:
+        neg = _pa.array([-1] * t.num_rows, type=_pa.int64())
+        return _pa.table({
+            "section": _pa.array(["authority"] * t.num_rows,
+                                 type=_pa.string()),
+            "url": t.column("url"), "host": t.column("host"),
+            "seq": t.column("seq").cast(_pa.int64()),
+            "host_rank": t.column("host_rank").cast(_pa.int64()),
+            "round": t.column("round").cast(_pa.int64()),
+            "round_delay": neg})
+
+    return (base.map_batches(tag_budget, batch_format="pyarrow")
+            .union(auth.map_batches(tag_auth, batch_format="pyarrow")))
 
 
 def q_crawl_fetch_status(sf_dir: str):
@@ -667,8 +713,31 @@ SELECT f.url, f.host, f.doc_id, f.seq, f.keyword, f.priority,
        NOT (f.host_id % 20 = 1 AND f.host_id <> 0
             AND f.path LIKE '/private/%') AS robots_allowed
 FROM frontier f"""
-    out["crawl_schedule"] = _sql_cand() + f"""
-SELECT url, host, seq,
+    # (r5) 'authority' section: damped conserving integer PageRank at
+    # rounds=3 (the same unrolled CTE chain as the link_mass oracle,
+    # sp-prefixed) re-prioritizes the allowed frontier — the
+    # importance-driven schedule of the north star.
+    _sp_sends = " UNION ALL ".join(
+        f"SELECT (m.doc_id * {mu} + {ad}) % nd.n AS doc_id, "
+        f"(m.mass * 85 // 100) // (1 + m.doc_id % 3) AS mass "
+        f"FROM sp{{r}} m, nd WHERE 1 + m.doc_id % 3 > {j}"
+        for j, (mu, ad) in enumerate(zip((7, 9, 11), (13, 14, 15)))
+    ) + (" UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM documents")
+    _sp = (",\nsp0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS mass "
+           "FROM documents)")
+    for _r in range(3):
+        _sp += (
+            f",\nsps{_r} AS ({_sp_sends.format(r=_r)}),\n"
+            f"spr{_r + 1} AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) "
+            f"AS mass FROM sps{_r} GROUP BY doc_id),\n"
+            f"spt{_r + 1} AS (SELECT CAST(1000 AS BIGINT) * nd.n "
+            f"- (SELECT SUM(mass) FROM spr{_r + 1}) AS rr, nd.n AS n "
+            f"FROM nd),\n"
+            f"sp{_r + 1} AS (SELECT r.doc_id, CAST(r.mass + t.rr // t.n "
+            f"+ CASE WHEN r.doc_id < t.rr % t.n THEN 1 ELSE 0 END "
+            f"AS BIGINT) AS mass FROM spr{_r + 1} r, spt{_r + 1} t)")
+    out["crawl_schedule"] = _sql_cand() + _sp + f"""
+SELECT 'budget' AS section, url, host, seq,
        ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1
          AS host_rank,
        (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
@@ -676,7 +745,16 @@ SELECT url, host, seq,
        (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, seq) - 1)
          // GREATEST({ORACLE_BUDGET_PER_ROUND} // (1 + host_id % 3), 1)
          AS round_delay
-FROM allowed"""
+FROM allowed
+UNION ALL
+SELECT 'authority', a.url, a.host, a.seq,
+       ROW_NUMBER() OVER (PARTITION BY a.host
+                          ORDER BY p.mass DESC, a.seq) - 1,
+       (ROW_NUMBER() OVER (PARTITION BY a.host
+                           ORDER BY p.mass DESC, a.seq) - 1)
+         // {ORACLE_BUDGET_PER_ROUND},
+       CAST(-1 AS BIGINT)
+FROM allowed a JOIN sp3 p ON p.doc_id = a.doc_id"""
     out["crawl_fetch_status"] = _sql_cand() + """
 SELECT url, seq, status FROM statused"""
     out["crawl_quarantine"] = _sql_cand() + """
